@@ -1,0 +1,20 @@
+"""xitorch_tpu: TPU-native differentiable scientific computing.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of xitorch
+(differentiable functionals whose 1st- and 2nd-order gradients flow through
+solver *solutions* via implicit-function-theorem / adjoint rules):
+
+* ``xitorch_tpu.LinearOperator`` — matrix-free batched operator (pytree)
+* ``xitorch_tpu.linalg``   — solve, symeig/lsymeig/usymeig, svd
+* ``xitorch_tpu.optimize`` — rootfinder, equilibrium, minimize
+* ``xitorch_tpu.integrate``— quad, solve_ivp, mcquad, SQuad
+* ``xitorch_tpu.interpolate`` — Interp1D
+* ``xitorch_tpu.grad``     — jac, hess (matrix-free LinearOperators)
+
+Everything jits, vmaps, and shards (pjit/shard_map over a device mesh).
+"""
+from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator, checklinop  # noqa: F401
+from xitorch_tpu._core.editable_module import EditableModule  # noqa: F401
+from xitorch_tpu._core.packer import Packer  # noqa: F401
+from xitorch_tpu._core.pure import make_pure, make_sibling  # noqa: F401
+from xitorch_tpu.version import __version__  # noqa: F401

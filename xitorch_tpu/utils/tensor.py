@@ -1,0 +1,70 @@
+"""Array helpers: Cholesky-QR, random test-matrix factories.
+
+TPU-native analog of /root/reference/xitorch/_utils/tensor.py.  ``tallqr``
+(Cholesky-QR) is MXU-friendly: it is two batched matmuls plus a small
+Cholesky, instead of a Householder QR which maps poorly to the systolic
+array.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "tallqr",
+    "create_random_square_matrix",
+    "create_random_ortho_matrix",
+]
+
+
+def tallqr(V: jnp.ndarray, MV: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """QR for tall-skinny matrices via Cholesky of the Gram matrix.
+
+    V: (*B, na, nguess); MV: optional (*B, na, nguess) for M-orthogonality.
+    Returns (Q, R) with Q M-orthonormal columns.
+    """
+    if MV is None:
+        MV = V
+    VTV = jnp.swapaxes(V, -2, -1).conj() @ MV  # (*B, ng, ng)
+    # add a tiny ridge for numerical safety on TPU float32
+    eps = jnp.finfo(V.dtype).eps
+    ridge = eps * jnp.trace(VTV.real, axis1=-2, axis2=-1)[..., None, None] \
+        * jnp.eye(VTV.shape[-1], dtype=VTV.dtype)
+    L = jnp.linalg.cholesky(VTV + ridge)  # lower
+    R = jnp.swapaxes(L, -2, -1).conj()  # upper: R^H R = V^H M V
+    Rinv = jnp.linalg.inv(R)
+    Q = V @ Rinv
+    return Q, R
+
+
+def create_random_square_matrix(
+    n: int,
+    is_hermitian: bool = False,
+    min_eival: float = 1.0,
+    max_eival: float = 1.0,
+    minabs_eival: float = 0.0,
+    seed: int = 0,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """Random square matrix with controlled eigenvalue range (test/bench factory)."""
+    key = jax.random.PRNGKey(seed)
+    eivals = jnp.linspace(min_eival, max_eival, n, dtype=dtype)
+    sign = jnp.where(eivals >= 0, 1.0, -1.0)
+    eivals = jnp.where(jnp.abs(eivals) < minabs_eival, sign * minabs_eival, eivals)
+    if is_hermitian:
+        q = create_random_ortho_matrix(n, seed=seed, dtype=dtype)
+        mat = (q * eivals) @ q.T
+        return (mat + mat.T) * 0.5
+    else:
+        a = jax.random.normal(key, (n, n), dtype=dtype)
+        a = a / jnp.linalg.norm(a, axis=-2, keepdims=True)
+        return jnp.linalg.inv(a) @ (eivals[:, None] * a)
+
+
+def create_random_ortho_matrix(n: int, seed: int = 0, dtype=jnp.float64) -> jnp.ndarray:
+    key = jax.random.PRNGKey(seed)
+    a = jax.random.normal(key, (n, n), dtype=dtype)
+    q, _ = jnp.linalg.qr(a)
+    return q
