@@ -1,0 +1,178 @@
+"""rootfinder/equilibrium/minimize tests (model: reference
+xitorch/_tests/test_optimize.py).  The tanh rootfinder is BASELINE config 1:
+forward + 1st + 2nd order gradients must match the dense implicit solution.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu.optimize import rootfinder, equilibrium, minimize
+from tests.utils import assert_allclose, gradcheck2
+
+
+def tanh_fcn(y, A):
+    # the README example of the reference (README.md:16-33)
+    return jnp.tanh(A @ y + 0.1) + y / 2.0
+
+
+A0 = jnp.asarray([[1.1, 0.4], [0.3, 0.8]])
+y0_2x1 = jnp.zeros((2, 1))
+
+
+@pytest.mark.parametrize("method", ["broyden1", "broyden2", "newton", "linearmixing"])
+def test_rootfinder_methods(method):
+    opts = {"f_tol": 1e-12, "maxiter": 5000}
+    # linearmixing default alpha=-1.0 gives the converging x <- x - f step
+    yroot = rootfinder(tanh_fcn, y0_2x1, params=(A0,), method=method, **opts)
+    assert_allclose(tanh_fcn(yroot, A0), jnp.zeros_like(yroot), atol=1e-7,
+                    msg="residual not zero for %s" % method)
+
+
+def test_rootfinder_readme_values():
+    yroot = rootfinder(tanh_fcn, y0_2x1, params=(A0,), f_tol=1e-12)
+    # reference README value: [[-0.0459], [-0.0663]]
+    assert_allclose(yroot, jnp.asarray([[-0.04593078], [-0.06633125]]), atol=1e-4)
+
+
+def _implicit_dense_root(A):
+    """Oracle: solve the same root with plain Newton via jax.scipy-free dense
+    iteration, differentiable through lax.custom_root-free manual IFT is
+    avoided — instead iterate to convergence with unrolled fixed steps so
+    plain autodiff gives the true implicit gradient."""
+    y = jnp.zeros((2, 1), dtype=A.dtype)
+    for _ in range(60):
+        f = tanh_fcn(y, A)
+        J = jax.jacobian(lambda yy: tanh_fcn(yy.reshape(2, 1), A).reshape(-1))(y.reshape(-1))
+        y = y - jnp.linalg.solve(J, f.reshape(-1, 1)).reshape(2, 1)
+    return y
+
+
+def test_rootfinder_grad_1st_2nd():
+    def via_rf(A):
+        y = rootfinder(tanh_fcn, y0_2x1, params=(A,), f_tol=1e-13, maxiter=10000)
+        return jnp.sum(y ** 2)
+
+    def via_dense(A):
+        y = _implicit_dense_root(A)
+        return jnp.sum(y ** 2)
+
+    assert_allclose(via_rf(A0), via_dense(A0), rtol=1e-8)
+    g1 = jax.grad(via_rf)(A0)
+    g2 = jax.grad(via_dense)(A0)
+    assert_allclose(g1, g2, rtol=1e-6, atol=1e-9)
+
+    h1 = jax.hessian(via_rf)(A0)
+    h2 = jax.hessian(via_dense)(A0)
+    assert_allclose(h1, h2, rtol=1e-4, atol=1e-7)
+
+
+def test_rootfinder_gradcheck_fd():
+    def f(A):
+        return rootfinder(tanh_fcn, y0_2x1, params=(A,), f_tol=1e-13, maxiter=10000)
+
+    gradcheck2(f, (A0,), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
+
+
+def test_rootfinder_closure_state():
+    """Hidden state captured in the fcn closure must receive gradients
+    (the closure_convert path — PureFunction parity)."""
+    def via_closure(A):
+        fcn = lambda y: tanh_fcn(y, A)  # A hidden in closure
+        return jnp.sum(rootfinder(fcn, y0_2x1, f_tol=1e-13, maxiter=10000) ** 2)
+
+    def via_params(A):
+        return jnp.sum(rootfinder(tanh_fcn, y0_2x1, params=(A,),
+                                  f_tol=1e-13, maxiter=10000) ** 2)
+
+    assert_allclose(jax.grad(via_closure)(A0), jax.grad(via_params)(A0), rtol=1e-7)
+
+
+def test_equilibrium_broyden():
+    def fcn(y, A):
+        return jnp.tanh(A @ y + 0.1) + y / 2.0
+
+    yeq = equilibrium(fcn, y0_2x1, params=(A0,), method="broyden1",
+                      f_tol=1e-11, maxiter=2000)
+    assert_allclose(fcn(yeq, A0), yeq, atol=1e-6)
+    # reference README value for equilibrium: [[0.2313], [-0.5957]]
+    assert_allclose(yeq, jnp.asarray([[0.23134409], [-0.59570324]]), atol=1e-3)
+
+
+def contractive_fcn(y, A):
+    return 0.5 * jnp.tanh(A @ y) + 0.2
+
+
+@pytest.mark.parametrize("method", ["broyden1", "anderson_acc", "linearmixing"])
+def test_equilibrium_methods(method):
+    yeq = equilibrium(contractive_fcn, y0_2x1, params=(A0,), method=method,
+                      f_tol=1e-11, x_tol=1e-11, maxiter=5000)
+    assert_allclose(contractive_fcn(yeq, A0), yeq, atol=1e-6,
+                    msg="fixed point not reached for %s" % method)
+
+
+def test_equilibrium_grad():
+    def loss(A, method):
+        y = equilibrium(contractive_fcn, y0_2x1, params=(A,), method=method,
+                        f_tol=1e-13, x_tol=1e-13, maxiter=5000)
+        return jnp.sum(y ** 2)
+
+    g_b = jax.grad(lambda A: loss(A, "broyden1"))(A0)
+    g_a = jax.grad(lambda A: loss(A, "anderson_acc"))(A0)
+    assert_allclose(g_b, g_a, rtol=1e-4, atol=1e-7)
+    gradcheck2(lambda A: loss(A, "broyden1"), (A0,), order=2, atol=2e-4, rtol=2e-3,
+               eps=1e-5)
+
+
+@pytest.mark.parametrize("method", ["broyden1", "gd", "adam"])
+def test_minimize(method):
+    def fcn(y, A):
+        Ay = A @ y
+        return jnp.sum(Ay ** 2) + jnp.sum(y ** 4) + jnp.sum(y) / 2.0
+
+    opts = {"maxiter": 20000}
+    if method in ("gd", "adam"):
+        opts.update({"step": 2e-2, "f_rtol": 1e-14, "x_rtol": 1e-12})
+    else:
+        opts.update({"f_tol": 1e-12})
+    ymin = minimize(fcn, jnp.zeros((2, 1)), params=(A0,), method=method, **opts)
+    g = jax.grad(lambda y: fcn(y, A0))(ymin)
+    assert_allclose(g, jnp.zeros_like(g), atol=5e-4,
+                    msg="stationarity failed for %s" % method)
+
+
+def test_minimize_grad():
+    def fcn(y, A):
+        Ay = A @ y
+        return jnp.sum(Ay ** 2) + jnp.sum(y ** 4) + jnp.sum(y) / 2.0
+
+    def loss(A):
+        y = minimize(fcn, jnp.zeros((2, 1)), params=(A,), method="broyden1",
+                     f_tol=1e-13, maxiter=10000)
+        return jnp.sum((y - 1.0) ** 2)
+
+    gradcheck2(loss, (A0,), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
+
+
+def test_rootfinder_jit_vmap():
+    @jax.jit
+    def froot(A):
+        return rootfinder(tanh_fcn, y0_2x1, params=(A,), f_tol=1e-12, maxiter=5000)
+
+    assert_allclose(tanh_fcn(froot(A0), A0), jnp.zeros((2, 1)), atol=1e-7)
+
+    As = jnp.stack([A0, A0 * 0.9, A0 * 1.1])
+    ys = jax.vmap(froot)(As)
+    res = jax.vmap(tanh_fcn)(ys, As)
+    assert_allclose(res, jnp.zeros_like(res), atol=1e-7)
+
+
+def test_rootfinder_complex():
+    """Complex-root support via real packing (reference rootsolver.py:54-68)."""
+    def fcn(y, c):
+        return y ** 2 - c
+
+    c = jnp.asarray(0.5 + 0.8j)
+    y0 = jnp.asarray(1.0 + 1.0j)
+    y = rootfinder(fcn, y0, params=(c,), method="broyden1", f_tol=1e-12)
+    assert_allclose(y ** 2, c, atol=1e-7)

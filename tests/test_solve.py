@@ -1,0 +1,182 @@
+"""linalg.solve tests (model: reference xitorch/_tests/test_linop_fcns.py solve section).
+
+Every method is checked against the dense solution, and gradients (1st and
+2nd order) are checked through the implicit-diff path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu import LinearOperator
+from xitorch_tpu.linalg import solve
+from tests.utils import assert_allclose, gradcheck2
+
+
+def make_spd(rng, batch, n, dtype=jnp.float64):
+    a = rng.standard_normal((*batch, n, n))
+    a = a + np.swapaxes(a, -2, -1)
+    a = a + n * np.eye(n)
+    return jnp.asarray(a, dtype=dtype)
+
+
+def dense_solve_ABE(Am, Bm, Em=None, Mm=None):
+    """Dense reference solution of A X - M X E = B, column by column."""
+    n, nc = Bm.shape[-2:]
+    if Em is None:
+        return jnp.linalg.solve(Am, Bm)
+    cols = []
+    for c in range(nc):
+        M_ = Mm if Mm is not None else jnp.eye(n, dtype=Am.dtype)
+        AE = Am - Em[..., c][..., None, None] * M_
+        cols.append(jnp.linalg.solve(AE, Bm[..., c:c + 1]))
+    return jnp.concatenate(cols, axis=-1)
+
+
+class SPDOp(LinearOperator):
+    """Matrix-free SPD operator: A = aa^T + n*I parameterized by a."""
+
+    def __init__(self, a):
+        n = a.shape[-1]
+        super().__init__(shape=(*a.shape[:-2], n, n), is_hermitian=True,
+                         dtype=a.dtype)
+        self.a = a
+
+    def _getparamnames(self, prefix=""):
+        return [prefix + "a"]
+
+    def dense(self):
+        n = self.a.shape[-1]
+        return self.a @ jnp.swapaxes(self.a, -2, -1) + n * jnp.eye(n, dtype=self.a.dtype)
+
+    def _mv(self, x):
+        at_x = jnp.einsum("...qp,...q->...p", self.a, x)
+        return jnp.einsum("...pq,...q->...p", self.a, at_x) + self.a.shape[-1] * x
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres", "exactsolve", "scipy_gmres"])
+def test_solve_methods_match_dense(method, rng):
+    n, nc = 12, 3
+    Am = make_spd(rng, (), n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    A = LinearOperator.m(Am)
+    x = solve(A, Bm, method=method, rtol=1e-10, atol=1e-12, max_niter=200)
+    assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres"])
+def test_solve_batched(method, rng):
+    n, nc, b = 10, 2, 4
+    Am = make_spd(rng, (b,), n)
+    Bm = jnp.asarray(rng.standard_normal((b, n, nc)))
+    A = LinearOperator.m(Am, is_hermitian=True)
+    x = solve(A, Bm, method=method, rtol=1e-10, atol=1e-12, max_niter=300)
+    assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "exactsolve"])
+@pytest.mark.parametrize("with_m", [False, True])
+def test_solve_with_E_M(method, with_m, rng):
+    n, nc = 8, 2
+    Am = make_spd(rng, (), n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    Em = jnp.asarray(rng.standard_normal((nc,)) * 0.1)
+    Mm = make_spd(rng, (), n) / n if with_m else None
+    A = LinearOperator.m(Am, is_hermitian=True)
+    M = LinearOperator.m(Mm, is_hermitian=True) if with_m else None
+    x = solve(A, Bm, E=Em, M=M, method=method, rtol=1e-11, atol=1e-13, max_niter=500)
+    expected = dense_solve_ABE(Am, Bm, Em, Mm)
+    assert_allclose(x, expected, rtol=1e-5, atol=1e-7)
+
+
+def test_solve_nonhermitian(rng):
+    n, nc = 10, 2
+    Am = jnp.asarray(rng.standard_normal((n, n))) + n * jnp.eye(n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    A = LinearOperator.m(Am)
+    for method in ["bicgstab", "gmres"]:
+        x = solve(A, Bm, method=method, rtol=1e-10, atol=1e-12, max_niter=300)
+        assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-6, atol=1e-8)
+
+
+def test_solve_jit_vmap(rng):
+    n, nc = 8, 2
+    Am = make_spd(rng, (3,), n)
+    Bm = jnp.asarray(rng.standard_normal((3, n, nc)))
+
+    @jax.jit
+    def f(Am, Bm):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        return solve(A, Bm, method="cg", rtol=1e-10, atol=1e-12)
+
+    assert_allclose(f(Am, Bm), jnp.linalg.solve(Am, Bm), rtol=1e-6)
+
+    g = jax.vmap(lambda a, b: solve(LinearOperator.m(a, is_hermitian=True), b,
+                                    method="cg", rtol=1e-10, atol=1e-12))(Am, Bm)
+    assert_allclose(g, jnp.linalg.solve(Am, Bm), rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab"])
+def test_solve_grad_matrixfree(method, rng):
+    """Implicit gradients through a matrix-free solve: check vs dense autodiff."""
+    n, nc = 6, 2
+    a = jnp.asarray(rng.standard_normal((n, n)) * 0.3)
+    B = jnp.asarray(rng.standard_normal((n, nc)))
+
+    def with_op(a, B):
+        return solve(SPDOp(a), B, method=method, rtol=1e-12, atol=1e-14,
+                     max_niter=500, posdef=True)
+
+    def with_dense(a, B):
+        return jnp.linalg.solve(SPDOp(a).dense(), B)
+
+    assert_allclose(with_op(a, B), with_dense(a, B), rtol=1e-7)
+
+    g1 = jax.grad(lambda a, B: jnp.sum(with_op(a, B) ** 3))(a, B)
+    g2 = jax.grad(lambda a, B: jnp.sum(with_dense(a, B) ** 3))(a, B)
+    assert_allclose(g1, g2, rtol=1e-5, atol=1e-7)
+
+    gB1 = jax.grad(lambda B: jnp.sum(with_op(a, B) ** 3))(B)
+    gB2 = jax.grad(lambda B: jnp.sum(with_dense(a, B) ** 3))(B)
+    assert_allclose(gB1, gB2, rtol=1e-5, atol=1e-7)
+
+    # second order vs dense
+    h1 = jax.hessian(lambda a: jnp.sum(with_op(a, B) ** 3))(a)
+    h2 = jax.hessian(lambda a: jnp.sum(with_dense(a, B) ** 3))(a)
+    assert_allclose(h1, h2, rtol=1e-4, atol=1e-6)
+
+
+def test_solve_grad_E_M(rng):
+    n, nc = 6, 2
+    Am = make_spd(rng, (), n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    Em = jnp.asarray(rng.standard_normal((nc,)) * 0.1)
+    Mm = make_spd(rng, (), n) / n
+
+    def with_op(Am, Bm, Em, Mm):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        M = LinearOperator.m(Mm, is_hermitian=True)
+        return jnp.sum(solve(A, Bm, E=Em, M=M, method="cg",
+                             rtol=1e-12, atol=1e-14, max_niter=500) ** 2)
+
+    def with_dense(Am, Bm, Em, Mm):
+        return jnp.sum(dense_solve_ABE(Am, Bm, Em, Mm) ** 2)
+
+    for argnum in range(4):
+        g1 = jax.grad(with_op, argnums=argnum)(Am, Bm, Em, Mm)
+        g2 = jax.grad(with_dense, argnums=argnum)(Am, Bm, Em, Mm)
+        assert_allclose(g1, g2, rtol=1e-5, atol=1e-7,
+                        msg="grad argnum %d" % argnum)
+
+
+def test_solve_gradcheck_fd(rng):
+    """Finite-difference gradcheck (order 2) on the implicit path."""
+    n, nc = 5, 1
+    a = jnp.asarray(rng.standard_normal((n, n)) * 0.3)
+    B = jnp.asarray(rng.standard_normal((n, nc)))
+
+    def f(a, B):
+        return solve(SPDOp(a), B, method="cg", rtol=1e-13, atol=1e-15,
+                     max_niter=1000, posdef=True)
+
+    gradcheck2(f, (a, B), order=2, atol=1e-4, rtol=1e-3, eps=1e-5)

@@ -1,0 +1,584 @@
+"""Iterative and exact linear-solve kernels.
+
+TPU-native redesign of /root/reference/xitorch/_impls/linalg/solve.py
+(cg :69, bicgstab :192, gmres :326, exactsolve :481, problem setup :560-663):
+
+* All solvers are **batched `lax.while_loop`s**: state is carried at shape
+  ``(*B, na, ncols)``; the loop stops when every column of every batch
+  element converges (same global-all semantics as the reference) or at
+  ``max_niter``.  Everything jits, vmaps, and shards.
+* Generalized problem ``AX - MXE = B`` is expressed as a *broadcast*
+  operator ``X -> A.mm(X) - M.mm(X) * E[..., None, :]`` instead of the
+  reference's column-major reshuffle (solve.py:576-604) — per-column shifts
+  broadcast for free in the last dim.
+* Non-convergence never raises: the best iterate seen is returned
+  (reference solve.py:156-160 etc.), tracked inside the loop carry.
+* ``gmres`` is a batched Givens-rotation GMRES (residuals tracked for free
+  from the rotated rhs), replacing the reference's per-iteration lstsq.
+* The positive-definiteness probe (reference :617-634) is a ``fori_loop``
+  power iteration; the non-posdef fallback solves the normal equations
+  ``A^H A x = A^H b`` under a `lax.cond`.
+
+These functions run with gradients *blocked* — they are always wrapped by
+`lax.custom_linear_solve` / `custom_jvp` at the API layer.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from xitorch_tpu._core.linop import LinearOperator
+from xitorch_tpu.utils.bcast import get_bcasted_dims, normalize_bcast_dims
+
+__all__ = ["cg", "bicgstab", "gmres", "exactsolve", "solve_ABE", "scipy_gmres"]
+
+
+# ------------------------------------------------------------------
+# helpers
+# ------------------------------------------------------------------
+
+def _dot(r: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    # r, z: (*B, nr, nc) -> (*B, 1, nc); conjugate-linear in first arg
+    return jnp.sum(r.conj() * z, axis=-2, keepdims=True)
+
+
+def _safedenom(r: jnp.ndarray, eps: float) -> jnp.ndarray:
+    return jnp.where(r == 0, eps, r)
+
+
+def _colnorm(x: jnp.ndarray) -> jnp.ndarray:
+    # (*B, nr, nc) -> (*B, 1, nc)
+    return jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-2, keepdims=True))
+
+
+def get_batchdims(A: LinearOperator, B: jnp.ndarray,
+                  E: Optional[jnp.ndarray], M: Optional[LinearOperator]):
+    batchdims = [A.shape[:-2], B.shape[:-2]]
+    if E is not None:
+        batchdims.append(E.shape[:-1])
+        if M is not None:
+            batchdims.append(M.shape[:-2])
+    return get_bcasted_dims(*batchdims)
+
+
+def setup_linear_problem(A: LinearOperator, B: jnp.ndarray,
+                         E: Optional[jnp.ndarray], M: Optional[LinearOperator],
+                         posdef: Optional[bool],
+                         need_hermit: bool
+                         ) -> Tuple[Callable, Callable, jnp.ndarray]:
+    """Build (A_fcn, AT_fcn, B2) for the (possibly shifted, possibly
+    normal-equation) problem. B2 is B broadcast to the full output batch."""
+    batchdims = get_batchdims(A, B, E, M)
+    nr, ncols = A.shape[-1], B.shape[-1]
+    B2 = jnp.broadcast_to(B, (*batchdims, nr, ncols))
+
+    if E is None:
+        A_fcn = lambda x: A.mm(x)
+        AT_fcn = lambda x: A.rmm(x)
+    else:
+        Eb = E[..., None, :]  # (*BE, 1, ncols)
+
+        def A_fcn(x):
+            Ax = A.mm(x)
+            Mx = M.mm(x) if M is not None else x
+            return Ax - Mx * Eb
+
+        def AT_fcn(x):
+            ATx = A.rmm(x)
+            MTx = M.rmm(x) if M is not None else x
+            return ATx - MTx * Eb.conj()
+
+    if need_hermit:
+        is_hermit = A.is_hermitian and (M is None or M.is_hermitian)
+        if not is_hermit:
+            posdef = False
+
+    if posdef is None:
+        # probe by power iterations (cannot be done statically) — returns a
+        # traced bool; the caller branches with lax.cond
+        x0 = _probe_vector(batchdims, nr, ncols, A.dtype)
+        largest = _get_largest_eival(A_fcn, x0)  # (*B, 1, nc)
+        negeival = largest <= 0
+        offset = jnp.clip(largest, min=0.0)
+        mostneg = _get_largest_eival(lambda x: A_fcn(x) - offset * x, x0)
+        posdef_t = jnp.all(jnp.logical_or(-mostneg <= offset, negeival))
+
+        def normal_path(_):
+            return AT_fcn(B2)
+
+        def plain_path(_):
+            return B2
+
+        Bsel = lax.cond(posdef_t, plain_path, normal_path, operand=None)
+
+        def A_sel(x):
+            return lax.cond(posdef_t, lambda xx: A_fcn(xx),
+                            lambda xx: AT_fcn(A_fcn(xx)), x)
+
+        def AT_sel(x):
+            return lax.cond(posdef_t, lambda xx: AT_fcn(xx),
+                            lambda xx: AT_fcn(A_fcn(xx)), x)
+
+        return A_sel, AT_sel, Bsel
+
+    if posdef:
+        return A_fcn, AT_fcn, B2
+
+    # normal equations: A^H A x = A^H b (hermitian, posdef)
+    def A_new(x):
+        return AT_fcn(A_fcn(x))
+
+    return A_new, A_new, AT_fcn(B2)
+
+
+def _probe_vector(batchdims, nr, ncols, dtype):
+    # deterministic pseudo-random probe (no host RNG under jit)
+    x0 = jax.random.normal(jax.random.PRNGKey(4219), (*batchdims, nr, ncols),
+                           dtype=jnp.float32).astype(dtype)
+    return x0 / _safedenom(_colnorm(x0), 1e-12)
+
+
+def _get_largest_eival(A_fcn, x0, niter: int = 10):
+    """Power-iteration estimate of the largest (signed) Rayleigh-ish scale,
+    following reference _get_largest_eival (:645-663)."""
+    def body(i, x):
+        y = A_fcn(x)
+        return y / _safedenom(_colnorm(y), 1e-12)
+
+    x = lax.fori_loop(0, niter - 1, body, x0)
+    y = A_fcn(x)
+    # signed estimate via Rayleigh quotient so negative-definite detection works
+    num = jnp.sum(x.conj() * y, axis=-2, keepdims=True).real
+    den = jnp.sum(jnp.abs(x) ** 2, axis=-2, keepdims=True)
+    return num / _safedenom(den, 1e-12)
+
+
+def _setup_precond(precond) -> Callable:
+    if precond is None:
+        return lambda x: x
+    if isinstance(precond, LinearOperator):
+        return lambda x: precond.mm(x)
+    if callable(precond):
+        return precond
+    raise TypeError("precond can only be a LinearOperator, callable, or None")
+
+
+# ------------------------------------------------------------------
+# Conjugate Gradient
+# ------------------------------------------------------------------
+
+def cg(A: LinearOperator, B: jnp.ndarray,
+       E: Optional[jnp.ndarray] = None,
+       M: Optional[LinearOperator] = None,
+       posdef: Optional[bool] = None,
+       precond=None,
+       max_niter: Optional[int] = None,
+       rtol: float = 1e-6,
+       atol: float = 1e-8,
+       eps: float = 1e-12,
+       resid_calc_every: int = 10,
+       **unused) -> jnp.ndarray:
+    """Batched preconditioned conjugate gradient.
+
+    Keyword arguments (parity with reference cg :69-109):
+    posdef: bool or None — if None, determined by power iteration (traced
+        branch); pass a static bool to avoid compiling both paths.
+    precond: LinearOperator / callable / None.
+    max_niter: default int(1.5 * na).
+    rtol, atol: stopping tolerances on per-column residual norms vs |B|.
+    eps: zero-denominator substitute.
+    resid_calc_every: recompute the true residual with this cadence.
+    """
+    nr = A.shape[-1]
+    if max_niter is None:
+        max_niter = int(1.5 * nr)
+
+    precond_fcn = _setup_precond(precond)
+    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, posdef, need_hermit=True)
+
+    B_norm = _colnorm(B2)
+    stop_matrix = jnp.maximum(rtol * B_norm, atol)
+
+    xk = jnp.zeros_like(B2)
+    rk = B2 - A_fcn(xk)
+    zk = precond_fcn(rk)
+    pk = zk
+    rkzk = _dot(rk, zk)
+    best_resid = jnp.max(_colnorm(rk))
+
+    def cond_fun(state):
+        k, _, _, _, _, _, _, _, resid_max = state
+        return jnp.logical_and(k < max_niter, resid_max >= 1.0)
+
+    def body_fun(state):
+        k, xk, rk, zk, pk, rkzk, best_x, best_resid, _ = state
+        Apk = A_fcn(pk)
+        alphak = rkzk / _safedenom(_dot(pk, Apk), eps)
+        xk1 = xk + alphak * pk
+        if resid_calc_every > 0:
+            rk1 = lax.cond((k + 1) % resid_calc_every == 0,
+                           lambda _: B2 - A_fcn(xk1),
+                           lambda _: rk - alphak * Apk, operand=None)
+        else:
+            rk1 = rk - alphak * Apk
+
+        resid_norm = _colnorm(rk1)
+        max_resid = jnp.max(resid_norm)
+        better = max_resid < best_resid
+        best_x = jnp.where(better, xk1, best_x)
+        best_resid = jnp.where(better, max_resid, best_resid)
+
+        zk1 = precond_fcn(rk1)
+        rkzk1 = _dot(rk1, zk1)
+        betak = rkzk1 / _safedenom(rkzk, eps)
+        pk1 = zk1 + betak * pk
+        resid_max_rel = jnp.max(resid_norm / stop_matrix)
+        return (k + 1, xk1, rk1, zk1, pk1, rkzk1, best_x, best_resid, resid_max_rel)
+
+    init = (jnp.array(0), xk, rk, zk, pk, rkzk, xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
+    state = lax.while_loop(cond_fun, body_fun, init)
+    return state[6]  # best_x
+
+
+# ------------------------------------------------------------------
+# BiCGSTAB
+# ------------------------------------------------------------------
+
+def bicgstab(A: LinearOperator, B: jnp.ndarray,
+             E: Optional[jnp.ndarray] = None,
+             M: Optional[LinearOperator] = None,
+             posdef: Optional[bool] = None,
+             precond_l=None,
+             precond_r=None,
+             max_niter: Optional[int] = None,
+             rtol: float = 1e-6,
+             atol: float = 1e-8,
+             eps: float = 1e-12,
+             resid_calc_every: int = 10,
+             **unused) -> jnp.ndarray:
+    """Batched stabilized biconjugate gradient (non-hermitian systems).
+
+    Keyword arguments: parity with reference bicgstab (:192-236).
+    """
+    nr = A.shape[-1]
+    if max_niter is None:
+        max_niter = int(1.5 * nr)
+
+    pl = _setup_precond(precond_l)
+    pr = _setup_precond(precond_r)
+    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, posdef, need_hermit=False)
+
+    B_norm = _colnorm(B2)
+    stop_matrix = jnp.maximum(rtol * B_norm, atol)
+
+    xk = jnp.zeros_like(B2)
+    rk = B2 - A_fcn(xk)
+    r0hat = rk
+    rho_k = _dot(r0hat, rk)
+    omega_k = jnp.ones_like(rho_k)
+    alpha = jnp.ones_like(rho_k)
+    vk = jnp.zeros_like(rk)
+    pk = jnp.zeros_like(rk)
+    best_resid = jnp.max(_colnorm(rk))
+
+    def cond_fun(state):
+        k = state[0]
+        resid_max = state[-1]
+        return jnp.logical_and(k < max_niter, resid_max >= 1.0)
+
+    def body_fun(state):
+        (k, xk, rk, rho_k, omega_k, alpha, vk, pk,
+         best_x, best_resid, _) = state
+        rho_new = _dot(r0hat, rk)
+        beta = rho_new / _safedenom(rho_k, eps) * (alpha / _safedenom(omega_k, eps))
+        pk = rk + beta * (pk - omega_k * vk)
+        y = pr(pk)
+        vk = A_fcn(y)
+        alpha = rho_new / _safedenom(_dot(r0hat, vk), eps)
+        h = xk + alpha * y
+        s = rk - alpha * vk
+        z = pr(s)
+        t = A_fcn(z)
+        Kt = pl(t)
+        omega_k = _dot(Kt, pl(s)) / _safedenom(_dot(Kt, Kt), eps)
+        xk1 = h + omega_k * z
+        if resid_calc_every > 0:
+            rk1 = lax.cond((k + 1) % resid_calc_every == 0,
+                           lambda _: B2 - A_fcn(xk1),
+                           lambda _: s - omega_k * t, operand=None)
+        else:
+            rk1 = s - omega_k * t
+
+        resid_norm = _colnorm(rk1)
+        max_resid = jnp.max(resid_norm)
+        better = max_resid < best_resid
+        best_x = jnp.where(better, xk1, best_x)
+        best_resid = jnp.where(better, max_resid, best_resid)
+        resid_max_rel = jnp.max(resid_norm / stop_matrix)
+        return (k + 1, xk1, rk1, rho_new, omega_k, alpha, vk, pk,
+                best_x, best_resid, resid_max_rel)
+
+    init = (jnp.array(0), xk, rk, rho_k, omega_k, alpha, vk, pk,
+            xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
+    state = lax.while_loop(cond_fun, body_fun, init)
+    return state[8]
+
+
+# ------------------------------------------------------------------
+# GMRES (batched, Givens rotations)
+# ------------------------------------------------------------------
+
+def gmres(A: LinearOperator, B: jnp.ndarray,
+          E: Optional[jnp.ndarray] = None,
+          M: Optional[LinearOperator] = None,
+          posdef: Optional[bool] = None,
+          max_niter: Optional[int] = None,
+          rtol: float = 1e-6,
+          atol: float = 1e-8,
+          eps: float = 1e-12,
+          **unused) -> jnp.ndarray:
+    """Batched GMRES with classical Gram-Schmidt (twice) + Givens rotations.
+
+    Unlike the reference's gmres (solve.py:326-433, per-iteration lstsq),
+    the Arnoldi orthogonalization is two batched matmuls per step (MXU) and
+    the least-squares residual falls out of the Givens-rotated rhs for
+    free.  Memory: the full Krylov basis (max_niter+1, *B, na, ncols).
+    """
+    nr, ncols = A.shape[-1], B.shape[-1]
+    if max_niter is None:
+        max_niter = min(int(nr), 200)
+    m = max_niter
+
+    # gmres handles general (non-hermitian, indefinite) systems directly, so
+    # the normal-equation fallback is unnecessary: skip the posdef probe.
+    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True, need_hermit=False)
+
+    batch = B2.shape[:-2]
+    dtype = B2.dtype
+    B_norm = _colnorm(B2)
+    stop_matrix = jnp.squeeze(jnp.maximum(rtol * B_norm, atol), -2)  # (*B,nc)
+
+    r0 = B2  # x0 = 0
+    beta = _colnorm(r0)  # (*B,1,nc)
+    V = jnp.zeros((m + 1, *batch, nr, ncols), dtype=dtype)
+    V = V.at[0].set(r0 / _safedenom(beta, eps))
+    # Hessenberg in Givens-rotated (upper-triangular) form: R (*B,nc,m,m)
+    R = jnp.zeros((*batch, ncols, m, m), dtype=dtype)
+    g = jnp.zeros((*batch, ncols, m + 1), dtype=dtype)
+    g = g.at[..., 0].set(jnp.squeeze(beta, -2).astype(dtype))
+    cs = jnp.ones((*batch, ncols, m), dtype=dtype)
+    sn = jnp.zeros((*batch, ncols, m), dtype=dtype)
+
+    def arnoldi_dots(V, w, mask):
+        # V: (m+1,*B,nr,nc), w: (*B,nr,nc) -> h: (m+1,*B,nc)
+        h = jnp.einsum("k...rc,...rc->k...c", V.conj(), w)
+        return h * mask.reshape((m + 1,) + (1,) * (w.ndim - 1))
+
+    def cond_fun(state):
+        k = state[0]
+        resid_max = state[-1]
+        return jnp.logical_and(k < m, resid_max >= 1.0)
+
+    def body_fun(state):
+        k, V, R, g, cs, sn, _ = state
+        w = A_fcn(V[k])
+        mask = (jnp.arange(m + 1) <= k).astype(dtype)
+        # CGS2 orthogonalization: two batched matmul sweeps (MXU-friendly)
+        h1 = arnoldi_dots(V, w, mask)
+        w = w - jnp.einsum("k...c,k...rc->...rc", h1, V)
+        h2 = arnoldi_dots(V, w, mask)
+        w = w - jnp.einsum("k...c,k...rc->...rc", h2, V)
+        h = h1 + h2  # (m+1, *B, nc); valid entries 0..k
+        hk1 = _colnorm(w)  # (*B,1,nc) real
+        V = V.at[k + 1].set(w / _safedenom(hk1, eps))
+
+        hcol = jnp.moveaxis(h, 0, -1)  # (*B,nc,m+1)
+        hcol = hcol.at[..., k + 1].set(jnp.squeeze(hk1, -2).astype(dtype))
+
+        # apply previous Givens rotations 0..k-1
+        def rot_body(j, hc):
+            c = cs[..., j]
+            s = sn[..., j]
+            active = (j < k).astype(dtype)
+            hj = hc[..., j]
+            hj1 = hc[..., j + 1]
+            new_hj = c.conj() * hj + s.conj() * hj1
+            new_hj1 = -s * hj + c * hj1
+            hc = hc.at[..., j].set(active * new_hj + (1 - active) * hj)
+            hc = hc.at[..., j + 1].set(active * new_hj1 + (1 - active) * hj1)
+            return hc
+
+        hcol = lax.fori_loop(0, m, rot_body, hcol)
+
+        # new rotation zeroing the subdiagonal entry k+1
+        f = hcol[..., k]        # (*B,nc) possibly complex
+        gg = hcol[..., k + 1]   # (*B,nc) real-positive magnitude
+        denom = jnp.sqrt(jnp.abs(f) ** 2 + jnp.abs(gg) ** 2)
+        denom = _safedenom(denom, eps)
+        absf = _safedenom(jnp.abs(f), eps)
+        tiny_f = jnp.abs(f) < eps
+        c_new = jnp.where(tiny_f, 0.0, jnp.abs(f) / denom).astype(dtype)
+        s_new = jnp.where(tiny_f, (gg / denom).astype(dtype),
+                          (f.conj() / absf) * (gg / denom))
+        cs = cs.at[..., k].set(c_new)
+        sn = sn.at[..., k].set(s_new)
+        rkk = c_new.conj() * f + s_new.conj() * gg
+        hcol = hcol.at[..., k].set(rkk)
+        hcol = hcol.at[..., k + 1].set(jnp.zeros_like(rkk))
+
+        # update rotated rhs g
+        gk = g[..., k]
+        g_new_k = c_new.conj() * gk
+        g_new_k1 = -s_new * gk
+        g = g.at[..., k].set(g_new_k)
+        g = g.at[..., k + 1].set(g_new_k1)
+
+        # store column k of R
+        R = R.at[..., k].set(hcol[..., :m])
+
+        resid = jnp.abs(g_new_k1)  # (*B,nc): GMRES residual, free
+        resid_max_rel = jnp.max(resid / stop_matrix)
+        return (k + 1, V, R, g, cs, sn, resid_max_rel)
+
+    init = (jnp.array(0), V, R, g, cs, sn, jnp.array(jnp.inf, B2.real.dtype))
+    k_fin, V, R, g, cs, sn, _ = lax.while_loop(cond_fun, body_fun, init)
+
+    # solve the (k_fin x k_fin) triangular system, padding the unused tail
+    # with the identity so shapes stay static
+    jidx = jnp.arange(m)
+    padmask = (jidx >= k_fin)
+    eye = jnp.eye(m, dtype=dtype)
+    Rp = jnp.where(padmask[:, None] | padmask[None, :], eye, R)
+    rhs = jnp.where(padmask, jnp.zeros_like(g[..., :m]), g[..., :m])
+    y = jax.scipy.linalg.solve_triangular(Rp, rhs[..., None], lower=False)[..., 0]
+    x = jnp.einsum("k...rc,...ck->...rc", V[:m], y)
+    return x
+
+
+# ------------------------------------------------------------------
+# exact (dense) solve
+# ------------------------------------------------------------------
+
+def exactsolve(A: LinearOperator, B: jnp.ndarray,
+               E: Optional[jnp.ndarray] = None,
+               M: Optional[LinearOperator] = None,
+               **unused) -> jnp.ndarray:
+    """Solve by materializing the operator (reference exactsolve :481-512).
+
+    Differentiable through (dense linalg has native JVP/VJP rules), so the
+    API layer uses it directly without a custom rule.
+    """
+    if E is None:
+        Amatrix = A.fullmatrix()
+        return jnp.linalg.solve(Amatrix, B)
+    elif M is None:
+        Amatrix = A.fullmatrix()
+        return solve_ABE(Amatrix, B, E)
+    else:
+        Mmatrix = M.fullmatrix()
+        L = jnp.linalg.cholesky(Mmatrix)
+        Linv = jnp.linalg.inv(L)
+        LinvT = jnp.swapaxes(Linv, -2, -1).conj()
+        A2 = Linv @ A.mm(LinvT)
+        B2 = Linv @ B
+        X2 = solve_ABE(A2, B2, E)
+        return LinvT @ X2
+
+
+def solve_ABE(A: jnp.ndarray, B: jnp.ndarray, E: jnp.ndarray) -> jnp.ndarray:
+    """Solve (A - E_c I) x_c = b_c for each column c.
+
+    A: (*BA, na, na); B: (*BB, na, nc); E: (*BE, nc). The reference's version
+    (:514-537) builds (nc, *B, na, na) shifted matrices; here the column
+    dimension is vmapped.  A singular shift is retried once with a diagonal
+    jitter (reference :528-535) via a NaN/Inf check (JAX does not raise).
+    """
+    na = A.shape[-1]
+    BA, BB, BE = normalize_bcast_dims(A.shape[:-2], B.shape[:-2], E.shape[:-1])
+    batch = get_bcasted_dims(BA, BB, BE)
+    nc = B.shape[-1]
+    A_ = jnp.broadcast_to(A, (*batch, na, na))
+    B_ = jnp.broadcast_to(B, (*batch, na, nc))
+    E_ = jnp.broadcast_to(E.reshape(*BE, nc), (*batch, nc))
+    eye = jnp.eye(na, dtype=A.dtype)
+
+    def solve_col(b_col, e_col):
+        # b_col: (*batch, na); e_col: (*batch,)
+        AE = A_ - e_col[..., None, None] * eye
+        x = jnp.linalg.solve(AE, b_col[..., None])[..., 0]
+        # singular retry with diagonal jitter
+        bad = ~jnp.all(jnp.isfinite(x))
+
+        def retry(_):
+            eps = jnp.finfo(A.dtype).eps
+            dAE = 10 * eps * jnp.max(
+                jnp.abs(AE).reshape(*AE.shape[:-2], -1), axis=-1)[..., None, None]
+            return jnp.linalg.solve(AE + eye * dAE, b_col[..., None])[..., 0]
+
+        return lax.cond(bad, retry, lambda _: x, operand=None)
+
+    x = jax.vmap(solve_col, in_axes=(-1, -1), out_axes=-1)(B_, E_)
+    return x
+
+
+# ------------------------------------------------------------------
+# bridges (parity with reference wrap_gmres :15-67 / broyden1_solve :448-478)
+# ------------------------------------------------------------------
+
+def scipy_gmres(A: LinearOperator, B: jnp.ndarray,
+                E=None, M=None, min_eps: float = 1e-9,
+                max_niter: Optional[int] = None, **unused) -> jnp.ndarray:
+    """SciPy gmres bridge (eager only, host round-trip). Kept for parity;
+    prefer the native `gmres`."""
+    import numpy as np
+    from scipy.sparse.linalg import gmres as _sp_gmres
+
+    assert E is None and M is None, "scipy_gmres can only do AX=B"
+    assert len(A.shape) == 2, "scipy_gmres requires an unbatched A"
+    na = A.shape[-1]
+    if max_niter is None:
+        max_niter = 2 * na
+    # the solve runs on host through a pure_callback so the bridge stays
+    # usable inside jit / custom_linear_solve; the operator is materialized
+    # and shipped along with B
+    def host_solve(Anp, Bnp):
+        Anp = np.asarray(Anp)
+        Bnp = np.asarray(Bnp)
+        Bb = Bnp.reshape(-1, *Bnp.shape[-2:])
+        out = np.empty_like(Bb)
+        for i in range(Bb.shape[0]):
+            for c in range(Bb.shape[-1]):
+                x, _ = _sp_gmres(Anp, Bb[i, :, c], rtol=min_eps, atol=1e-12,
+                                 maxiter=max_niter)
+                out[i, :, c] = x
+        return out.reshape(Bnp.shape)
+
+    return jax.pure_callback(
+        host_solve, jax.ShapeDtypeStruct(B.shape, B.dtype),
+        A.fullmatrix(), B, vmap_method="sequential")
+
+
+def broyden1_solve(A: LinearOperator, B: jnp.ndarray, E=None, M=None, **options):
+    """Solve the linear system with the Broyden rootfinder on the residual
+    (reference broyden1_solve :448-478)."""
+    from xitorch_tpu._impls.optimize.rootsolver import broyden1
+
+    nr, ncols = A.shape[-1], B.shape[-1]
+    batchdims = get_batchdims(A, B, E, M)
+
+    def fcn_rootfinder(xi):
+        x = xi.reshape(*xi.shape[:-1], nr, ncols)
+        y = A.mm(x) - B
+        if E is not None:
+            MX = M.mm(x) if M is not None else x
+            y = y - MX * E[..., None, :]
+        return y.reshape(*xi.shape[:-1], nr * ncols)
+
+    x0 = jnp.zeros((*batchdims, nr * ncols), dtype=A.dtype)
+    x = broyden1(fcn_rootfinder, x0, **options)
+    return x.reshape(*x.shape[:-1], nr, ncols)

@@ -1,0 +1,139 @@
+"""Differentiable linear solve ``AX = B`` / ``AX - MXE = B``.
+
+API parity with /root/reference/xitorch/linalg/solve.py:13-116, but the
+autograd adapter (solve_torchfcn :118-222) is replaced by
+``lax.custom_linear_solve``:
+
+* forward: the selected iterative kernel runs as a black box (gradients
+  never flow through solver iterations);
+* backward: JAX transposes the solve — the cotangent solve on ``A^H``
+  (reference bwd :178-185) is our ``transpose_solve`` callback, and the
+  parameter/E/M gradients (reference :188-219) fall out of differentiating
+  the matvec closure, to arbitrary order (``gradgradcheck`` parity).
+"""
+from __future__ import annotations
+
+import warnings
+from typing import Any, Callable, Mapping, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator
+from xitorch_tpu._impls.linalg.solve import (
+    bicgstab, broyden1_solve, cg, exactsolve, get_batchdims, gmres, scipy_gmres,
+)
+from xitorch_tpu.debug.modes import is_debug_enabled
+from xitorch_tpu.utils.misc import get_method
+
+__all__ = ["solve"]
+
+_SOLVE_METHODS = {
+    "cg": cg,
+    "bicgstab": bicgstab,
+    "gmres": gmres,
+    "exactsolve": exactsolve,
+    "custom_exactsolve": exactsolve,
+    "scipy_gmres": scipy_gmres,
+    "broyden1": broyden1_solve,
+}
+
+
+def solve(A: LinearOperator, B: jnp.ndarray,
+          E: Optional[jnp.ndarray] = None,
+          M: Optional[LinearOperator] = None,
+          bck_options: Mapping[str, Any] = {},
+          method: Union[str, Callable, None] = None,
+          **fwd_options) -> jnp.ndarray:
+    r"""Solve :math:`\mathbf{AX=B}` or :math:`\mathbf{AX-MXE=B}` (E diagonal,
+    per column) for a (batched, matrix-free) LinearOperator.
+
+    Arguments follow the reference API (solve.py:13-69): ``A (*BA, na, na)``,
+    ``B (*BB, na, ncols)``, ``E (*BE, ncols)`` or None, ``M (*BM, na, na)``
+    hermitian or None.  ``method`` is a registry string ("cg", "bicgstab",
+    "gmres", "exactsolve", "broyden1", "scipy_gmres") or a custom callable;
+    None picks exactsolve for explicit/small operators, else cg for
+    hermitian and bicgstab otherwise.
+
+    Returns ``X (*BABEM, na, ncols)``; first and second order gradients flow
+    to B, E, and the parameters of A and M via implicit differentiation.
+    """
+    if A.shape[-1] != A.shape[-2]:
+        raise RuntimeError("The linear operator A must have a square shape")
+    if A.shape[-1] != B.shape[-2]:
+        raise RuntimeError(
+            "Mismatch shape of A & B (A: %s, B: %s)" % (A.shape, B.shape))
+    if M is not None:
+        if M.shape[-1] != M.shape[-2]:
+            raise RuntimeError("The linear operator M must have a square shape")
+        if M.shape[-1] != A.shape[-1]:
+            raise RuntimeError(
+                "The shape of A & M must match (A: %s, M: %s)" % (A.shape, M.shape))
+        if not M.is_hermitian:
+            raise RuntimeError("The linear operator M must be a Hermitian matrix")
+    if E is not None and E.shape[-1] != B.shape[-1]:
+        raise RuntimeError(
+            "The last dimension of E & B must match (E: %s, B: %s)"
+            % (E.shape, B.shape))
+    if E is None and M is not None:
+        warnings.warn("M is supplied but will be ignored because E is not supplied")
+
+    if is_debug_enabled():
+        A.check()
+        if M is not None:
+            M.check()
+
+    if method is None:
+        if isinstance(A, MatrixLinearOperator) and \
+           (M is None or isinstance(M, MatrixLinearOperator)):
+            method = "exactsolve"
+        elif A.shape[-1] <= 5:
+            method = "exactsolve"
+        else:
+            is_hermit = A.is_hermitian and (M is None or M.is_hermitian)
+            method = "cg" if is_hermit else "bicgstab"
+
+    if method == "exactsolve":
+        # dense path: differentiable natively (incl. higher order)
+        return exactsolve(A, B, E, M)
+
+    method_fcn = get_method("solve", _SOLVE_METHODS, method)
+    bck_cfg = dict(bck_options)
+    bck_method = bck_cfg.pop("method", method)
+    bck_fcn = get_method("solve", _SOLVE_METHODS, bck_method)
+
+    # broadcast B to the full output batch so matvec is shape-preserving
+    batchdims = get_batchdims(A, B, E, M)
+    nr, ncols = A.shape[-1], B.shape[-1]
+    B2 = jnp.broadcast_to(B, (*batchdims, nr, ncols))
+
+    iscomplex = jnp.issubdtype(B2.dtype, jnp.complexfloating) or \
+        jnp.issubdtype(A.dtype, jnp.complexfloating)
+    symmetric = A.is_hermitian and (M is None or M.is_hermitian) and not iscomplex
+
+    if E is None:
+        def matvec(x):
+            return A.mm(x)
+    else:
+        def matvec(x):
+            Mx = M.mm(x) if M is not None else x
+            return A.mm(x) - Mx * E[..., None, :]
+
+    def solve_fcn(_, b):
+        return method_fcn(A, b, E, M, **fwd_options)
+
+    def transpose_solve_fcn(_, b):
+        # solve A^T x = b (non-conjugating transpose, JAX convention) via the
+        # hermitian-adjoint solve: x = conj(solve(A^H, conj(b), E^*, M^H))
+        AH = A.H
+        MH = M.H if M is not None else None
+        if iscomplex:
+            z = bck_fcn(AH, b.conj(), E.conj() if E is not None else None,
+                        MH, **bck_cfg)
+            return z.conj()
+        return bck_fcn(AH, b, E, MH, **bck_cfg)
+
+    return lax.custom_linear_solve(matvec, B2, solve_fcn,
+                                   transpose_solve=transpose_solve_fcn,
+                                   symmetric=symmetric)
