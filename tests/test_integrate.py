@@ -1,0 +1,251 @@
+"""integrate tests: quad, solve_ivp, mcquad, SQuad
+(model: reference xitorch/_tests/test_integrate.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu.integrate import quad, solve_ivp, mcquad, SQuad
+from tests.utils import assert_allclose, gradcheck2
+
+
+# ------------------------- quad -------------------------
+
+def test_quad_poly():
+    # exact for polynomials
+    def fcn(x, a, b):
+        return a * x ** 3 + b * x
+
+    a, b = jnp.asarray(2.0), jnp.asarray(-1.0)
+    xl, xu = jnp.asarray(-1.0), jnp.asarray(2.0)
+    res = quad(fcn, xl, xu, params=(a, b), n=64)
+    exact = a / 4 * (xu ** 4 - xl ** 4) + b / 2 * (xu ** 2 - xl ** 2)
+    assert_allclose(res, exact, rtol=1e-10)
+
+
+def test_quad_grad_bounds_params():
+    def fcn(x, g, w):
+        return jnp.exp(-0.5 * ((x - g) / w) ** 2) / w
+
+    g, w = jnp.asarray(0.2), jnp.asarray(1.3)
+    xl, xu = jnp.asarray(-3.0), jnp.asarray(4.0)
+
+    def res(xl, xu, g, w):
+        return quad(fcn, xl, xu, params=(g, w), n=120)
+
+    gradcheck2(res, (xl, xu, g, w), order=2, atol=1e-4, rtol=1e-3, eps=1e-5)
+    # d/dxu = f(xu)
+    gxu = jax.grad(res, argnums=1)(xl, xu, g, w)
+    assert_allclose(gxu, fcn(xu, g, w), rtol=1e-4)
+
+
+def test_quad_inf_bounds():
+    def fcn(x, w):
+        return jnp.exp(-0.5 * (x / w) ** 2)
+
+    w = jnp.asarray(1.1)
+    res = quad(fcn, -np.inf, np.inf, params=(w,), n=200)
+    assert_allclose(res, jnp.sqrt(2 * jnp.pi) * w, rtol=1e-6)
+    g = jax.grad(lambda w: quad(fcn, -np.inf, np.inf, params=(w,), n=200))(w)
+    assert_allclose(g, jnp.sqrt(2 * jnp.pi), rtol=1e-5)
+
+
+def test_quad_multi_output():
+    def fcn(x, a):
+        return (a * x, jnp.stack([x ** 2, x ** 3]))
+
+    a = jnp.asarray(1.5)
+    r1, r2 = quad(fcn, 0.0, 1.0, params=(a,), n=32)
+    assert_allclose(r1, a / 2, rtol=1e-9)
+    assert_allclose(r2, jnp.asarray([1 / 3, 1 / 4]), rtol=1e-9)
+
+
+# ------------------------- solve_ivp -------------------------
+
+def exp_fcn(t, y, a):
+    return a * y
+
+
+@pytest.mark.parametrize("method", ["euler", "mid_point", "rk4", "rk38", "rk23", "rk45"])
+def test_ivp_methods_exp(method):
+    a = jnp.asarray(-0.7)
+    y0 = jnp.asarray([1.0, 2.0])
+    ts = jnp.linspace(0.0, 2.0, 80 if method in ("euler", "mid_point") else 11)
+    opts = {}
+    if method in ("rk23", "rk45"):
+        opts = {"atol": 1e-10, "rtol": 1e-9, "max_steps": 2048}
+    yt = solve_ivp(exp_fcn, ts, y0, params=(a,), method=method, **opts)
+    expected = y0 * jnp.exp(a * ts)[:, None]
+    tol = {"euler": 2e-2, "mid_point": 1e-3, "rk4": 1e-5, "rk38": 1e-5,
+           "rk23": 1e-6, "rk45": 1e-6}[method]
+    assert_allclose(yt, expected, rtol=tol, atol=tol)
+
+
+def test_ivp_decreasing_ts():
+    a = jnp.asarray(-0.5)
+    y0 = jnp.asarray([1.0])
+    ts = jnp.linspace(1.0, 0.0, 7)
+    yt = solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk45",
+                   atol=1e-10, rtol=1e-9)
+    expected = y0 * jnp.exp(a * (ts - ts[0]))[:, None]
+    assert_allclose(yt, expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["rk4", "rk45"])
+def test_ivp_grad(method):
+    a = jnp.asarray(-0.6)
+    y0 = jnp.asarray([1.3])
+    ts = jnp.linspace(0.0, 1.5, 7)
+
+    def loss(a, y0):
+        opts = {"atol": 1e-10, "rtol": 1e-9} if method == "rk45" else {}
+        yt = solve_ivp(exp_fcn, ts, y0, params=(a,), method=method, **opts)
+        return jnp.sum(yt ** 2)
+
+    # oracle: analytic solution
+    def loss_exact(a, y0):
+        yt = y0 * jnp.exp(a * ts)[:, None]
+        return jnp.sum(yt ** 2)
+
+    assert_allclose(loss(a, y0), loss_exact(a, y0), rtol=1e-5)
+    g1 = jax.grad(loss, argnums=(0, 1))(a, y0)
+    g2 = jax.grad(loss_exact, argnums=(0, 1))(a, y0)
+    assert_allclose(g1[0], g2[0], rtol=1e-4)
+    assert_allclose(g1[1], g2[1], rtol=1e-4)
+
+
+def test_ivp_grad_2nd_order():
+    a = jnp.asarray(-0.6)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    y0 = jnp.asarray([1.0])
+
+    def loss(a):
+        yt = solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk4")
+        return jnp.sum(yt ** 2)
+
+    def loss_exact(a):
+        return jnp.sum((y0 * jnp.exp(a * ts)[:, None]) ** 2)
+
+    assert_allclose(jax.grad(jax.grad(loss))(a),
+                    jax.grad(jax.grad(loss_exact))(a), rtol=1e-4)
+
+
+def test_ivp_pytree_y0():
+    def fcn(t, y, a):
+        return {"p": a * y["q"], "q": -a * y["p"]}
+
+    a = jnp.asarray(1.0)
+    y0 = {"p": jnp.asarray([1.0]), "q": jnp.asarray([0.0])}
+    ts = jnp.linspace(0.0, 1.0, 5)
+    for method in ["rk4", "rk45"]:
+        yt = solve_ivp(fcn, ts, y0, params=(a,), method=method,
+                       atol=1e-9, rtol=1e-8)
+        assert_allclose(yt["p"][:, 0], jnp.cos(ts), atol=1e-4)
+        assert_allclose(yt["q"][:, 0], -jnp.sin(ts), atol=1e-4)
+
+
+def test_ivp_vmap_adaptive():
+    """vmap over adaptive RK45 — an upgrade over the reference."""
+    a_batch = jnp.asarray([-0.3, -0.6, -1.0])
+    y0 = jnp.asarray([1.0])
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    yt = jax.vmap(lambda a: solve_ivp(exp_fcn, ts, y0, params=(a,),
+                                      method="rk45", atol=1e-9, rtol=1e-8))(a_batch)
+    expected = jnp.exp(a_batch[:, None] * ts)[..., None]
+    assert_allclose(yt, expected, rtol=1e-5)
+
+
+# ------------------------- mcquad -------------------------
+
+def test_mcquad_dummy1d_exact():
+    """Deterministic sampler: E_p[x^2] for p = N(mu, sigma)."""
+    mu = jnp.asarray(0.3)
+    sigma = jnp.asarray(0.8)
+
+    def logp(x, mu, sigma):
+        return -0.5 * ((x - mu) / sigma) ** 2
+
+    def f(x, a):
+        return a * x * x
+
+    a = jnp.asarray(2.0)
+    x0 = jnp.asarray(0.0)
+    epf = mcquad(f, logp, x0, fparams=(a,), pparams=(mu, sigma),
+                 method="dummy1d", nsamples=200)
+    assert_allclose(epf, a * (sigma ** 2 + mu ** 2), rtol=1e-5)
+
+
+def test_mcquad_dummy1d_grads():
+    def logp(x, mu, sigma):
+        return -0.5 * ((x - mu) / sigma) ** 2
+
+    def f(x, a):
+        return a * x * x
+
+    x0 = jnp.asarray(0.0)
+
+    def epf(a, mu, sigma):
+        return mcquad(f, logp, x0, fparams=(a,), pparams=(mu, sigma),
+                      method="dummy1d", nsamples=200)
+
+    a, mu, sigma = jnp.asarray(2.0), jnp.asarray(0.3), jnp.asarray(0.8)
+    # oracle: E = a*(sigma^2 + mu^2)
+    oracle = lambda a, mu, sigma: a * (sigma ** 2 + mu ** 2)
+    for i in range(3):
+        g1 = jax.grad(epf, argnums=i)(a, mu, sigma)
+        g2 = jax.grad(oracle, argnums=i)(a, mu, sigma)
+        assert_allclose(g1, g2, rtol=1e-4, msg="grad argnum %d" % i)
+    # second order
+    h1 = jax.hessian(epf, argnums=1)(a, mu, sigma)
+    h2 = jax.hessian(oracle, argnums=1)(a, mu, sigma)
+    assert_allclose(h1, h2, rtol=1e-3)
+
+
+def test_mcquad_mh_statistical():
+    def logp(x, mu):
+        return -0.5 * jnp.sum((x - mu) ** 2)
+
+    def f(x):
+        return x
+
+    mu = jnp.asarray([0.5, -0.2])
+    x0 = jnp.zeros(2)
+    epf = mcquad(f, logp, x0, fparams=(), pparams=(mu,),
+                 method="mh", nsamples=20000, nburnout=2000, step_size=0.8)
+    assert_allclose(epf, mu, atol=0.08)
+
+
+# ------------------------- SQuad -------------------------
+
+@pytest.mark.parametrize("method", ["trapz", "simpson", "cspline"])
+def test_squad_integrate_cumsum(method):
+    x = jnp.asarray(np.sort(np.concatenate([[0.0, 1.0], np.random.default_rng(3).uniform(0, 1, 29)])))
+    y = jnp.sin(3 * x) + 0.5 * x
+    exact_cum = (1 - jnp.cos(3 * x)) / 3 + 0.25 * x ** 2
+    sq = SQuad(x, method=method)
+    tol = {"trapz": 2e-3, "simpson": 5e-4, "cspline": 5e-4}[method]
+    assert_allclose(sq.cumsum(y), exact_cum, atol=tol)
+    assert_allclose(sq.integrate(y), exact_cum[-1], atol=tol)
+
+
+def test_squad_grad():
+    x = jnp.linspace(0.0, 1.0, 12)
+    y = jnp.sin(x)
+
+    def loss(y):
+        return jnp.sum(SQuad(x, method="cspline").cumsum(y) ** 2)
+
+    gradcheck2(loss, (y,), order=2, atol=1e-4, rtol=1e-3, eps=1e-5)
+
+
+def test_squad_batched_dims():
+    x = jnp.linspace(0.0, 1.0, 9)
+    y = jnp.stack([jnp.sin(x), jnp.cos(x)], axis=0)  # (2, 9)
+    sq = SQuad(x, method="trapz")
+    c = sq.cumsum(y)
+    assert c.shape == (2, 9)
+    c0 = sq.cumsum(y.T, dim=0)
+    assert_allclose(c0, c.T)
+    i = sq.integrate(y, keepdim=True)
+    assert i.shape == (2, 1)

@@ -1,0 +1,123 @@
+"""Interp1D tests (model: reference xitorch/_tests/test_interp.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu.interpolate import Interp1D
+from tests.utils import assert_allclose, gradcheck2
+
+
+@pytest.mark.parametrize("method", ["cspline", "linear"])
+def test_interp_exact_at_knots(method, rng):
+    x = jnp.asarray(np.sort(rng.uniform(0, 1, 10)))
+    y = jnp.asarray(rng.standard_normal(10))
+    f = Interp1D(x, y, method=method)
+    assert_allclose(f(x), y, atol=1e-9)
+
+
+@pytest.mark.parametrize("bc_type", ["natural", "clamped", "not-a-knot", "periodic"])
+def test_cspline_vs_scipy(bc_type, rng):
+    from scipy.interpolate import CubicSpline
+    x = np.sort(rng.uniform(0, 1, 12))
+    y = rng.standard_normal(12)
+    if bc_type == "periodic":
+        y[-1] = y[0]
+    xq = np.linspace(x[0], x[-1], 37)
+    ref = CubicSpline(x, y, bc_type=bc_type)(xq)
+    ours = Interp1D(jnp.asarray(x), jnp.asarray(y), method="cspline",
+                    bc_type=bc_type)(jnp.asarray(xq))
+    assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_linear_vs_numpy(rng):
+    x = np.sort(rng.uniform(0, 1, 15))
+    y = rng.standard_normal(15)
+    xq = np.linspace(x[0], x[-1], 40)
+    ref = np.interp(xq, x, y)
+    ours = Interp1D(jnp.asarray(x), jnp.asarray(y), method="linear")(jnp.asarray(xq))
+    assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_interp_unsorted_input(rng):
+    x = jnp.asarray(rng.uniform(0, 1, 10))
+    y = 2 * x + 1
+    f = Interp1D(x, y, method="linear")
+    xq = jnp.linspace(float(x.min()), float(x.max()), 20)
+    assert_allclose(f(xq), 2 * xq + 1, atol=1e-9)
+
+
+@pytest.mark.parametrize("extrap,expected", [
+    (0.0, "const"), ("nan", "nan"), ("bound", "bound"),
+    ("mirror", "mirror"), ("periodic", "periodic"),
+])
+def test_extrapolation_modes(extrap, expected, rng):
+    x = jnp.linspace(0.0, 1.0, 11)
+    y = jnp.sin(2 * jnp.pi * x)  # periodic-compatible values
+    f = Interp1D(x, y, method="linear", extrap=extrap)
+    xq = jnp.asarray([-0.3, 0.5, 1.3])
+    out = f(xq)
+    assert_allclose(out[1], jnp.sin(jnp.pi), atol=1e-7)  # in-bounds entry
+    if expected == "const":
+        assert_allclose(out[0], 0.0, atol=1e-9)
+        assert_allclose(out[2], 0.0, atol=1e-9)
+    elif expected == "nan":
+        assert bool(jnp.isnan(out[0])) and bool(jnp.isnan(out[2]))
+    elif expected == "bound":
+        assert_allclose(out[0], y[0], atol=1e-9)
+        assert_allclose(out[2], y[-1], atol=1e-9)
+    elif expected == "mirror":
+        assert_allclose(out[0], jnp.sin(2 * jnp.pi * 0.3), atol=1e-6)
+    elif expected == "periodic":
+        assert_allclose(out[0], jnp.sin(2 * jnp.pi * 0.7), atol=1e-6)
+        assert_allclose(out[2], jnp.sin(2 * jnp.pi * 0.3), atol=1e-6)
+
+
+def test_extrap_callable(rng):
+    x = jnp.linspace(0.0, 1.0, 5)
+    y = x * 0 + 1.0
+    f = Interp1D(x, y, method="linear", extrap=lambda xq: xq * 10)
+    out = f(jnp.asarray([-1.0, 0.5, 2.0]))
+    assert_allclose(out, jnp.asarray([-10.0, 1.0, 20.0]), atol=1e-9)
+
+
+def test_interp_batched_y(rng):
+    x = jnp.linspace(0.0, 1.0, 8)
+    y = jnp.asarray(rng.standard_normal((3, 8)))
+    f = Interp1D(x, method="cspline", bc_type="natural")
+    xq = jnp.linspace(0.0, 1.0, 13)
+    out = f(xq, y)
+    assert out.shape == (3, 13)
+    for i in range(3):
+        fi = Interp1D(x, y[i], method="cspline", bc_type="natural")
+        assert_allclose(out[i], fi(xq), atol=1e-9)
+
+
+def test_interp_grad(rng):
+    x = jnp.asarray(np.sort(rng.uniform(0, 1, 8)))
+    y = jnp.asarray(rng.standard_normal(8))
+    xq = jnp.asarray(np.linspace(0.05, 0.95, 11))
+
+    def f(x, y, xq):
+        return Interp1D(x, y, method="cspline", bc_type="natural")(xq)
+
+    gradcheck2(f, (x, y, xq), order=2, atol=1e-4, rtol=1e-3, eps=1e-6)
+
+
+def test_interp_jit_vmap(rng):
+    x = jnp.linspace(0.0, 1.0, 9)
+    ys = jnp.asarray(rng.standard_normal((4, 9)))
+    xq = jnp.linspace(0.0, 1.0, 6)
+
+    @jax.jit
+    def apply(y):
+        return Interp1D(x, y, method="cspline", bc_type="natural")(xq)
+
+    out = jax.vmap(apply)(ys)
+    assert out.shape == (4, 6)
+    assert_allclose(out[0], apply(ys[0]), atol=1e-9)
+
+    # Interp1D object crossing a jit boundary (pytree registration)
+    f = Interp1D(x, ys[0], method="linear")
+    out2 = jax.jit(lambda ff, q: ff(q))(f, xq)
+    assert_allclose(out2, f(xq), atol=1e-12)

@@ -1,0 +1,214 @@
+"""symeig/svd tests (model: reference xitorch/_tests/test_linop_fcns.py
+symeig/svd sections), incl. degenerate-eigenvalue derivatives."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu import LinearOperator
+from xitorch_tpu.linalg import symeig, lsymeig, usymeig, svd
+from xitorch_tpu._impls.linalg.symeig import degen_eigh
+from tests.utils import assert_allclose, gradcheck2
+
+
+def make_sym(rng, batch, n, dtype=jnp.float64):
+    a = rng.standard_normal((*batch, n, n))
+    return jnp.asarray((a + np.swapaxes(a, -2, -1)) / 2, dtype=dtype)
+
+
+class SymOp(LinearOperator):
+    """Matrix-free hermitian operator A = (a+a^T)/2 + diag boost."""
+
+    def __init__(self, a):
+        n = a.shape[-1]
+        super().__init__(shape=(*a.shape[:-2], n, n), is_hermitian=True,
+                         dtype=a.dtype)
+        self.a = a
+
+    def _getparamnames(self, prefix=""):
+        return [prefix + "a"]
+
+    def dense(self):
+        return (self.a + jnp.swapaxes(self.a, -2, -1)) / 2.0
+
+    def _mv(self, x):
+        return jnp.einsum("...pq,...q->...p", self.dense(), x)
+
+    def _mm(self, x):
+        return self.dense() @ x
+
+
+def check_eig(Am, evals, evecs, Mm=None):
+    Mx = evecs if Mm is None else Mm @ evecs
+    assert_allclose(Am @ evecs, Mx * evals[..., None, :], atol=1e-8)
+    # M-orthonormality
+    g = jnp.swapaxes(evecs, -2, -1) @ Mx
+    assert_allclose(g, jnp.broadcast_to(jnp.eye(evals.shape[-1]), g.shape), atol=1e-8)
+
+
+@pytest.mark.parametrize("mode", ["lowest", "uppest"])
+@pytest.mark.parametrize("method", ["exacteig", "davidson"])
+def test_symeig_modes_methods(mode, method, rng):
+    n, neig = 16, 3
+    Am = make_sym(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    opts = {} if method == "exacteig" else {"min_eps": 1e-10, "max_niter": 2000}
+    evals, evecs = symeig(A, neig, mode, method=method, **opts)
+    dense_vals = jnp.linalg.eigvalsh(Am)
+    expected = dense_vals[:neig] if mode == "lowest" else dense_vals[-neig:]
+    assert_allclose(evals, expected, atol=1e-7)
+    check_eig(Am, evals, evecs)
+
+
+def test_symeig_full_and_batched(rng):
+    n = 8
+    Am = make_sym(rng, (2, 3), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    evals, evecs = symeig(A)  # neig=None -> all
+    assert evals.shape == (2, 3, n)
+    check_eig(Am, evals, evecs)
+
+
+@pytest.mark.parametrize("method", ["exacteig", "davidson"])
+def test_symeig_with_M(method, rng):
+    n, neig = 10, 2
+    Am = make_sym(rng, (), n)
+    Mm = make_sym(rng, (), n) * 0.1 + jnp.eye(n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    M = LinearOperator.m(Mm, is_hermitian=True)
+    opts = {} if method == "exacteig" else {"min_eps": 1e-10, "max_niter": 3000}
+    evals, evecs = symeig(A, neig, "lowest", M, method=method, **opts)
+    # dense generalized eig reference via scipy-style reduction
+    L = jnp.linalg.cholesky(Mm)
+    Li = jnp.linalg.inv(L)
+    w = jnp.linalg.eigvalsh(Li @ Am @ Li.T)
+    assert_allclose(evals, w[:neig], atol=1e-6)
+    check_eig(Am, evals, evecs, Mm)
+
+
+@pytest.mark.parametrize("method", ["exacteig", "davidson"])
+def test_symeig_grad(method, rng):
+    n, neig = 8, 2
+    a = jnp.asarray(rng.standard_normal((n, n)))
+
+    def get_loss(meth):
+        def loss(a):
+            op = SymOp(a)
+            opts = {} if meth == "exacteig" else \
+                {"min_eps": 1e-12, "max_niter": 4000,
+                 "bck_options": {"rtol": 1e-12, "atol": 1e-14, "max_niter": 500}}
+            evals, evecs = symeig(op, neig, "lowest", method=meth, **opts)
+            # |evecs|-based loss is phase-invariant; evals loss direct
+            return jnp.sum(evals ** 2) + jnp.sum(evecs ** 4)
+        return loss
+
+    # dense oracle through jnp.linalg.eigh directly
+    def loss_dense(a):
+        dense = (a + a.T) / 2.0
+        evals, evecs = jnp.linalg.eigh(dense)
+        return jnp.sum(evals[:neig] ** 2) + jnp.sum(evecs[:, :neig] ** 4)
+
+    f = get_loss(method)
+    assert_allclose(f(a), loss_dense(a), rtol=1e-7)
+    g1 = jax.grad(f)(a)
+    g2 = jax.grad(loss_dense)(a)
+    assert_allclose(g1, g2, rtol=1e-5, atol=1e-8)
+
+
+def test_symeig_grad_2nd_order(rng):
+    n, neig = 6, 2
+    a = jnp.asarray(rng.standard_normal((n, n)))
+
+    def loss(a):
+        evals, evecs = symeig(SymOp(a), neig, "lowest", method="exacteig")
+        return jnp.sum(evals ** 2) + jnp.sum(evecs ** 4)
+
+    def loss_dense(a):
+        evals, evecs = jnp.linalg.eigh((a + a.T) / 2.0)
+        return jnp.sum(evals[:neig] ** 2) + jnp.sum(evecs[:, :neig] ** 4)
+
+    h1 = jax.hessian(loss)(a)
+    h2 = jax.hessian(loss_dense)(a)
+    assert_allclose(h1, h2, rtol=1e-4, atol=1e-7)
+
+
+def test_symeig_grad_davidson_fd(rng):
+    n, neig = 8, 2
+    a = jnp.asarray(rng.standard_normal((n, n)))
+
+    def loss(a):
+        evals, _ = symeig(SymOp(a), neig, "lowest", method="davidson",
+                          min_eps=1e-12, max_niter=4000,
+                          bck_options={"rtol": 1e-12, "atol": 1e-14})
+        return jnp.sum(evals ** 2)
+
+    gradcheck2(loss, (a,), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
+
+
+def test_degen_eigh_degenerate_grad(rng):
+    """Gradients at exactly degenerate eigenvalues must be finite and match
+    the subspace-invariant result (reference degen_symeig :47-98)."""
+    # matrix with a 2-fold degenerate lowest eigenvalue
+    q = jnp.asarray(np.linalg.qr(rng.standard_normal((4, 4)))[0])
+    lam = jnp.asarray([1.0, 1.0, 2.0, 3.0])
+    Am = q @ (lam[:, None] * q.T)
+    Am = (Am + Am.T) / 2
+
+    def loss(Am):
+        evals, evecs = degen_eigh((Am + Am.T) / 2)
+        return jnp.sum(evals ** 2)  # eigenvalue loss: well-defined at degeneracy
+
+    g = jax.grad(loss)(Am)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # eigenvalue-sum-of-squares = trace(A^2) -> grad = 2A
+    assert_allclose(g, 2 * Am, rtol=1e-6)
+
+    # standard eigh grad would produce NaN here; ours must not
+    evec_loss = lambda Am: jnp.sum(degen_eigh((Am + Am.T) / 2)[1] ** 4)
+    g2 = jax.grad(evec_loss)(Am)
+    assert bool(jnp.all(jnp.isfinite(g2)))
+
+
+@pytest.mark.parametrize("shape", [(6, 4), (4, 6), (5, 5)])
+def test_svd(shape, rng):
+    Am = jnp.asarray(rng.standard_normal(shape))
+    A = LinearOperator.m(Am)
+    k = 3
+    u, s, vh = svd(A, k=k)
+    # compare with dense svd largest-k (ascending order of the k largest)
+    s_ref = jnp.sort(jnp.linalg.svd(Am, compute_uv=False))[-k:]
+    assert_allclose(jnp.sort(s), s_ref, atol=1e-7)
+    # reconstruction property on the subspace
+    assert_allclose(u * s[..., None, :], Am @ jnp.swapaxes(vh, -2, -1), atol=1e-7)
+
+
+def test_svd_grad(rng):
+    Am = jnp.asarray(rng.standard_normal((5, 3)))
+
+    def loss(Am):
+        u, s, vh = svd(LinearOperator.m(Am), k=2)
+        return jnp.sum(s ** 2)
+
+    # sum of squared top-2 singular values; oracle via dense svd
+    def loss_dense(Am):
+        s = jnp.linalg.svd(Am, compute_uv=False)
+        return jnp.sum(jnp.sort(s)[-2:] ** 2)
+
+    assert_allclose(loss(Am), loss_dense(Am), rtol=1e-8)
+    assert_allclose(jax.grad(loss)(Am), jax.grad(loss_dense)(Am), rtol=1e-6)
+
+
+def test_lsymeig_usymeig_alias(rng):
+    Am = make_sym(rng, (), 6)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    el, _ = lsymeig(A, 2)
+    eu, _ = usymeig(A, 2)
+    d = jnp.linalg.eigvalsh(Am)
+    assert_allclose(el, d[:2], atol=1e-9)
+    assert_allclose(eu, d[-2:], atol=1e-9)
+
+
+def test_symeig_errors(rng):
+    Am = jnp.asarray(rng.standard_normal((5, 5)))
+    with pytest.raises(RuntimeError):
+        symeig(LinearOperator.m(Am, is_hermitian=False), 2)

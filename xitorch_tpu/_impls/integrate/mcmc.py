@@ -1,0 +1,107 @@
+"""Monte-Carlo samplers for mcquad.
+
+Parity with /root/reference/xitorch/_impls/integrate/mcsamples/mcmc.py:
+Metropolis-Hastings (:5-54) as one ``lax.scan`` chain under explicit
+``jax.random`` keys (pass ``seed=`` or ``key=`` in fwd_options; deterministic
+by default like the reference's seeded torch RNG), a custom-stepper variant
+(:56-97, the stepper receives a PRNG key: ``custom_step(key, x, *pparams)``),
+and the deterministic 1-D Gauss-Legendre "sampler" used by exact tests
+(:100-124).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["mh", "mhcustom", "dummy1d"]
+
+
+def _resolve_key(key, seed):
+    if key is not None:
+        return key
+    return jax.random.PRNGKey(seed)
+
+
+def mh(logpfcn: Callable, x0: jnp.ndarray, pparams=(),
+       nsamples: int = 10000, nburnout: int = 5000, step_size: float = 1.0,
+       seed: int = 721, key=None, **unused):
+    """Metropolis-Hastings with Gaussian proposals.
+
+    Keyword arguments
+    -----------------
+    nsamples: number of collected samples.
+    nburnout: number of burn-in steps.
+    step_size: proposal standard deviation.
+    seed / key: PRNG seed or explicit jax.random key.
+    """
+    key = _resolve_key(key, seed)
+
+    def chain_step(carry, k):
+        x, logpx = carry
+        k1, k2 = jax.random.split(k)
+        xnext = x + step_size * jax.random.normal(k1, x.shape, dtype=x.dtype)
+        logpnext = logpfcn(xnext, *pparams)
+        logr = logpnext - logpx
+        accept = jnp.log(jax.random.uniform(k2, (), dtype=jnp.float32)
+                         ).astype(logr.dtype) < logr
+        x = jnp.where(accept, xnext, x)
+        logpx = jnp.where(accept, logpnext, logpx)
+        return (x, logpx), x
+
+    logpx0 = logpfcn(x0, *pparams)
+    keys = jax.random.split(key, nburnout + nsamples)
+    (xb, logpb), _ = lax.scan(chain_step, (x0, logpx0), keys[:nburnout])
+    _, samples = lax.scan(chain_step, (xb, logpb), keys[nburnout:])
+    weights = jnp.full((nsamples,), 1.0 / nsamples, dtype=samples.dtype)
+    return samples, weights
+
+
+def mhcustom(logpfcn: Callable, x0: jnp.ndarray, pparams=(),
+             nsamples: int = 10000, nburnout: int = 5000,
+             custom_step: Optional[Callable] = None,
+             seed: int = 721, key=None, **unused):
+    """Metropolis sampling with a user-provided stepper
+    ``custom_step(key, x, *pparams) -> xnext`` (accept/reject already done).
+    """
+    if custom_step is None:
+        raise RuntimeError("custom_step must be specified for mhcustom method")
+    if not callable(custom_step):
+        raise RuntimeError("custom_step option for mhcustom must be callable")
+    key = _resolve_key(key, seed)
+
+    def chain_step(x, k):
+        xn = custom_step(k, x, *pparams)
+        return xn, xn
+
+    keys = jax.random.split(key, nburnout + nsamples)
+    xb, _ = lax.scan(chain_step, x0, keys[:nburnout])
+    _, samples = lax.scan(chain_step, xb, keys[nburnout:])
+    weights = jnp.full((nsamples,), 1.0 / nsamples, dtype=samples.dtype)
+    return samples, weights
+
+
+def dummy1d(logpfcn: Callable, x0: jnp.ndarray, pparams=(),
+            nsamples: int = 100, lb: float = -np.inf, ub: float = np.inf,
+            **unused):
+    """Deterministic 1-D 'sampler': Gauss-Legendre nodes under the tan
+    transform, weighted by exp(logp).  Exact for tests (reference :100-124).
+    """
+    assert x0.size == 1, "This dummy operation can only be done in 1D space"
+    dtype = x0.dtype
+    tu = jnp.arctan(jnp.asarray(ub, dtype=dtype))
+    tl = jnp.arctan(jnp.asarray(lb, dtype=dtype))
+    tlg_np, wlg_np = np.polynomial.legendre.leggauss(nsamples)
+    tlg = jnp.asarray(tlg_np, dtype=dtype)
+    wlg = jnp.asarray(wlg_np, dtype=dtype) * 0.5 * (tu - tl)
+    tsamples = tlg * (0.5 * (tu - tl)) + 0.5 * (tu + tl)
+    xsamples = jnp.tan(tsamples).reshape(nsamples, *x0.shape)
+    wt = jnp.cos(tsamples) ** (-2.0)
+    wp = jax.vmap(lambda x: logpfcn(x, *pparams))(xsamples)
+    wsamples = wt * wlg * jnp.exp(wp.reshape(nsamples))
+    wsamples = wsamples / jnp.sum(wsamples)
+    return xsamples, wsamples

@@ -1,0 +1,274 @@
+"""1-D interpolation kernels: cubic spline (4 boundary conditions) + linear.
+
+TPU-native redesign of /root/reference/xitorch/_impls/interpolate/
+interp_1d.py and extrap_utils.py:
+
+* evaluation = ``searchsorted`` + ``take_along_axis`` gathers (jittable,
+  vmappable);
+* extrapolation is fully vectorized with ``where`` masks — including the
+  batched case the reference raises NotImplementedError on (:48-49);
+* the spline system (natural / clamped / not-a-knot / periodic,
+  reference _get_spline_mat_inv :296-405) is built with vectorized diagonal
+  scatters and solved once (dense, construction-time).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from xitorch_tpu.utils.bcast import match_dim
+
+__all__ = ["CubicSpline1D", "LinearInterp1D", "get_spline_mat_inv"]
+
+
+def _searchsorted_batched(x: jnp.ndarray, xq: jnp.ndarray) -> jnp.ndarray:
+    # x: (*B, nr) sorted; xq: (*B, nrq) -> indices (*B, nrq)
+    if x.ndim == 1:
+        return jnp.searchsorted(x, xq)
+    flat_x = x.reshape(-1, x.shape[-1])
+    flat_q = xq.reshape(-1, xq.shape[-1])
+    idx = jax.vmap(jnp.searchsorted)(flat_x, flat_q)
+    return idx.reshape(xq.shape)
+
+
+def _get_extrap_pos(xq: jnp.ndarray, extrap: str, xmin, xmax) -> jnp.ndarray:
+    """Map out-of-bounds positions into [xmin, xmax] (reference
+    extrap_utils.get_extrap_pos)."""
+    xqnorm = (xq - xmin) / (xmax - xmin)
+    if extrap == "periodic":
+        xqin = xqnorm % 1.0
+    elif extrap == "mirror":
+        xqabs = jnp.abs(xqnorm)
+        xq_ceil = jnp.floor(xqabs).astype(jnp.int64) + 1
+        xqhalf = xq_ceil // 2
+        xqin = (2 * xqhalf - xqabs) * (1 - (xq_ceil % 2) * 2)
+    elif extrap == "bound":
+        xqin = jnp.clip(xqnorm, 0.0, 1.0)
+    else:
+        raise RuntimeError("get_extrap_pos only works for periodic, mirror, bound")
+    return xqin * (xmax - xmin) + xmin
+
+
+class _BaseInterp1D:
+    def __init__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+                 extrap=None, **unused):
+        self._y_is_given = y is not None
+        self._extrap = extrap
+        self._xmin = jnp.min(x, axis=-1, keepdims=True)
+        self._xmax = jnp.max(x, axis=-1, keepdims=True)
+        self._y = y
+
+    def __call__(self, xq: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if self._y_is_given:
+            y = self._y
+        elif y is None:
+            raise RuntimeError("y must be given")
+
+        extrap = self._extrap
+        inbound = jnp.logical_and(xq >= self._xmin, xq <= self._xmax)
+
+        if extrap in ("mirror", "periodic", "bound"):
+            xq2 = jnp.where(inbound, xq, _get_extrap_pos(xq, extrap, self._xmin, self._xmax))
+            return self._interp(xq2, y)
+
+        # evaluate on clamped positions, patch extrapolated entries after
+        xq_safe = jnp.clip(xq, self._xmin, self._xmax)
+        yq = self._interp(xq_safe, y)
+        if extrap is None or (isinstance(extrap, str) and extrap == "nan"):
+            fill = jnp.full_like(yq, jnp.nan)
+        elif isinstance(extrap, (int, float)) or (
+                hasattr(extrap, "shape") and jnp.size(extrap) == 1):
+            fill = jnp.zeros_like(yq) + extrap
+        elif callable(extrap):
+            fill = jnp.broadcast_to(extrap(xq), yq.shape)
+        else:
+            raise RuntimeError(
+                "Invalid extrap type (type: %s): %s" % (type(extrap), extrap))
+        return jnp.where(jnp.broadcast_to(inbound, yq.shape), yq, fill)
+
+    def _interp(self, xq, y):
+        raise NotImplementedError
+
+
+class CubicSpline1D(_BaseInterp1D):
+    """Cubic-spline 1-D interpolation for non-uniform x.
+
+    Keyword arguments
+    -----------------
+    bc_type: "natural" | "clamped" | "not-a-knot" | "periodic" (default
+        "not-a-knot").
+    extrap: int/float/scalar array (pad value), "mirror", "periodic",
+        "bound", "nan", a callable, or None (default per bc_type:
+        clamped->"mirror", periodic->"periodic", else "nan").
+    """
+
+    def __init__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+                 bc_type: Optional[str] = None, extrap=None, **unused):
+        if bc_type is None:
+            bc_type = "not-a-knot"
+        bc_types = ["natural", "clamped", "not-a-knot", "periodic"]
+        if bc_type not in bc_types:
+            raise RuntimeError(
+                "Unimplemented %s bc_type. Available options: %s" % (bc_type, bc_types))
+        if extrap is None:
+            extrap = {"clamped": "mirror", "periodic": "periodic"}.get(bc_type, "nan")
+        super().__init__(x, y, extrap=extrap)
+        self.x = x
+        self.bc_type = bc_type
+        self.spline_mat_inv = get_spline_mat_inv(x, bc_type)  # (*BX, nr, nr)
+        if self._y_is_given:
+            self.ks = jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
+
+    def _interp(self, xq, y):
+        if self._y_is_given:
+            ks = self.ks
+        else:
+            ks = jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
+
+        x, xq_b = match_dim(self.x, xq)
+        nr = x.shape[-1]
+        idxr = jnp.clip(_searchsorted_batched(x, xq_b), 1, nr - 1)
+        idxl = idxr - 1
+
+        x_b, y_b, ks_b, idxl_b = match_dim(x, y, ks, idxl)
+        xl = jnp.take_along_axis(x_b, idxl_b, axis=-1)
+        xr = jnp.take_along_axis(x_b, idxl_b + 1, axis=-1)
+        yl = jnp.take_along_axis(y_b, idxl_b, axis=-1)
+        yr = jnp.take_along_axis(y_b, idxl_b + 1, axis=-1)
+        kl = jnp.take_along_axis(ks_b, idxl_b, axis=-1)
+        kr = jnp.take_along_axis(ks_b, idxl_b + 1, axis=-1)
+
+        dxrl = xr - xl
+        t = (xq_b - xl) / dxrl
+        tinv = 1 - t
+        tta = t * tinv * tinv
+        ttb = t * tinv * t
+        tyl = tinv + tta - ttb
+        tyr = t - tta + ttb
+        tkl = tta * dxrl
+        tkr = -ttb * dxrl
+        return yl * tyl + yr * tyr + kl * tkl + kr * tkr
+
+
+class LinearInterp1D(_BaseInterp1D):
+    """Linear 1-D interpolation for non-uniform x.
+
+    Keyword arguments
+    -----------------
+    extrap: same options as CubicSpline1D (default "nan").
+    """
+
+    def __init__(self, x, y=None, extrap=None, **unused):
+        super().__init__(x, y, extrap=extrap)
+        self.x = x
+
+    def _interp(self, xq, y):
+        x, xq_b = match_dim(self.x, xq)
+        nr = x.shape[-1]
+        idxr = jnp.clip(_searchsorted_batched(x, xq_b), 1, nr - 1)
+        idxl = idxr - 1
+
+        x_b, y_b, idxl_b = match_dim(x, y, idxl)
+        xl = jnp.take_along_axis(x_b, idxl_b, axis=-1)
+        xr = jnp.take_along_axis(x_b, idxl_b + 1, axis=-1)
+        yl = jnp.take_along_axis(y_b, idxl_b, axis=-1)
+        yr = jnp.take_along_axis(y_b, idxl_b + 1, axis=-1)
+        t = (xq_b - xl) / (xr - xl)
+        return yl + (yr - yl) * t
+
+
+def get_spline_mat_inv(x: jnp.ndarray, bc_type: str = "not-a-knot") -> jnp.ndarray:
+    """Matrix S with ks = S @ y giving the spline gradients at the knots.
+
+    Vectorized port of the reference's _get_spline_mat_inv (:296-405): builds
+    the tridiagonal-ish lhs and rhs with diagonal scatters, modifies rows for
+    the boundary condition, and solves densely once.
+    """
+    nr = x.shape[-1]
+    dtype = x.dtype
+
+    dxinv0 = 1.0 / (x[..., 1:] - x[..., :-1])  # (*BX, nr-1)
+    zero_pad = jnp.zeros_like(dxinv0[..., :1])
+    dxinv = jnp.concatenate([zero_pad, dxinv0, zero_pad], axis=-1)
+    diag = (dxinv[..., :-1] + dxinv[..., 1:]) * 2  # (*BX, nr)
+    offdiag = dxinv0  # (*BX, nr-1)
+
+    i = jnp.arange(nr)
+    spline_mat = (_diag_embed(diag)
+                  + _offdiag_embed(offdiag, 1)
+                  + _offdiag_embed(offdiag, -1))
+
+    dxinv2 = (dxinv * dxinv) * 3
+    diagr = dxinv2[..., :-1] - dxinv2[..., 1:]
+    udiagr = dxinv2[..., 1:-1]
+    matr = (_diag_embed(diagr)
+            + _offdiag_embed(udiagr, 1)
+            - _offdiag_embed(udiagr, -1))
+
+    if bc_type == "natural":
+        pass
+    elif bc_type == "clamped":
+        e0 = jnp.zeros((nr,), dtype=dtype).at[0].set(1.0)
+        en = jnp.zeros((nr,), dtype=dtype).at[-1].set(1.0)
+        spline_mat = spline_mat.at[..., 0, :].set(e0)
+        spline_mat = spline_mat.at[..., -1, :].set(en)
+        matr = matr.at[..., 0, :].set(0.0)
+        matr = matr.at[..., -1, :].set(0.0)
+    elif bc_type == "not-a-knot":
+        d00 = dxinv0[..., 0]
+        d01 = dxinv0[..., 1]
+        d0n = dxinv0[..., -1]
+        d0n1 = dxinv0[..., -2]
+        sq = lambda v: v * v
+        cube = lambda v: v * v * v
+        spline_mat = spline_mat.at[..., 0, :].set(0.0)
+        spline_mat = spline_mat.at[..., -1, :].set(0.0)
+        spline_mat = spline_mat.at[..., 0, 0].set(sq(d00))
+        spline_mat = spline_mat.at[..., 0, 1].set(sq(d00) - sq(d01))
+        spline_mat = spline_mat.at[..., 0, 2].set(-sq(d01))
+        spline_mat = spline_mat.at[..., -1, -1].set(-sq(d0n))
+        spline_mat = spline_mat.at[..., -1, -2].set(sq(d0n1) - sq(d0n))
+        spline_mat = spline_mat.at[..., -1, -3].set(sq(d0n1))
+        matr = matr.at[..., 0, :].set(0.0)
+        matr = matr.at[..., -1, :].set(0.0)
+        matr = matr.at[..., 0, 0].set(2 * (-cube(d00)))
+        matr = matr.at[..., 0, 1].set(2 * (cube(d00) + cube(d01)))
+        matr = matr.at[..., 0, 2].set(2 * (-cube(d01)))
+        matr = matr.at[..., -1, -1].set(2 * (-cube(d0n)))
+        matr = matr.at[..., -1, -2].set(2 * (cube(d0n) + cube(d0n1)))
+        matr = matr.at[..., -1, -3].set(2 * (-cube(d0n1)))
+    elif bc_type == "periodic":
+        d01 = dxinv0[..., -1]
+        d00 = dxinv0[..., 0]
+        spline_mat = spline_mat.at[..., 0, -2].add(d01)
+        spline_mat = spline_mat.at[..., 0, 0].add(d01 * 2)
+        spline_mat = spline_mat.at[..., -1, 1].add(d00)
+        spline_mat = spline_mat.at[..., -1, -1].add(d00 * 2)
+        d01_sq3 = 3 * d01 * d01
+        d00_sq3 = 3 * d00 * d00
+        matr = matr.at[..., 0, -2].add(-d01_sq3)
+        matr = matr.at[..., 0, 0].add(d01_sq3)
+        matr = matr.at[..., -1, 1].add(d00_sq3)
+        matr = matr.at[..., -1, -1].add(-d00_sq3)
+    else:
+        raise RuntimeError("Unknown boundary condition: %s" % bc_type)
+
+    return jnp.linalg.solve(spline_mat, matr)
+
+
+def _diag_embed(d: jnp.ndarray) -> jnp.ndarray:
+    n = d.shape[-1]
+    return d[..., :, None] * jnp.eye(n, dtype=d.dtype)
+
+
+def _offdiag_embed(d: jnp.ndarray, offset: int) -> jnp.ndarray:
+    n = d.shape[-1] + abs(offset)
+    eye = jnp.eye(n, k=offset, dtype=d.dtype)
+    if offset > 0:
+        dd = jnp.concatenate([d, jnp.zeros_like(d[..., :offset])], axis=-1)
+    else:
+        dd = jnp.concatenate([jnp.zeros_like(d[..., :(-offset)]), d], axis=-1)
+    return dd[..., :, None] * eye

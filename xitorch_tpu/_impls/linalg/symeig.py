@@ -1,0 +1,249 @@
+"""Symmetric-eigendecomposition kernels: dense (degeneracy-safe) + iterative.
+
+TPU-native redesign of /root/reference/xitorch/_impls/linalg/symeig.py:
+
+* ``degen_eigh`` — dense hermitian eigendecomposition whose *JVP* drops the
+  ill-defined rotation inside (near-)degenerate eigenvalue blocks, the
+  forward-mode equivalent of the reference's masked-inf F-matrix backward
+  (degen_symeig :47-98, per Kasim arXiv:2011.04366).  Being a custom_jvp it
+  stays differentiable at any order and transposes to exactly the
+  reference's VJP.
+* ``exacteig`` — dense path with the M-Cholesky symmetrization
+  (reference :11-44); fully autodiff-native around ``degen_eigh``.
+* ``davidson`` — matrix-free block eigensolver for a few eigenpairs.  The
+  reference grows its subspace dynamically (:164-223); under XLA the
+  subspace must be static, so this is a **fixed-subspace block Davidson
+  with thick restart**: every iteration the basis is rebuilt from
+  [Ritz vectors X, preconditioned residuals R, previous X] (an
+  LOBPCG-shaped iteration — fixed shapes, batched matmuls on the MXU),
+  M-orthonormalized with Cholesky-QR (``tallqr``).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from xitorch_tpu._core.linop import LinearOperator
+from xitorch_tpu.utils.bcast import get_bcasted_dims
+from xitorch_tpu.utils.tensor import tallqr
+
+__all__ = ["exacteig", "degen_eigh", "davidson", "take_eigpairs"]
+
+
+def take_eigpairs(eival: jnp.ndarray, eivec: jnp.ndarray, neig: int, mode: str):
+    """Select neig eigenpairs from a full (sorted ascending) decomposition
+    (reference _take_eigpairs :255-264)."""
+    if mode == "lowest":
+        return eival[..., :neig], eivec[..., :neig]
+    else:  # uppest
+        return eival[..., -neig:], eivec[..., -neig:]
+
+
+# ------------------------------------------------------------------
+# degeneracy-safe dense eigh
+# ------------------------------------------------------------------
+
+@jax.custom_jvp
+def degen_eigh(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``jnp.linalg.eigh`` with degeneracy-safe derivatives.
+
+    The standard eigh derivative has 1/(λ_j - λ_i) factors that blow up for
+    degenerate eigenvalues; following the reference (and Kasim 2020), the
+    contribution of (near-)degenerate pairs is dropped (valid whenever the
+    downstream loss is invariant under rotations within the degenerate
+    subspace — the reference warns otherwise in debug mode).
+    """
+    return jnp.linalg.eigh(A)
+
+
+@degen_eigh.defjvp
+def _degen_eigh_jvp(primals, tangents):
+    (A,) = primals
+    (dA,) = tangents
+    evals, evecs = degen_eigh(A)
+    evecsH = jnp.swapaxes(evecs, -2, -1).conj()
+    dS = evecsH @ dA @ evecs  # (*B, n, n)
+    devals = jnp.real(jnp.diagonal(dS, axis1=-2, axis2=-1)).astype(evals.dtype)
+
+    # F_ij = 1/(λ_j - λ_i) masked to 0 on (near-)degenerate pairs & diagonal
+    min_threshold = jnp.finfo(evals.dtype).eps ** 0.6
+    diff = evals[..., None, :] - evals[..., :, None]  # λ_j - λ_i
+    degen = jnp.abs(diff) <= min_threshold
+    F = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, diff))
+    devecs = evecs @ (F * dS)
+    return (evals, evecs), (devals, devecs)
+
+
+def exacteig(A: LinearOperator, neig: int, mode: str,
+             M: Optional[LinearOperator] = None,
+             **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecomposition by materializing the operator (reference :11-44).
+    No additional options.  Differentiable natively (incl. 2nd order)."""
+    Amatrix = A.fullmatrix()
+    if M is None:
+        evals, evecs = degen_eigh(Amatrix)
+        return take_eigpairs(evals, evecs, neig, mode)
+    Mmatrix = M.fullmatrix()
+    L = jnp.linalg.cholesky(Mmatrix)
+    Linv = jnp.linalg.inv(L)
+    LinvT = jnp.swapaxes(Linv, -2, -1).conj()
+    A2 = Linv @ Amatrix @ LinvT
+    A2 = (A2 + jnp.swapaxes(A2, -2, -1).conj()) * 0.5
+    evals, evecs = degen_eigh(A2)
+    evals, evecs = take_eigpairs(evals, evecs, neig, mode)
+    evecs = LinvT @ evecs  # M-orthonormal eigenvectors
+    return evals, evecs
+
+
+# ------------------------------------------------------------------
+# matrix-free block Davidson (thick restart / LOBPCG-shaped)
+# ------------------------------------------------------------------
+
+def davidson(A: LinearOperator, neig: int, mode: str,
+             M: Optional[LinearOperator] = None,
+             max_niter: int = 1000,
+             nguess: Optional[int] = None,
+             v_init: str = "randn",
+             max_addition: Optional[int] = None,
+             min_eps: float = 1e-6,
+             verbose: bool = False,
+             **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Block Davidson for ``neig`` extreme eigenpairs of a hermitian
+    (matrix-free) operator; generalized problem via M-orthonormal bases.
+
+    Keyword arguments (parity with reference davidson :100-131):
+    max_niter, nguess (block size, default neig), v_init ("randn"/"rand"/
+    "eye"), min_eps (residual tolerance).  ``max_addition`` is accepted for
+    API parity; the fixed subspace holds [X, R, X_prev] (3 blocks).
+    """
+    if nguess is None:
+        nguess = neig
+    nguess = max(nguess, neig)
+    na = A.shape[-1]
+    if M is None:
+        bcast_dims = tuple(A.shape[:-2])
+    else:
+        bcast_dims = get_bcasted_dims(A.shape[:-2], M.shape[:-2])
+    dtype = A.dtype
+
+    block = min(nguess, na)
+    # subspace = [X, R, P]; cap at na
+    s = min(3 * block, na)
+
+    V0 = _set_initial_v(v_init.lower(), dtype, bcast_dims, na, s, M=M)
+
+    sign = 1.0 if mode == "lowest" else -1.0
+
+    def mmM(X):
+        return M.mm(X) if M is not None else X
+
+    def rayleigh_ritz(V):
+        # V: (*B, na, s) M-orthonormal
+        AV = A.mm(V)
+        T = jnp.swapaxes(V, -2, -1).conj() @ AV  # (*B, s, s)
+        T = (T + jnp.swapaxes(T, -2, -1).conj()) * 0.5
+        evalT, evecT = jnp.linalg.eigh(sign * T)
+        evalT = sign * evalT
+        # for "lowest": ascending lowest block; for "uppest": eigh of -T
+        # sorts ascending in -λ, so the first block are the largest λ
+        # (descending) — flipped back to ascending at return
+        evalT_sel = evalT[..., :block]
+        evecT_sel = evecT[..., :block]
+        X = V @ evecT_sel  # (*B, na, block)
+        AX = AV @ evecT_sel
+        return X, AX, evalT_sel
+
+    def residual(X, AX, lam):
+        return AX - mmM(X) * lam[..., None, :]
+
+    def _colnorm(W):
+        return jnp.sqrt(jnp.sum(jnp.abs(W) ** 2, axis=-2, keepdims=True))
+
+    noise_key = jax.random.PRNGKey(7151)
+
+    def _fix_block(W, X, MX, key):
+        """M-orthogonalize the block against X, normalize columns, and
+        replace (near-)degenerate columns with fresh noise — keeps the
+        subspace [X, R, P] full-rank so the Cholesky-QR stays sane."""
+        W = W - X @ (jnp.swapaxes(MX, -2, -1).conj() @ W)
+        norms = _colnorm(W)
+        noise = jax.random.normal(key, W.shape, dtype=jnp.float32).astype(W.dtype)
+        scale = jnp.max(norms)
+        W = jnp.where(norms < 1e-8 * (scale + 1e-30), noise, W)
+        return W / jnp.where(_colnorm(W) == 0, 1.0, _colnorm(W))
+
+    X0, AX0, lam0 = rayleigh_ritz(V0)
+    R0 = residual(X0, AX0, lam0)
+    best = (lam0, X0, jnp.max(jnp.abs(R0)))
+
+    def cond_fun(state):
+        i, X, Xprev, lam, max_resid, best = state
+        return (i < max_niter) & (max_resid >= min_eps)
+
+    def body_fun(state):
+        i, X, Xprev, lam, _, best = state
+        AX = A.mm(X)
+        R = AX - mmM(X) * lam[..., None, :]
+        # new subspace from [X, R_orth, P_orth]
+        MX = mmM(X)
+        k1, k2 = jax.random.split(jax.random.fold_in(noise_key, i))
+        Rb = _fix_block(R, X, MX, k1)
+        Pb = _fix_block(Xprev, X, MX, k2)
+        W = jnp.concatenate([X, Rb, Pb], axis=-1)[..., :s]
+        V, _ = tallqr(W, MV=mmM(W))
+        Xn, AXn, lamn = rayleigh_ritz(V)
+        Rn = residual(Xn, AXn, lamn)
+        max_resid = jnp.max(jnp.abs(Rn))
+        # validity: finite and properly M-normalized Ritz vectors (junk
+        # subspaces from a singular Cholesky-QR give tiny/NaN columns)
+        xnorms = _colnorm(Xn) if M is None else jnp.sqrt(jnp.abs(
+            jnp.sum(Xn.conj() * mmM(Xn), axis=-2, keepdims=True)))
+        valid = (jnp.all(jnp.isfinite(lamn)) & jnp.all(jnp.isfinite(Xn))
+                 & (jnp.min(xnorms) > 0.5) & (jnp.max(xnorms) < 1.5))
+        best_lam, best_X, best_resid = best
+        better = (max_resid < best_resid) & valid
+        best = (jnp.where(better, lamn, best_lam),
+                jnp.where(better, Xn, best_X),
+                jnp.where(better, max_resid, best_resid))
+        max_resid = jnp.where(valid, max_resid, jnp.asarray(jnp.inf, max_resid.dtype))
+        # on an invalid Rayleigh-Ritz (singular subspace), keep the previous
+        # iterate and let the noise-refreshed blocks recover next round
+        Xn = jnp.where(valid, Xn, X)
+        lamn = jnp.where(valid, lamn, lam)
+        return (i + 1, Xn, X, lamn, max_resid, best)
+
+    state0 = (jnp.asarray(0), X0, X0, lam0, jnp.max(jnp.abs(R0)), best)
+    out = lax.while_loop(cond_fun, body_fun, state0)
+    best_lam, best_X, _ = out[5]
+    lam_out = best_lam[..., :neig]
+    X_out = best_X[..., :neig]
+    if mode != "lowest":
+        # return ascending order (reference take_eigpairs semantics)
+        lam_out = lam_out[..., ::-1]
+        X_out = X_out[..., ::-1]
+    return lam_out, X_out
+
+
+def _set_initial_v(vinit_type: str, dtype, batch_dims, na: int, nguess: int,
+                   M: Optional[LinearOperator] = None) -> jnp.ndarray:
+    # fixed seed for determinism (reference _set_initial_v :229-253 uses 12421)
+    key = jax.random.PRNGKey(12421)
+    if vinit_type == "eye":
+        V = jnp.broadcast_to(jnp.eye(na, nguess, dtype=dtype),
+                             (*batch_dims, na, nguess))
+    elif vinit_type == "randn":
+        V = jax.random.normal(key, (*batch_dims, na, nguess),
+                              dtype=jnp.float32).astype(dtype)
+    elif vinit_type in ("rand", "random"):
+        V = jax.random.uniform(key, (*batch_dims, na, nguess),
+                               dtype=jnp.float32).astype(dtype)
+    else:
+        raise ValueError("Unknown v_init type: %s" % vinit_type)
+    MV = M.mm(V) if isinstance(M, LinearOperator) else None
+    V, _ = tallqr(V, MV=MV)
+    return V

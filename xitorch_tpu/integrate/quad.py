@@ -1,0 +1,67 @@
+"""1-D quadrature with differentiable bounds and parameters.
+
+API parity with /root/reference/xitorch/integrate/quad.py:14-90.  No custom
+autograd rule is needed: the fixed-node quadrature is an explicit weighted
+sum, and plain JAX AD through it computes the same estimators the reference
+builds by hand (boundary grads :179-183, recursive-quad parameter grads
+:185-201) — to arbitrary order.  Multi-output integrands are plain pytrees
+(no TensorPacker needed).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Mapping, Sequence, Union
+
+import jax.numpy as jnp
+
+from xitorch_tpu._impls.integrate.fixed_quad import leggauss
+from xitorch_tpu.utils.misc import get_method
+
+__all__ = ["quad"]
+
+_QUAD_METHODS = {
+    "leggauss": leggauss,
+}
+
+
+def quad(fcn: Callable, xl, xu,
+         params: Sequence[Any] = (),
+         bck_options: Mapping[str, Any] = {},
+         method: Union[str, Callable, None] = None,
+         **fwd_options):
+    r"""Calculate :math:`y = \int_{x_l}^{x_u} f(x,\theta)\,dx`.
+
+    fcn's output may be an array of any shape or a pytree.  Infinite bounds
+    are handled with the tan substitution (reference _TanInfTransform
+    :223-232).  Gradients flow to xl, xu, and params (1st and 2nd order).
+    Methods: "leggauss" (default; option ``n`` = number of nodes) or a
+    custom callable ``(fcn, xl, xu, params, **cfg)``.
+    """
+    if hasattr(xl, "size") and jnp.size(xl) != 1:
+        raise RuntimeError("xl must be a 1-element value")
+    if hasattr(xu, "size") and jnp.size(xu) != 1:
+        raise RuntimeError("xu must be a 1-element value")
+    if method is None:
+        method = "leggauss"
+    method_fcn = get_method("quad", _QUAD_METHODS, method)
+
+    # infinite-bound transform: x = tan(t), dx = sec^2(t) dt
+    def _isinf(v):
+        try:
+            return bool(math.isinf(float(v)))
+        except (TypeError, ValueError):
+            return False  # traced bound: cannot be inf at trace time
+
+    if _isinf(xl) or _isinf(xu):
+        def fcn2(t, *params):
+            x = jnp.tan(t)
+            sec2 = 1.0 / jnp.cos(t) ** 2
+            ys = fcn(x, *params)
+            import jax
+            return jax.tree_util.tree_map(lambda y: y * sec2, ys)
+
+        tl = jnp.arctan(jnp.asarray(xl, dtype=jnp.result_type(xl, xu, 0.1)))
+        tu = jnp.arctan(jnp.asarray(xu, dtype=jnp.result_type(xl, xu, 0.1)))
+        return method_fcn(fcn2, tl, tu, params, **fwd_options)
+
+    return method_fcn(fcn, xl, xu, params, **fwd_options)

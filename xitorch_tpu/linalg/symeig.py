@@ -1,0 +1,225 @@
+"""Partial symmetric eigendecomposition ``AX = MXE`` and SVD.
+
+API parity with /root/reference/xitorch/linalg/symeig.py:17-250.  The
+autograd adapter (symeig_torchfcn :252-402) is replaced by a
+``jax.custom_jvp`` on the iterative path:
+
+* dλ_i = x_i^H (dA - λ_i dM) x_i
+* (A - λ_i M) dx_i = -P_i (dA x_i - dλ_i M x_i - λ_i dM x_i), the projected
+  shifted solve — the same generalized ``solve(A, -B, E=evals, M)`` the
+  reference backward uses (:365-367), including the degeneracy projection
+  ``_ortho`` with the degeneracy map (:316-322, 404-448) and the complex
+  eigenvalue offset (:360-363).  Reverse mode and 2nd order come from
+  transposition of this linear rule.
+
+The dense path ("exacteig") differentiates natively through the
+degeneracy-safe ``degen_eigh``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator
+from xitorch_tpu._impls.linalg.symeig import davidson, exacteig
+from xitorch_tpu.debug.modes import is_debug_enabled
+from xitorch_tpu.linalg.solve import solve
+from xitorch_tpu.utils.misc import get_method
+
+__all__ = ["lsymeig", "usymeig", "symeig", "svd"]
+
+_SYMEIG_METHODS = {
+    "davidson": davidson,
+    "exacteig": exacteig,
+    "custom_exacteig": exacteig,
+}
+
+
+def lsymeig(A: LinearOperator, neig: Optional[int] = None,
+            M: Optional[LinearOperator] = None,
+            bck_options: Mapping[str, Any] = {},
+            method: Union[str, Callable, None] = None,
+            **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return symeig(A, neig, "lowest", M, bck_options=bck_options,
+                  method=method, **fwd_options)
+
+
+def usymeig(A: LinearOperator, neig: Optional[int] = None,
+            M: Optional[LinearOperator] = None,
+            bck_options: Mapping[str, Any] = {},
+            method: Union[str, Callable, None] = None,
+            **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return symeig(A, neig, "uppest", M, bck_options=bck_options,
+                  method=method, **fwd_options)
+
+
+def symeig(A: LinearOperator, neig: Optional[int] = None,
+           mode: str = "lowest", M: Optional[LinearOperator] = None,
+           bck_options: Mapping[str, Any] = {},
+           method: Union[str, Callable, None] = None,
+           **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r"""Obtain ``neig`` lowest/uppermost eigenpairs of :math:`\mathbf{AX=MXE}`.
+
+    Parity: reference symeig (symeig.py:31-144).  A (and M, if given) must
+    be hermitian LinearOperators of shape ``(*B, q, q)``.  Returns
+    ``(evals (*BAM, neig), evecs (*BAM, q, neig))``, M-orthonormal, with
+    degeneracy-safe 1st/2nd-order gradients.  ``bck_options`` may carry
+    ``degen_atol``/``degen_rtol`` (and solve options for the iterative path).
+    """
+    if not A.is_hermitian:
+        raise RuntimeError("The linear operator A must be Hermitian")
+    if M is not None:
+        if not M.is_hermitian:
+            raise RuntimeError("The linear operator M must be Hermitian")
+        if M.shape[-1] != A.shape[-1]:
+            raise RuntimeError(
+                "The shape of A & M must match (A: %s, M: %s)" % (A.shape, M.shape))
+    mode = mode.lower()
+    if mode == "uppermost":
+        mode = "uppest"
+    if mode not in ("lowest", "uppest"):
+        raise RuntimeError("mode must be 'lowest' or 'uppest'/'uppermost'")
+    if method is None:
+        method = "exacteig"
+    if neig is None:
+        neig = A.shape[-1]
+
+    if is_debug_enabled():
+        A.check()
+        if M is not None:
+            M.check()
+
+    if method == "exacteig":
+        return exacteig(A, neig, mode, M)
+
+    method_fcn = get_method("symeig", _SYMEIG_METHODS, method)
+    return _symeig_implicit(A, M, neig, mode, method_fcn, dict(fwd_options),
+                            dict(bck_options))
+
+
+def _check_degen(evals: jnp.ndarray, degen_atol: float, degen_rtol: float):
+    """Degeneracy map D (*B, neig, neig): D_ij = 1 if λ_i, λ_j degenerate
+    (reference _check_degen :404-414)."""
+    evals_diff = jnp.abs(evals[..., None, :] - evals[..., :, None])
+    degen_thrsh = degen_atol + degen_rtol * jnp.abs(evals)[..., :, None]
+    return (evals_diff < degen_thrsh).astype(evals.dtype)
+
+
+def _ortho(A: jnp.ndarray, B: jnp.ndarray, *, D: Optional[jnp.ndarray],
+           M: Optional[LinearOperator], mright: bool) -> jnp.ndarray:
+    """Orthogonalize columns of A against columns of B under the degeneracy
+    map D (reference _ortho :416-448)."""
+    if D is None:
+        str1 = "...rc,...rc->...c"
+        Bconj = B.conj()
+        if M is None:
+            return A - jnp.einsum(str1, A, Bconj)[..., None, :] * B
+        elif mright:
+            return A - jnp.einsum(str1, M.mm(A), Bconj)[..., None, :] * B
+        else:
+            return A - M.mm(jnp.einsum(str1, A, Bconj)[..., None, :] * B)
+    else:
+        BH = jnp.swapaxes(B, -2, -1).conj()
+        if M is None:
+            return A - B @ (D * (BH @ A))
+        elif mright:
+            return A - B @ (D * (BH @ M.mm(A)))
+        else:
+            return A - M.mm(B @ (D * (BH @ A)))
+
+
+def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
+                     neig: int, mode: str, method_fcn: Callable,
+                     fwd_options: dict, bck_options: dict):
+    degen_atol = bck_options.pop("degen_atol", None)
+    degen_rtol = bck_options.pop("degen_rtol", None)
+    bck_cfg = bck_options
+    has_m = M is not None
+
+    @jax.custom_jvp
+    def _eigsolve(A, M):
+        evals, evecs = method_fcn(A, neig, mode, M, **fwd_options)
+        return evals, evecs
+
+    @_eigsolve.defjvp
+    def _eigsolve_jvp(primals, tangents):
+        A, M = primals
+        dA, dM = tangents
+        evals, evecs = _eigsolve(A, M)
+
+        datol = jnp.finfo(evals.dtype).eps ** 0.6 if degen_atol is None else degen_atol
+        drtol = jnp.finfo(evals.dtype).eps ** 0.4 if degen_rtol is None else degen_rtol
+        D = _check_degen(evals, datol, drtol) if (datol > 0 or drtol > 0) else None
+
+        # dA·X and dM·X via jvp of the operator application
+        _, dAX = jax.jvp(lambda a: a.mm(evecs), (A,), (dA,))
+        if has_m:
+            _, dMX = jax.jvp(lambda m: m.mm(evecs), (M,), (dM,))
+            MX = M.mm(evecs)
+        else:
+            dMX = jnp.zeros_like(dAX)
+            MX = evecs
+
+        W = dAX - dMX * evals[..., None, :]  # (*B, na, neig)
+        # dλ_i = x_i^H W_i (real for hermitian pencils)
+        devals = jnp.real(jnp.einsum("...rc,...rc->...c", evecs.conj(), W)
+                          ).astype(evals.dtype)
+
+        # rhs for the shifted solve: -(W - dλ M x); project out (degenerate)
+        # eigvector components to keep the singular directions out
+        rhs = W - MX * devals[..., None, :].astype(MX.dtype)
+        rhs = _ortho(rhs, evecs, D=D, M=M, mright=False)
+
+        if jnp.issubdtype(evecs.dtype, jnp.complexfloating):
+            evals_offset = evals + 1e-14  # reference :360-363
+        else:
+            evals_offset = evals
+        dX = solve(A, -rhs, evals_offset, M, bck_options=bck_cfg, **bck_cfg)
+        # remove the per-column self component (arbitrary phase/scale)
+        dX = _ortho(dX, evecs, D=None, M=M, mright=True)
+        if has_m:
+            # M-normalization: x^H M x = 1 under perturbed M
+            xdMx = jnp.einsum("...rc,...rc->...c", evecs.conj(), dMX)
+            dX = dX - 0.5 * xdMx[..., None, :] * evecs
+
+        return (evals, evecs), (devals, dX)
+
+    return _eigsolve(A, M)
+
+
+def svd(A: LinearOperator, k: Optional[int] = None,
+        mode: str = "uppest", bck_options: Mapping[str, Any] = {},
+        method: Union[str, Callable, None] = None,
+        **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    r"""Partial singular value decomposition ``A = U S V^H`` via symeig of
+    ``A A^H`` or ``A^H A`` (whichever is smaller).
+
+    Parity: reference svd (symeig.py:146-250).  Returns ``(u (*BA, m, k),
+    s (*BA, k), vh (*BA, k, n))`` with degeneracy-safe gradients.
+    """
+    if is_debug_enabled():
+        A.check()
+    m = A.shape[-2]
+    n = A.shape[-1]
+    if k is None:
+        k = min(m, n)
+    if m < n:
+        AAsym = A.matmul(A.H, is_hermitian=True)
+    else:
+        AAsym = A.H.matmul(A, is_hermitian=True)
+
+    eivals, eivecs = symeig(AAsym, k, mode, bck_options=bck_options,
+                            method=method, **fwd_options)
+    eivals = jnp.clip(eivals, min=0.0)
+    s = jnp.sqrt(eivals)  # (*BA, k)
+    sdiv = jnp.clip(s, min=1e-12)[..., None, :]  # (*BA, 1, k)
+    if m < n:
+        u = eivecs
+        v = A.rmm(u) / sdiv
+    else:
+        v = eivecs
+        u = A.mm(v) / sdiv
+    vh = jnp.swapaxes(v, -2, -1).conj()
+    return u, s, vh
