@@ -1,0 +1,76 @@
+"""Flagship DEQ model + multichip sharding tests (8 virtual CPU devices)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xitorch_tpu.models.deq import init_deq, deq_forward, deq_loss
+from xitorch_tpu.parallel import make_mesh
+from tests.utils import assert_allclose
+
+
+def test_deq_forward_and_implicit_grad():
+    key = jax.random.PRNGKey(0)
+    params = init_deq(key, d_in=4, hidden=16, d_out=2, dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4), dtype=jnp.float64)
+    y = jax.random.normal(jax.random.PRNGKey(2), (8, 2), dtype=jnp.float64)
+
+    out = jax.jit(deq_forward)(params, x)
+    assert out.shape == (8, 2)
+    # fixed point property
+    from xitorch_tpu.models.deq import _cell
+    # re-solve to extract z*: forward determinism
+    loss, grads = jax.value_and_grad(deq_loss)(params, x, y)
+    assert bool(jnp.isfinite(loss))
+    for g in grads:
+        assert bool(jnp.all(jnp.isfinite(g)))
+    # gradient direction sanity: a small step along -grad decreases loss
+    lr = 1e-2
+    params2 = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+    loss2 = deq_loss(params2, x, y)
+    assert float(loss2) < float(loss)
+
+
+def test_graft_entry_single():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (32, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.parametrize("n", [2, 8])
+def test_graft_dryrun_multichip(n):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    if len(jax.devices()) < n:
+        pytest.skip("needs %d devices" % n)
+    g.dryrun_multichip(n)
+
+
+def test_sharded_solve_matches_single():
+    """Batched CG sharded over a dp mesh must match the unsharded result."""
+    from xitorch_tpu import LinearOperator
+    from xitorch_tpu.linalg import solve
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    B, n = 8, 16
+    a = rng.standard_normal((B, n, n))
+    Am = jnp.asarray(a @ np.swapaxes(a, -2, -1) + n * np.eye(n))
+    Bm = jnp.asarray(rng.standard_normal((B, n, 2)))
+
+    def f(Am, Bm):
+        return solve(LinearOperator.m(Am, is_hermitian=True), Bm,
+                     method="cg", rtol=1e-10, atol=1e-12)
+
+    ref = jax.jit(f)(Am, Bm)
+
+    mesh = make_mesh(8, axis_names=("dp",))
+    Am_s = jax.device_put(Am, NamedSharding(mesh, P("dp", None, None)))
+    Bm_s = jax.device_put(Bm, NamedSharding(mesh, P("dp", None, None)))
+    out = jax.jit(f)(Am_s, Bm_s)
+    assert_allclose(out, ref, rtol=1e-8)
