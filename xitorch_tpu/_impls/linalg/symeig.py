@@ -58,7 +58,8 @@ def degen_eigh(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     downstream loss is invariant under rotations within the degenerate
     subspace — the reference warns otherwise in debug mode).
     """
-    return jnp.linalg.eigh(A)
+    evals, evecs = jnp.linalg.eigh(A)
+    return evals, evecs
 
 
 @degen_eigh.defjvp

@@ -80,3 +80,9 @@ def mcquad(ffcn: Callable, log_pfcn: Callable, x0: jnp.ndarray,
     fs = jax.vmap(lambda x: ffcn(x, *fmerge(fdyn)))(xs)  # pytree, leading nsamples
     return jax.tree_util.tree_map(
         lambda v: jnp.tensordot(wr, v, axes=(0, 0)) / denom, fs)
+
+
+# docstring completion
+from xitorch_tpu._docstr.api_docstr import get_methods_docstr  # noqa: E402
+
+mcquad.__doc__ = get_methods_docstr(mcquad, {"mh": mh, "mhcustom": mhcustom})

@@ -65,3 +65,9 @@ def quad(fcn: Callable, xl, xu,
         return method_fcn(fcn2, tl, tu, params, **fwd_options)
 
     return method_fcn(fcn, xl, xu, params, **fwd_options)
+
+
+# docstring completion
+from xitorch_tpu._docstr.api_docstr import get_methods_docstr  # noqa: E402
+
+quad.__doc__ = get_methods_docstr(quad, _QUAD_METHODS)

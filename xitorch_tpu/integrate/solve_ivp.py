@@ -72,3 +72,9 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
         return jax.vmap(unravel)(ytflat)
 
     return solver(fcn, ts, y0, params, **fwd_options)
+
+
+# docstring completion
+from xitorch_tpu._docstr.api_docstr import get_methods_docstr  # noqa: E402
+
+solve_ivp.__doc__ = get_methods_docstr(solve_ivp, _IVP_METHODS)

@@ -29,8 +29,24 @@ from xitorch_tpu.utils.misc import get_method
 
 __all__ = ["solve"]
 
+def _fused_cg(A, B, E=None, M=None, rtol: float = 1e-6, atol: float = 1e-8,
+              max_niter=None, **options):
+    """Pallas VMEM-resident CG for explicit hermitian A (falls back to the
+    XLA cg for matrix-free/complex/f64/too-large operators or E/M shifts)."""
+    from xitorch_tpu.ops.fused_cg import fits_fused_cg, fused_cg_dense
+
+    if (E is None and M is None and isinstance(A, MatrixLinearOperator)
+            and A.is_hermitian
+            and fits_fused_cg(A.shape[-1], B.shape[-1], A.dtype)
+            and jax.default_backend() == "tpu"):
+        return fused_cg_dense(A.fullmatrix(), B, rtol=rtol, atol=atol,
+                              max_niter=max_niter)
+    return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter, **options)
+
+
 _SOLVE_METHODS = {
     "cg": cg,
+    "fused_cg": _fused_cg,
     "bicgstab": bicgstab,
     "gmres": gmres,
     "exactsolve": exactsolve,
@@ -137,3 +153,9 @@ def solve(A: LinearOperator, B: jnp.ndarray,
     return lax.custom_linear_solve(matvec, B2, solve_fcn,
                                    transpose_solve=transpose_solve_fcn,
                                    symmetric=symmetric)
+
+
+# docstring completion (parity: reference solve.py:233-243)
+from xitorch_tpu._docstr.api_docstr import get_methods_docstr  # noqa: E402
+
+solve.__doc__ = get_methods_docstr(solve, _SOLVE_METHODS, ignore_kwargs=["E", "M"])

@@ -223,3 +223,10 @@ def svd(A: LinearOperator, k: Optional[int] = None,
         u = A.mm(v) / sdiv
     vh = jnp.swapaxes(v, -2, -1).conj()
     return u, s, vh
+
+
+# docstring completion (parity: reference symeig.py:454-461)
+from xitorch_tpu._docstr.api_docstr import get_methods_docstr  # noqa: E402
+
+symeig.__doc__ = get_methods_docstr(symeig, _SYMEIG_METHODS, ignore_kwargs=["M"])
+svd.__doc__ = get_methods_docstr(svd, _SYMEIG_METHODS)

@@ -232,3 +232,11 @@ def minimize(fcn: Callable, y0: jnp.ndarray,
 
     return _implicit_rootsolve(grad_fcn, run_solver, y0, alldyn,
                                lambda dp: tuple(dp), bck_options)
+
+
+# docstring completion (parity: reference rootfinder.py:388-393)
+from xitorch_tpu._docstr.api_docstr import get_methods_docstr  # noqa: E402
+
+rootfinder.__doc__ = get_methods_docstr(rootfinder, _RF_METHODS)
+equilibrium.__doc__ = get_methods_docstr(equilibrium, {**_RF_METHODS, **_EQUIL_METHODS})
+minimize.__doc__ = get_methods_docstr(minimize, {**_RF_METHODS, **_OPT_METHODS})
