@@ -1,0 +1,96 @@
+"""Complex-dtype coverage for solve and symeig (CPU-only: the TPU tunnel
+lacks c64/c128; the reference tests complex via include_complex in
+device_dtype_float_test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu import LinearOperator
+from xitorch_tpu.linalg import solve, symeig
+from tests.utils import assert_allclose
+
+
+def make_herm_c(rng, n):
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    return jnp.asarray(a @ a.conj().T + n * np.eye(n))
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres", "exactsolve"])
+def test_solve_complex(method, rng):
+    n, nc = 8, 2
+    Am = make_herm_c(rng, n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)) + 1j * rng.standard_normal((n, nc)))
+    A = LinearOperator.m(Am, is_hermitian=True)
+    x = solve(A, Bm, method=method, rtol=1e-11, atol=1e-13, max_niter=300)
+    assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-6, atol=1e-8)
+
+
+def test_solve_complex_grad(rng):
+    n, nc = 6, 1
+    Am = make_herm_c(rng, n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)) + 1j * rng.standard_normal((n, nc)))
+
+    def with_op(Bm):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        x = solve(A, Bm, method="cg", rtol=1e-13, atol=1e-15, max_niter=500)
+        return jnp.sum(jnp.abs(x) ** 2)
+
+    def with_dense(Bm):
+        return jnp.sum(jnp.abs(jnp.linalg.solve(Am, Bm)) ** 2)
+
+    g1 = jax.grad(with_op)(Bm)
+    g2 = jax.grad(with_dense)(Bm)
+    assert_allclose(g1, g2, rtol=1e-6, atol=1e-9)
+
+
+def test_symeig_complex(rng):
+    n, neig = 8, 3
+    Am = make_herm_c(rng, n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    evals, evecs = symeig(A, neig, "lowest")
+    d = jnp.linalg.eigvalsh(Am)
+    assert_allclose(evals, d[:neig], atol=1e-8)
+    assert_allclose(Am @ evecs, evecs * evals[None, :], atol=1e-7)
+
+
+def test_symeig_complex_davidson_grad(rng):
+    n, neig = 8, 2
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+
+    class HOp(LinearOperator):
+        def __init__(self, a):
+            super().__init__(shape=a.shape, is_hermitian=True, dtype=a.dtype)
+            self.a = a
+
+        def _getparamnames(self, prefix=""):
+            return [prefix + "a"]
+
+        def dense(self):
+            return (self.a + jnp.swapaxes(self.a, -2, -1).conj()) / 2
+
+        def _mv(self, x):
+            return jnp.einsum("...pq,...q->...p", self.dense(), x)
+
+        def _mm(self, x):
+            return self.dense() @ x
+
+    a = jnp.asarray(a)
+
+    def loss(a, method):
+        kw = {} if method == "exacteig" else \
+            {"min_eps": 1e-12, "max_niter": 4000,
+             "bck_options": {"rtol": 1e-12, "atol": 1e-14}}
+        evals, _ = symeig(HOp(a), neig, "lowest", method=method, **kw)
+        return jnp.sum(evals ** 2)
+
+    def loss_dense(a):
+        H = (a + a.conj().T) / 2
+        return jnp.sum(jnp.linalg.eigvalsh(H)[:neig] ** 2)
+
+    assert_allclose(loss(a, "davidson"), loss_dense(a), rtol=1e-7)
+    gd_ = jax.grad(lambda a: loss(a, "davidson"))(a)
+    ge = jax.grad(lambda a: loss(a, "exacteig"))(a)
+    gref = jax.grad(loss_dense)(a)
+    assert_allclose(ge, gref, rtol=1e-5, atol=1e-8)
+    assert_allclose(gd_, gref, rtol=1e-4, atol=1e-7)

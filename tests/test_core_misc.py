@@ -1,0 +1,170 @@
+"""Core misc tests: Packer, EditableModule shim, debug mode, utils, docstr
+(model: reference test_packer.py / test_editable_module.py / test_debug.py /
+test_utils.py)."""
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xitorch_tpu import Packer, EditableModule
+from xitorch_tpu.debug import enable_debug, is_debug_enabled
+from xitorch_tpu.utils import (
+    get_bcasted_dims, normalize_bcast_dims, match_dim, tallqr,
+    get_np_dtype, get_jax_dtype, get_method, set_default_option,
+    get_attr, set_attr, deprecated,
+)
+from tests.utils import assert_allclose
+
+
+# ------------------------- Packer -------------------------
+
+def test_packer_roundtrip(rng):
+    obj = {"a": jnp.asarray(rng.standard_normal(3)),
+           "b": (jnp.asarray(rng.standard_normal((2, 2))),
+                 jnp.asarray(rng.standard_normal(1)))}
+    p = Packer(obj)
+    flat = p.get_param_tensor()
+    assert flat.shape == (8,)
+    obj2 = p.construct_from_tensor(flat * 2)
+    assert_allclose(obj2["a"], obj["a"] * 2)
+    assert_allclose(obj2["b"][0], obj["b"][0] * 2)
+
+    leaves = p.get_param_tensor_list()
+    obj3 = p.construct_from_tensor_list(leaves)
+    assert_allclose(obj3["a"], obj["a"])
+
+    with pytest.raises(RuntimeError):
+        p.construct_from_tensor(jnp.zeros(5))
+
+
+def test_packer_grad(rng):
+    obj = {"w": jnp.asarray(rng.standard_normal((3, 3)))}
+
+    def loss(flat):
+        o = Packer(obj).construct_from_tensor(flat)
+        return jnp.sum(o["w"] ** 2)
+
+    flat = Packer(obj).get_param_tensor()
+    g = jax.grad(loss)(flat)
+    assert_allclose(g, 2 * flat)
+
+
+# ------------------------- EditableModule -------------------------
+
+class Mod(EditableModule):
+    def __init__(self, a, b):
+        self.a = a
+        self.sub = {"b": b}
+
+    def forward(self, x):
+        return self.a * x + self.sub["b"]
+
+    def getparamnames(self, methodname, prefix=""):
+        if methodname == "forward":
+            return [prefix + "a", prefix + "sub[b]"]
+        raise KeyError(methodname)
+
+
+def test_editable_module_get_set(rng):
+    a = jnp.asarray(2.0)
+    b = jnp.asarray(3.0)
+    m = Mod(a, b)
+    params = m.getparams("forward")
+    assert len(params) == 2
+    assert_allclose(params[0], 2.0)
+    assert_allclose(params[1], 3.0)
+    m.setparams("forward", jnp.asarray(5.0), jnp.asarray(7.0))
+    assert_allclose(m.forward(jnp.asarray(1.0)), 12.0)
+
+
+def test_attr_utils():
+    class Obj:
+        pass
+
+    o = Obj()
+    o.x = [1, 2, {"k": 3}]
+    assert get_attr(o, "x[1]") == 2
+    assert get_attr(o, "x[2][k]") == 3
+    set_attr(o, "x[0]", 10)
+    assert o.x[0] == 10
+
+
+# ------------------------- debug mode -------------------------
+
+def test_debug_mode_flag():
+    assert not is_debug_enabled()
+    with enable_debug():
+        assert is_debug_enabled()
+    assert not is_debug_enabled()
+
+
+def test_debug_cli(tmp_path):
+    script = tmp_path / "s.py"
+    script.write_text(
+        "from xitorch_tpu.debug import is_debug_enabled\n"
+        "print('DEBUG_IS', is_debug_enabled())\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "xitorch_tpu.debug", str(script)],
+        capture_output=True, text=True, env={"PATH": "/usr/bin:/bin",
+                                             "PYTHONPATH": "/root/repo",
+                                             "JAX_PLATFORMS": "cpu"})
+    assert "DEBUG_IS True" in out.stdout, out.stderr
+
+
+# ------------------------- utils -------------------------
+
+def test_bcast_utils():
+    assert get_bcasted_dims((3, 1), (1, 4)) == (3, 4)
+    assert normalize_bcast_dims((2,), (3, 2)) == [[1, 2], [3, 2]]
+    a, b = match_dim(jnp.zeros((2, 5)), jnp.zeros((7,)))
+    assert a.shape == (2, 5) and b.shape == (2, 7)
+
+
+def test_tallqr(rng):
+    V = jnp.asarray(rng.standard_normal((3, 10, 4)))
+    Q, R = tallqr(V)
+    assert_allclose(jnp.swapaxes(Q, -2, -1) @ Q,
+                    jnp.broadcast_to(jnp.eye(4), (3, 4, 4)), atol=1e-7)
+    assert_allclose(Q @ R, V, atol=1e-7)
+
+
+def test_dtype_maps():
+    assert get_np_dtype(jnp.float32) == np.float32
+    assert get_jax_dtype("float64") == jnp.dtype(jnp.float64)
+    assert get_jax_dtype("torch.float32") == jnp.dtype(jnp.float32)
+
+
+def test_get_method_registry():
+    methods = {"foo": lambda: 1}
+    assert get_method("x", methods, "foo")() == 1
+    custom = lambda: 2
+    assert get_method("x", methods, custom)() == 2
+    with pytest.raises(RuntimeError):
+        get_method("x", methods, "bar")
+    with pytest.raises(TypeError):
+        get_method("x", methods, 3)
+
+
+def test_set_default_option():
+    assert set_default_option({"a": 1, "b": 2}, {"b": 3}) == {"a": 1, "b": 3}
+
+
+def test_deprecated_decorator():
+    @deprecated("2026-01-01")
+    def f():
+        return 7
+
+    with pytest.warns(DeprecationWarning):
+        assert f() == 7
+
+
+def test_docstrings_have_methods_section():
+    from xitorch_tpu.optimize import rootfinder
+    from xitorch_tpu.linalg import solve, symeig
+    from xitorch_tpu.integrate import solve_ivp
+    for fn, m in [(rootfinder, "broyden1"), (solve, "bicgstab"),
+                  (symeig, "davidson"), (solve_ivp, "rk45")]:
+        assert ('method="%s"' % m) in fn.__doc__
