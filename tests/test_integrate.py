@@ -249,3 +249,41 @@ def test_squad_batched_dims():
     assert_allclose(c0, c.T)
     i = sq.integrate(y, keepdim=True)
     assert i.shape == (2, 1)
+
+
+def test_ivp_backsolve_adjoint():
+    """Continuous-adjoint (backsolve) gradients match autodiff gradients."""
+    a = jnp.asarray(-0.6)
+    y0 = jnp.asarray([1.3, 0.7])
+    ts = jnp.linspace(0.0, 1.5, 6)
+
+    def run(a, y0, adjoint):
+        yt = solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk45",
+                       adjoint=adjoint, atol=1e-10, rtol=1e-9)
+        return jnp.sum(yt ** 2)
+
+    v1 = run(a, y0, "autodiff")
+    v2 = run(a, y0, "backsolve")
+    assert_allclose(v1, v2, rtol=1e-10)
+
+    g1 = jax.grad(run, argnums=(0, 1))(a, y0, "autodiff")
+    g2 = jax.grad(run, argnums=(0, 1))(a, y0, "backsolve")
+    assert_allclose(g1[0], g2[0], rtol=1e-5)
+    assert_allclose(g1[1], g2[1], rtol=1e-5)
+
+
+def test_ivp_backsolve_ts_grad():
+    a = jnp.asarray(-0.5)
+    y0 = jnp.asarray([1.0])
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    def run(ts):
+        yt = solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk45",
+                       adjoint="backsolve", atol=1e-11, rtol=1e-10)
+        return jnp.sum(yt[-1] ** 2)
+
+    g = jax.grad(run)(ts)
+    # analytic: d/dT [y0^2 e^{2a(T-t0)}] = 2a y(T)^2 ; d/dt0 = -that
+    yT = float(y0[0] * jnp.exp(a * (ts[-1] - ts[0])))
+    assert_allclose(g[-1], 2 * a * yT ** 2, rtol=1e-4)
+    assert_allclose(g[0], -2 * a * yT ** 2, rtol=1e-4)

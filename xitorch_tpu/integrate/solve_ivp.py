@@ -49,15 +49,38 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
               params: Sequence[Any] = (),
               bck_options: Mapping[str, Any] = {},
               method: Union[str, Callable, None] = None,
+              adjoint: str = "autodiff",
               **fwd_options):
     r"""Solve dy/dt = fcn(t, y, *params) from y(ts[0]) = y0, returning y at
     every t in ``ts`` with shape ``(nt, *ny)`` (pytree leaves gain a leading
-    nt).  ``ts`` must be monotonic (1D)."""
+    nt).  ``ts`` must be monotonic (1D).
+
+    adjoint: "autodiff" (default — reverse-AD through the solver: exact
+    w.r.t. the discrete solution, any order, vmappable) or "backsolve"
+    (the reference's continuous adjoint: O(1) memory, 1st order only).
+    """
     if ts.ndim != 1:
         raise RuntimeError("Argument ts must be a 1D tensor")
     if method is None:
         method = "rk45"
     solver = get_method("solve_ivp", _IVP_METHODS, method)
+
+    if adjoint == "backsolve":
+        from xitorch_tpu.integrate._adjoint import backsolve_ivp
+        from xitorch_tpu.optimize.rootfinder import _partition_params
+
+        dynparams, merge = _partition_params(params)
+        y0flat, unravel = ravel_pytree(y0)
+
+        def fcn_flat(t, yf, *dp):
+            dy = fcn(t, unravel(yf), *merge(dp))
+            return ravel_pytree(dy)[0]
+
+        ytflat = backsolve_ivp(solver, fcn_flat, ts, y0flat, dynparams,
+                               **fwd_options)
+        return jax.vmap(unravel)(ytflat)
+    if adjoint != "autodiff":
+        raise RuntimeError("Unknown adjoint mode: %s" % adjoint)
 
     is_pytree = not hasattr(y0, "shape")
     if (isinstance(method, str) and method in _ADAPTIVE) and is_pytree:
