@@ -18,3 +18,6 @@ from xitorch_tpu._core.editable_module import EditableModule  # noqa: F401
 from xitorch_tpu._core.packer import Packer  # noqa: F401
 from xitorch_tpu._core.pure import make_pure, make_sibling  # noqa: F401
 from xitorch_tpu.version import __version__  # noqa: F401
+
+# subpackages importable as attributes (import xitorch_tpu; xitorch_tpu.linalg.solve)
+from xitorch_tpu import linalg, optimize, integrate, interpolate, grad, parallel, debug, utils  # noqa: F401,E402

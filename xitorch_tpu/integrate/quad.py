@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Mapping, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 
 from xitorch_tpu._impls.integrate.fixed_quad import leggauss
@@ -57,7 +58,6 @@ def quad(fcn: Callable, xl, xu,
             x = jnp.tan(t)
             sec2 = 1.0 / jnp.cos(t) ** 2
             ys = fcn(x, *params)
-            import jax
             return jax.tree_util.tree_map(lambda y: y * sec2, ys)
 
         tl = jnp.arctan(jnp.asarray(xl, dtype=jnp.result_type(xl, xu, 0.1)))

@@ -121,15 +121,7 @@ def _prepare(fcn, y0, params):
         return fcn(y, *merge(dp))
 
     converted, consts = jax.closure_convert(fcn_dyn, y0, *dynparams)
-    alldyn = (*dynparams, *consts)
-
-    def merged_call(y, *alldp):
-        return converted(y, *alldp)
-
-    def merge_all(alldp):
-        return tuple(alldp)
-
-    return merged_call, alldyn
+    return converted, (*dynparams, *consts)
 
 
 def rootfinder(fcn: Callable, y0: jnp.ndarray,
