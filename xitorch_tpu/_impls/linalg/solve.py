@@ -182,6 +182,7 @@ def cg(A: LinearOperator, B: jnp.ndarray,
        atol: float = 1e-8,
        eps: float = 1e-12,
        resid_calc_every: int = 10,
+       verbose: bool = False,
        **unused) -> jnp.ndarray:
     """Batched preconditioned conjugate gradient.
 
@@ -229,6 +230,8 @@ def cg(A: LinearOperator, B: jnp.ndarray,
 
         resid_norm = _colnorm(rk1)
         max_resid = jnp.max(resid_norm)
+        if verbose:
+            jax.debug.print("{k:4d}: |dy|={r:.3e}", k=k + 1, r=max_resid)
         better = max_resid < best_resid
         best_x = jnp.where(better, xk1, best_x)
         best_resid = jnp.where(better, max_resid, best_resid)

@@ -211,11 +211,12 @@ def _nonlin_solver(fcn, x0, params=(), *,
     count0 = jnp.asarray(0)
     if use_broyden and uv0 is not None:
         if uv0 == "svd":
-            raise NotImplementedError(
-                "uv0='svd' warm start is not implemented yet; pass explicit (u, v)")
+            # 1-rank SVD warm start of the inverse Jacobian
+            # (reference _jacobian.py:224-232)
+            uv0 = _get_svd_uv0(func, x)
         cn0, dn0 = uv0
-        cns = cns.at[0].set(_ravel(cn0))
-        dns = dns.at[0].set(_ravel(dn0))
+        cns = cns.at[0].set(_ravel(cn0) if cn0.shape != (n,) else cn0)
+        dns = dns.at[0].set(_ravel(dn0) if dn0.shape != (n,) else dn0)
         count0 = jnp.asarray(1)
 
     if jac_variant == "newton":
@@ -272,6 +273,9 @@ def _nonlin_solver(fcn, x0, params=(), *,
             xnew = state["x"] + dx
             ynew = func(xnew)
             ynorm_new = _norm(ynew)
+        if verbose:
+            jax.debug.print("{i:6d}: |dx|={dx:.3e}, |f|={f:.3e}",
+                            i=state["iter"], dx=_norm(dx), f=ynorm_new)
 
         better = ynorm_new < state["best_ynorm"]
         best_x = jnp.where(better, xnew, state["best_x"])
@@ -324,3 +328,16 @@ def linearmixing(fcn, x0, params=(), *, alpha=None, **kwargs):
     """Constant-scalar inverse Jacobian ``-alpha*I`` (reference :241-256)."""
     return _nonlin_solver(fcn, x0, params, jac_variant="linearmixing",
                           alpha=alpha, **kwargs)
+
+
+def _get_svd_uv0(func, x0):
+    """1-rank lowest-SVD warm start for the inverse Jacobian
+    (reference _jacobian.py:224-232): J ≈ u s v^H at x0 ->
+    Gm gains the pair (v/sqrt(s), u/sqrt(s))."""
+    from xitorch_tpu.grad.jachess import jac as jac_op
+    from xitorch_tpu.linalg.symeig import svd
+
+    fjac = jac_op(lambda xx: func(xx), (x0,), idxs=0)
+    u, s, vh = svd(fjac, k=1, mode="lowest", method="davidson", min_eps=1e-3)
+    sinv_sqrt = 1.0 / jnp.sqrt(jnp.clip(s, min=0.1))
+    return (sinv_sqrt * vh[..., 0, :], sinv_sqrt * u[..., :, 0])
