@@ -25,6 +25,7 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
                  beta: float = 1.0,
                  lmbda: float = 1e-4,
                  maxiter=None, f_tol=None, f_rtol=None, x_tol=None, x_rtol=None,
+                 custom_terminator=None,
                  verbose: bool = False,
                  **unused) -> jnp.ndarray:
     """Solve x = fcn(x, *params) by Anderson acceleration (Walker & Ni).
@@ -63,7 +64,8 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
     fcol = fcol.at[..., 1, :].set(fn1)
 
     devnorm = _norm(fn1 - xn1)
-    stop_cond = TerminationCondition(f_tol, f_rtol, devnorm, x_tol, x_rtol)
+    stop_cond = custom_terminator if custom_terminator is not None \
+        else TerminationCondition(f_tol, f_rtol, devnorm, x_tol, x_rtol)
 
     eye_m1 = jnp.eye(msize + 1, dtype=dtype)
 

@@ -145,6 +145,7 @@ def _nonlin_solver(fcn, x0, params=(), *,
                    maxiter=None, f_tol=None, f_rtol=None, x_tol=None, x_rtol=None,
                    # algorithm parameters
                    line_search=True,
+                   custom_terminator=None,
                    # misc
                    verbose=False,
                    **unused):
@@ -194,7 +195,8 @@ def _nonlin_solver(fcn, x0, params=(), *,
 
     y = func(x)
     y_norm = _norm(y)
-    stop_cond = TerminationCondition(f_tol, f_rtol, y_norm, x_tol, x_rtol)
+    stop_cond = custom_terminator if custom_terminator is not None \
+        else TerminationCondition(f_tol, f_rtol, y_norm, x_tol, x_rtol)
 
     # initial alpha (reference _jacobian.py:76-82)
     if alpha is None:
