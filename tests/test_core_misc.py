@@ -168,3 +168,26 @@ def test_docstrings_have_methods_section():
     for fn, m in [(rootfinder, "broyden1"), (solve, "bicgstab"),
                   (symeig, "davidson"), (solve_ivp, "rk45")]:
         assert ('method="%s"' % m) in fn.__doc__
+
+
+def test_serving_export_roundtrip(rng):
+    """AOT export -> serialize -> deserialize -> serve a solver."""
+    import xitorch_tpu.serving as serving
+    from xitorch_tpu import LinearOperator
+    from xitorch_tpu.linalg import solve
+
+    a = rng.standard_normal((6, 6))
+    mat = jnp.asarray(a @ a.T + 6 * np.eye(6))
+    b = jnp.asarray(rng.standard_normal((6, 2)))
+
+    def fn(mat, b):
+        return solve(LinearOperator.m(mat, is_hermitian=True), b, method="cg",
+                     rtol=1e-10, atol=1e-12)
+
+    blob = serving.export_bytes(fn, (mat, b))
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 100
+    served = serving.import_bytes(blob)
+    assert_allclose(served(mat, b), jnp.linalg.solve(mat, b), rtol=1e-6)
+
+    compiled = serving.aot_compile(fn, (mat, b))
+    assert_allclose(compiled(mat, b), jnp.linalg.solve(mat, b), rtol=1e-6)

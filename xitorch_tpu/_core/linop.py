@@ -451,30 +451,40 @@ class MatrixLinearOperator(LinearOperator):
 
     ``mv``/``mm`` lower to batched einsum which XLA tiles onto the MXU.
     (Reference linop.py:676-709.)
+
+    Matmuls default to full (HIGHEST) precision: on TPU, XLA's default bf16
+    MXU multiplies cap iterative-solver residuals at ~1e-2·κ, which silently
+    breaks tight tolerances.  Pass ``precision=None`` (or
+    ``jax.lax.Precision.DEFAULT``) to opt into fast bf16 multiplies.
     """
 
-    def __init__(self, mat: jnp.ndarray, is_hermitian: bool):
+    def __init__(self, mat: jnp.ndarray, is_hermitian: bool,
+                 precision="highest"):
         super().__init__(
             shape=tuple(mat.shape),
             is_hermitian=is_hermitian,
             dtype=mat.dtype,
             _suppress_hermit_warning=True)
         self.mat = mat
+        self._precision = precision
 
     def _getparamnames(self, prefix: str = "") -> List[str]:
         return [prefix + "mat"]
 
     def _mv(self, x):
-        return jnp.einsum("...pq,...q->...p", self.mat, x)
+        return jnp.einsum("...pq,...q->...p", self.mat, x,
+                          precision=self._precision)
 
     def _mm(self, x):
-        return self.mat @ x
+        return jnp.matmul(self.mat, x, precision=self._precision)
 
     def _rmv(self, x):
-        return jnp.einsum("...pq,...p->...q", self.mat.conj(), x)
+        return jnp.einsum("...pq,...p->...q", self.mat.conj(), x,
+                          precision=self._precision)
 
     def _rmm(self, x):
-        return jnp.swapaxes(self.mat, -2, -1).conj() @ x
+        return jnp.matmul(jnp.swapaxes(self.mat, -2, -1).conj(), x,
+                          precision=self._precision)
 
     def _fullmatrix(self):
         return self.mat

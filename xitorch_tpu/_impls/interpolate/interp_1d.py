@@ -106,7 +106,8 @@ class CubicSpline1D(_BaseInterp1D):
     """
 
     def __init__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
-                 bc_type: Optional[str] = None, extrap=None, **unused):
+                 bc_type: Optional[str] = None, extrap=None,
+                 use_tridiag: Optional[bool] = None, **unused):
         if bc_type is None:
             bc_type = "not-a-knot"
         bc_types = ["natural", "clamped", "not-a-knot", "periodic"]
@@ -118,15 +119,29 @@ class CubicSpline1D(_BaseInterp1D):
         super().__init__(x, y, extrap=extrap)
         self.x = x
         self.bc_type = bc_type
-        self.spline_mat_inv = get_spline_mat_inv(x, bc_type)  # (*BX, nr, nr)
+        # O(n) Thomas path for strictly-tridiagonal boundary conditions on a
+        # 1-D knot vector (the reference always inverts the dense (nr, nr)
+        # system, interp_1d.py:402); auto-enabled for large grids
+        if use_tridiag is None:
+            use_tridiag = bc_type in ("natural", "clamped") and x.ndim == 1 \
+                and x.shape[-1] >= 128
+        self._use_tridiag = use_tridiag and bc_type in ("natural", "clamped") \
+            and x.ndim == 1
+        if not self._use_tridiag:
+            self.spline_mat_inv = get_spline_mat_inv(x, bc_type)  # (*BX, nr, nr)
         if self._y_is_given:
-            self.ks = jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
+            self.ks = self._solve_ks(y)
+
+    def _solve_ks(self, y):
+        if self._use_tridiag:
+            return spline_ks_tridiag(self.x, y, self.bc_type)
+        return jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
 
     def _interp(self, xq, y):
         if self._y_is_given:
             ks = self.ks
         else:
-            ks = jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
+            ks = self._solve_ks(y)
 
         x, xq_b = match_dim(self.x, xq)
         nr = x.shape[-1]
@@ -272,3 +287,46 @@ def _offdiag_embed(d: jnp.ndarray, offset: int) -> jnp.ndarray:
     else:
         dd = jnp.concatenate([jnp.zeros_like(d[..., :(-offset)]), d], axis=-1)
     return dd[..., :, None] * eye
+
+
+def spline_ks_tridiag(x: jnp.ndarray, y: jnp.ndarray, bc_type: str) -> jnp.ndarray:
+    """Spline gradients ks for natural/clamped bc via an O(n) tridiagonal
+    solve (lax.linalg.tridiagonal_solve) instead of the dense inverse.
+
+    x: (nr,); y: (*BY, nr) -> ks: (*BY, nr).
+    """
+    from jax.lax.linalg import tridiagonal_solve
+
+    nr = x.shape[-1]
+    dtype = x.dtype
+    dxinv0 = 1.0 / (x[1:] - x[:-1])  # (nr-1,)
+    zero = jnp.zeros((1,), dtype)
+    dxinv = jnp.concatenate([zero, dxinv0, zero])  # (nr+1,)
+    diag = (dxinv[:-1] + dxinv[1:]) * 2  # (nr,)
+    # lhs diagonals in tridiagonal_solve layout: dl[0] == 0, du[-1] == 0
+    dl = jnp.concatenate([zero, dxinv0])
+    du = jnp.concatenate([dxinv0, zero])
+
+    dxinv2 = (dxinv * dxinv) * 3
+    diagr = dxinv2[:-1] - dxinv2[1:]  # (nr,)
+    udiagr = dxinv2[1:-1]  # (nr-1,)
+
+    yb = jnp.asarray(y)
+    r = diagr * yb
+    r = r.at[..., :-1].add(udiagr * yb[..., 1:])
+    r = r.at[..., 1:].add(-udiagr * yb[..., :-1])
+
+    if bc_type == "clamped":
+        one = jnp.ones((), dtype)
+        diag = diag.at[0].set(one).at[-1].set(one)
+        du = du.at[0].set(0.0)
+        dl = dl.at[-1].set(0.0)
+        r = r.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    elif bc_type != "natural":
+        raise RuntimeError("tridiagonal spline path supports natural/clamped only")
+
+    # solve for all batch rows at once: b must be (nr, k)
+    batch_shape = yb.shape[:-1]
+    b2 = jnp.moveaxis(r.reshape(-1, nr), 0, -1)  # (nr, nbatch)
+    ks = tridiagonal_solve(dl, diag, du, b2)  # (nr, nbatch)
+    return jnp.moveaxis(ks, -1, 0).reshape(*batch_shape, nr)

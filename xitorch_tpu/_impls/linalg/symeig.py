@@ -112,6 +112,7 @@ def davidson(A: LinearOperator, neig: int, mode: str,
              v_init: str = "randn",
              max_addition: Optional[int] = None,
              min_eps: float = 1e-6,
+             precond=None,
              verbose: bool = False,
              **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Block Davidson for ``neig`` extreme eigenpairs of a hermitian
@@ -121,6 +122,8 @@ def davidson(A: LinearOperator, neig: int, mode: str,
     max_niter, nguess (block size, default neig), v_init ("randn"/"rand"/
     "eye"), min_eps (residual tolerance).  ``max_addition`` is accepted for
     API parity; the fixed subspace holds [X, R, X_prev] (3 blocks).
+    ``precond``: optional LinearOperator or callable applied to the residual
+    block before expansion (e.g. an approximate (diag(A)-λ)^-1).
     """
     if nguess is None:
         nguess = neig
@@ -191,6 +194,8 @@ def davidson(A: LinearOperator, neig: int, mode: str,
         AX = A.mm(X)
         R = AX - mmM(X) * lam[..., None, :]
         # new subspace from [X, R_orth, P_orth]
+        if precond is not None:
+            R = precond.mm(R) if isinstance(precond, LinearOperator) else precond(R)
         MX = mmM(X)
         k1, k2 = jax.random.split(jax.random.fold_in(noise_key, i))
         Rb = _fix_block(R, X, MX, k1)

@@ -48,23 +48,30 @@ def create_random_square_matrix(
     seed: int = 0,
     dtype=jnp.float64,
 ) -> jnp.ndarray:
-    """Random square matrix with controlled eigenvalue range (test/bench factory)."""
-    key = jax.random.PRNGKey(seed)
-    eivals = jnp.linspace(min_eival, max_eival, n, dtype=dtype)
-    sign = jnp.where(eivals >= 0, 1.0, -1.0)
-    eivals = jnp.where(jnp.abs(eivals) < minabs_eival, sign * minabs_eival, eivals)
+    """Random square matrix with controlled eigenvalue range (test/bench
+    factory).  Constructed in host float64 (like the reference's torch-f64
+    factory, tensor.py:50-73) so the spectrum is exact even when the target
+    dtype/backend is low precision, then cast."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    eivals = np.linspace(min_eival, max_eival, n)
+    sign = np.where(eivals >= 0, 1.0, -1.0)
+    eivals = np.where(np.abs(eivals) < minabs_eival, sign * minabs_eival, eivals)
     if is_hermitian:
-        q = create_random_ortho_matrix(n, seed=seed, dtype=dtype)
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
         mat = (q * eivals) @ q.T
-        return (mat + mat.T) * 0.5
+        mat = (mat + mat.T) * 0.5
     else:
-        a = jax.random.normal(key, (n, n), dtype=dtype)
-        a = a / jnp.linalg.norm(a, axis=-2, keepdims=True)
-        return jnp.linalg.inv(a) @ (eivals[:, None] * a)
+        a = rng.standard_normal((n, n))
+        a = a / np.linalg.norm(a, axis=-2, keepdims=True)
+        mat = np.linalg.solve(a, eivals[:, None] * a)
+    return jnp.asarray(mat, dtype=dtype)
 
 
 def create_random_ortho_matrix(n: int, seed: int = 0, dtype=jnp.float64) -> jnp.ndarray:
-    key = jax.random.PRNGKey(seed)
-    a = jax.random.normal(key, (n, n), dtype=dtype)
-    q, _ = jnp.linalg.qr(a)
-    return q
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    return jnp.asarray(q, dtype=dtype)
