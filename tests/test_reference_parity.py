@@ -1,0 +1,156 @@
+"""Direct numeric parity vs the PyTorch reference at /root/reference
+(skipped when unavailable): forward, 1st- and 2nd-order gradients must
+match to <= 1e-6 rel-err (BASELINE.md targets), at float64 on CPU.
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+xitorch_ref = pytest.importorskip("xitorch")
+
+from xitorch_tpu.optimize import rootfinder as rf_tpu, equilibrium as eq_tpu
+from xitorch_tpu.linalg import solve as solve_tpu, symeig as symeig_tpu
+from xitorch_tpu import LinearOperator as LinOpTPU
+from xitorch_tpu.integrate import quad as quad_tpu
+from tests.utils import assert_allclose
+
+A_NP = np.asarray([[1.1, 0.4], [0.3, 0.8]], dtype=np.float64)
+
+
+def test_rootfinder_parity_fwd_grad_gradgrad():
+    from xitorch.optimize import rootfinder as rf_ref
+
+    def fcn_t(y, A):
+        return torch.tanh(A @ y + 0.1) + y / 2.0
+
+    def fcn_j(y, A):
+        return jnp.tanh(A @ y + 0.1) + y / 2.0
+
+    # reference forward / grad / gradgrad
+    A_t = torch.tensor(A_NP, requires_grad=True)
+    y0_t = torch.zeros((2, 1), dtype=torch.float64)
+    y_ref = rf_ref(fcn_t, y0_t, params=(A_t,), method="broyden1", f_tol=1e-14)
+    loss_ref = (y_ref ** 2).sum()
+    g_ref, = torch.autograd.grad(loss_ref, (A_t,), create_graph=True)
+    gg_ref, = torch.autograd.grad(g_ref.sum(), (A_t,))
+
+    # ours
+    A_j = jnp.asarray(A_NP)
+
+    def loss_j(A):
+        y = rf_tpu(fcn_j, jnp.zeros((2, 1)), params=(A,), method="broyden1",
+                   f_tol=1e-14, maxiter=10000)
+        return jnp.sum(y ** 2)
+
+    y_j = rf_tpu(fcn_j, jnp.zeros((2, 1)), params=(A_j,), method="broyden1",
+                 f_tol=1e-14, maxiter=10000)
+    g_j = jax.grad(loss_j)(A_j)
+    gg_j = jax.grad(lambda A: jnp.sum(jax.grad(loss_j)(A)))(A_j)
+
+    assert_allclose(y_j, y_ref.detach().numpy(), rtol=1e-8, atol=1e-10)
+    assert_allclose(g_j, g_ref.detach().numpy(), rtol=1e-6, atol=1e-9)
+    assert_allclose(gg_j, gg_ref.detach().numpy(), rtol=1e-6, atol=1e-8)
+
+
+def test_solve_parity_grads():
+    from xitorch.linalg import solve as solve_ref
+
+    rng = np.random.default_rng(0)
+    a_np = rng.standard_normal((6, 6))
+    spd_np = a_np @ a_np.T + 6 * np.eye(6)
+    b_np = rng.standard_normal((6, 2))
+
+    # reference grads through cg
+    mat_t = torch.tensor(spd_np, requires_grad=True)
+    b_t = torch.tensor(b_np, requires_grad=True)
+    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2, is_hermitian=True)
+    x_ref = solve_ref(A_ref, b_t, method="cg", rtol=1e-12, atol=1e-14)
+    loss_ref = (x_ref ** 3).sum()
+    gmat_ref, gb_ref = torch.autograd.grad(loss_ref, (mat_t, b_t))
+
+    def loss_j(mat, b):
+        A = LinOpTPU.m((mat + mat.T) / 2, is_hermitian=True)
+        x = solve_tpu(A, b, method="cg", rtol=1e-12, atol=1e-14)
+        return jnp.sum(x ** 3)
+
+    gmat_j, gb_j = jax.grad(loss_j, argnums=(0, 1))(jnp.asarray(spd_np),
+                                                    jnp.asarray(b_np))
+    assert_allclose(gmat_j, gmat_ref.numpy(), rtol=1e-6, atol=1e-9)
+    assert_allclose(gb_j, gb_ref.numpy(), rtol=1e-6, atol=1e-9)
+
+
+def test_symeig_parity_grads():
+    from xitorch.linalg import symeig as symeig_ref
+
+    rng = np.random.default_rng(1)
+    a_np = rng.standard_normal((6, 6))
+
+    mat_t = torch.tensor(a_np, requires_grad=True)
+    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2, is_hermitian=True)
+    evals_ref, evecs_ref = symeig_ref(A_ref, 2, "lowest")
+    loss_ref = (evals_ref ** 2).sum() + (evecs_ref ** 4).sum()
+    g_ref, = torch.autograd.grad(loss_ref, (mat_t,))
+
+    def loss_j(mat):
+        A = LinOpTPU.m((mat + mat.T) / 2, is_hermitian=True)
+        evals, evecs = symeig_tpu(A, 2, "lowest")
+        return jnp.sum(evals ** 2) + jnp.sum(evecs ** 4)
+
+    g_j = jax.grad(loss_j)(jnp.asarray(a_np))
+    # eigenvector signs are arbitrary but the |evecs|^4 loss is sign-invariant
+    assert_allclose(g_j, g_ref.numpy(), rtol=1e-6, atol=1e-9)
+
+
+def test_quad_parity_grads():
+    from xitorch.integrate import quad as quad_ref
+
+    g_np, w_np = 0.2, 1.3
+
+    def f_t(x, g, w):
+        return torch.exp(-0.5 * ((x - g) / w) ** 2)
+
+    def f_j(x, g, w):
+        return jnp.exp(-0.5 * ((x - g) / w) ** 2)
+
+    g_t = torch.tensor(g_np, dtype=torch.float64, requires_grad=True)
+    w_t = torch.tensor(w_np, dtype=torch.float64, requires_grad=True)
+    xl = torch.tensor(-2.0, dtype=torch.float64)
+    xu = torch.tensor(3.0, dtype=torch.float64)
+    y_ref = quad_ref(f_t, xl, xu, params=(g_t, w_t), method="leggauss", n=100)
+    gg_ref, gw_ref = torch.autograd.grad(y_ref, (g_t, w_t))
+
+    def y_j(g, w):
+        return quad_tpu(f_j, jnp.asarray(-2.0), jnp.asarray(3.0),
+                        params=(g, w), method="leggauss", n=100)
+
+    y_val = y_j(jnp.asarray(g_np), jnp.asarray(w_np))
+    gg_j, gw_j = jax.grad(y_j, argnums=(0, 1))(jnp.asarray(g_np), jnp.asarray(w_np))
+    assert_allclose(y_val, y_ref.detach().numpy(), rtol=1e-10)
+    assert_allclose(gg_j, gg_ref.numpy(), rtol=1e-8)
+    assert_allclose(gw_j, gw_ref.numpy(), rtol=1e-8)
+
+
+def test_interp_parity_values():
+    from xitorch.interpolate import Interp1D as Interp1D_ref
+    from xitorch_tpu.interpolate import Interp1D as Interp1D_tpu
+
+    rng = np.random.default_rng(2)
+    x_np = np.sort(rng.uniform(0, 1, 12))
+    y_np = rng.standard_normal(12)
+    xq_np = np.linspace(x_np[0], x_np[-1], 31)
+
+    for bc in ["natural", "clamped", "not-a-knot", "periodic"]:
+        yy = y_np.copy()
+        if bc == "periodic":
+            yy[-1] = yy[0]
+        ref = Interp1D_ref(torch.tensor(x_np), torch.tensor(yy),
+                           method="cspline", bc_type=bc)(torch.tensor(xq_np))
+        ours = Interp1D_tpu(jnp.asarray(x_np), jnp.asarray(yy),
+                            method="cspline", bc_type=bc)(jnp.asarray(xq_np))
+        assert_allclose(ours, ref.numpy(), atol=1e-9, msg="bc=%s" % bc)
