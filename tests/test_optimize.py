@@ -176,3 +176,39 @@ def test_rootfinder_complex():
     y0 = jnp.asarray(1.0 + 1.0j)
     y = rootfinder(fcn, y0, params=(c,), method="broyden1", f_tol=1e-12)
     assert_allclose(y ** 2, c, atol=1e-7)
+
+
+def test_return_info():
+    """jit-safe (solution, info) convention (SURVEY §5): converged flag,
+    iteration count, best residual norm — with zero tangents."""
+    y, info = rootfinder(tanh_fcn, y0_2x1, params=(A0,), method="broyden1",
+                         f_tol=1e-12, return_info=True)
+    assert float(info["converged"]) == 1.0
+    assert float(info["iterations"]) > 0
+    assert float(info["best_fnorm"]) < 1e-10
+    assert_allclose(tanh_fcn(y, A0), jnp.zeros_like(y), atol=1e-9)
+
+    # non-convergence flagged, best iterate returned
+    _, info2 = rootfinder(tanh_fcn, y0_2x1, params=(A0,), method="broyden1",
+                          f_tol=1e-12, maxiter=2, return_info=True)
+    assert float(info2["converged"]) == 0.0
+
+    # gradients flow through y, info gets zero tangents
+    def loss(A):
+        y, info = rootfinder(tanh_fcn, y0_2x1, params=(A,), f_tol=1e-13,
+                             maxiter=10000, return_info=True)
+        return jnp.sum(y ** 2) + 0.0 * info["best_fnorm"]
+
+    g = jax.grad(loss)(A0)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    # equilibrium + minimize info
+    _, ie = equilibrium(contractive_fcn, y0_2x1, params=(A0,),
+                        method="anderson_acc", f_tol=1e-10, x_tol=1e-10,
+                        return_info=True)
+    assert float(ie["converged"]) == 1.0
+    _, im = minimize(lambda y, A: jnp.sum((A @ y) ** 2 + y ** 4 + y / 2.0),
+                     y0_2x1, params=(A0,), method="adam", step=2e-2,
+                     maxiter=20000, f_rtol=1e-14, x_rtol=1e-12,
+                     return_info=True)
+    assert im["iterations"] is not None

@@ -27,6 +27,7 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
                  maxiter=None, f_tol=None, f_rtol=None, x_tol=None, x_rtol=None,
                  custom_terminator=None,
                  verbose: bool = False,
+                 return_info: bool = False,
                  **unused) -> jnp.ndarray:
     """Solve x = fcn(x, *params) by Anderson acceleration (Walker & Ni).
 
@@ -106,5 +107,12 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
         return (k + 1, xnew, xcol, fcol, stop)
 
     state0 = (jnp.asarray(2), xn1, xcol, fcol, devnorm == 0)
-    _, xfin, _, _, _ = lax.while_loop(cond_fun, body_fun, state0)
+    kfin, xfin, xcolf, fcolf, stop = lax.while_loop(cond_fun, body_fun, state0)
+    if return_info:
+        info = {
+            "converged": stop.astype(jnp.float32),
+            "iterations": kfin.astype(jnp.float32),
+            "best_fnorm": _norm(_fcn(xfin) - xfin).astype(jnp.float32),
+        }
+        return _unravel(xfin), info
     return _unravel(xfin)

@@ -18,7 +18,7 @@ __all__ = ["gd", "adam"]
 
 
 def _minimize_loop(update_init, update_fcn, fcn, x0, params,
-                   maxiter, f_tol, f_rtol, x_tol, x_rtol):
+                   maxiter, f_tol, f_rtol, x_tol, x_rtol, return_info=False):
     def cond_fun(state):
         return (~state["stop"]) & (state["i"] < maxiter)
 
@@ -47,7 +47,15 @@ def _minimize_loop(update_init, update_fcn, fcn, x0, params,
               "best_x": x0, "best_f": jnp.asarray(jnp.inf, dtype=x0.dtype),
               "stop": jnp.asarray(maxiter == 0)}
     out = lax.while_loop(cond_fun, body_fun, state0)
-    return jnp.where(out["stop"], out["x"], out["best_x"])
+    x_final = jnp.where(out["stop"], out["x"], out["best_x"])
+    if return_info:
+        info = {
+            "converged": out["stop"].astype(jnp.float32),
+            "iterations": out["i"].astype(jnp.float32),
+            "best_fnorm": out["best_f"].astype(jnp.float32),
+        }
+        return x_final, info
+    return x_final
 
 
 def gd(fcn: Callable, x0: jnp.ndarray, params=(), *,
@@ -66,7 +74,8 @@ def gd(fcn: Callable, x0: jnp.ndarray, params=(), *,
         return v, v
 
     return _minimize_loop(v0, update, fcn, x0, params,
-                          maxiter, f_tol, f_rtol, x_tol, x_rtol)
+                          maxiter, f_tol, f_rtol, x_tol, x_rtol,
+                          return_info=unused.get("return_info", False))
 
 
 def adam(fcn: Callable, x0: jnp.ndarray, params=(), *,
@@ -90,4 +99,5 @@ def adam(fcn: Callable, x0: jnp.ndarray, params=(), *,
         return (m, v), dx
 
     return _minimize_loop(aux0, update, fcn, x0, params,
-                          maxiter, f_tol, f_rtol, x_tol, x_rtol)
+                          maxiter, f_tol, f_rtol, x_tol, x_rtol,
+                          return_info=unused.get("return_info", False))

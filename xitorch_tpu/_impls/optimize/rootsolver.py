@@ -148,6 +148,7 @@ def _nonlin_solver(fcn, x0, params=(), *,
                    custom_terminator=None,
                    # misc
                    verbose=False,
+                   return_info=False,
                    **unused):
     """
     Keyword arguments
@@ -297,6 +298,14 @@ def _nonlin_solver(fcn, x0, params=(), *,
     }
     out = lax.while_loop(cond_fun, body_fun, state0)
     xfin = jnp.where(out["stop"], out["x"], out["best_x"])
+    if return_info:
+        # jit-safe convergence info (all-float leaves; SURVEY §5 convention)
+        info = {
+            "converged": out["stop"].astype(jnp.float32),
+            "iterations": out["iter"].astype(jnp.float32),
+            "best_fnorm": out["best_ynorm"].astype(jnp.float32),
+        }
+        return _pack(xfin), info
     return _pack(xfin)
 
 

@@ -83,9 +83,12 @@ def _partition_params(params: Sequence[Any]):
 
 
 def _implicit_rootsolve(res_fcn: Callable, run_solver: Callable,
-                        y0, dynparams, merge, bck_options: Mapping[str, Any]):
+                        y0, dynparams, merge, bck_options: Mapping[str, Any],
+                        has_info: bool = False):
     """Run ``run_solver`` forward; differentiate implicitly through the root
-    condition ``res_fcn(y*, *params) = 0``."""
+    condition ``res_fcn(y*, *params) = 0``.  With ``has_info`` the solver
+    returns ``(y, info)`` and info gets zero tangents (jit-safe convergence
+    reporting, SURVEY §5)."""
     bck_cfg = dict(bck_options)
 
     @jax.custom_jvp
@@ -96,7 +99,8 @@ def _implicit_rootsolve(res_fcn: Callable, run_solver: Callable,
     def _solve_root_jvp(primals, tangents):
         y0, dynparams = primals
         _, ddyn = tangents
-        ystar = _solve_root(y0, dynparams)
+        out = _solve_root(y0, dynparams)
+        ystar = out[0] if has_info else out
 
         # rhs = (∂f/∂θ) dθ at the solution
         def f_of_params(dp):
@@ -108,7 +112,12 @@ def _implicit_rootsolve(res_fcn: Callable, run_solver: Callable,
         jlinop = jac(lambda y, *dp: res_fcn(y, *merge(dp)),
                      (ystar, *dynparams), idxs=0)
         dy = solve(jlinop, -rhs.reshape(-1, 1), bck_options=bck_cfg, **bck_cfg)
-        return ystar, dy.reshape(ystar.shape)
+        dy = dy.reshape(ystar.shape)
+        if has_info:
+            info = out[1]
+            dinfo = jax.tree_util.tree_map(jnp.zeros_like, info)
+            return (ystar, info), (dy, dinfo)
+        return ystar, dy
 
     return _solve_root(y0, dynparams)
 
@@ -145,7 +154,8 @@ def rootfinder(fcn: Callable, y0: jnp.ndarray,
         return method_fcn(pfcn, y0_, ps, **fwd_options)
 
     return _implicit_rootsolve(pfcn, run_solver, y0, alldyn,
-                               lambda dp: tuple(dp), bck_options)
+                               lambda dp: tuple(dp), bck_options,
+                               has_info=bool(fwd_options.get("return_info")))
 
 
 def equilibrium(fcn: Callable, y0: jnp.ndarray,
@@ -178,7 +188,8 @@ def equilibrium(fcn: Callable, y0: jnp.ndarray,
         return method_fcn(fwd_fcn, y0_, ps, **fwd_options)
 
     return _implicit_rootsolve(res_fcn, run_solver, y0, alldyn,
-                               lambda dp: tuple(dp), bck_options)
+                               lambda dp: tuple(dp), bck_options,
+                               has_info=bool(fwd_options.get("return_info")))
 
 
 def minimize(fcn: Callable, y0: jnp.ndarray,
@@ -223,7 +234,8 @@ def minimize(fcn: Callable, y0: jnp.ndarray,
         return method_fcn(fwd_fcn, y0_, ps, **fwd_options)
 
     return _implicit_rootsolve(grad_fcn, run_solver, y0, alldyn,
-                               lambda dp: tuple(dp), bck_options)
+                               lambda dp: tuple(dp), bck_options,
+                               has_info=bool(fwd_options.get("return_info")))
 
 
 # docstring completion (parity: reference rootfinder.py:388-393)
