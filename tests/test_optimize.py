@@ -212,3 +212,26 @@ def test_return_info():
                      maxiter=20000, f_rtol=1e-14, x_rtol=1e-12,
                      return_info=True)
     assert im["iterations"] is not None
+
+
+def test_mixed_static_params():
+    """Non-array params (ints, strings, None) are closed over statically;
+    dict-pytree params reach gradients via closure_convert."""
+    def fcn(y, A, power, name, cfg):
+        assert name == "tanh"
+        z = A @ y + cfg["shift"]
+        return jnp.tanh(z) ** power + y / 2.0
+
+    cfg = {"shift": jnp.asarray(0.1)}
+    y = rootfinder(fcn, y0_2x1, params=(A0, 1, "tanh", cfg), f_tol=1e-12)
+    assert_allclose(fcn(y, A0, 1, "tanh", cfg), jnp.zeros_like(y), atol=1e-9)
+
+    # gradient w.r.t. the dict leaf (hoisted by closure_convert)
+    def loss(shift):
+        c = {"shift": shift}
+        yy = rootfinder(fcn, y0_2x1, params=(A0, 1, "tanh", c),
+                        f_tol=1e-13, maxiter=10000)
+        return jnp.sum(yy ** 2)
+
+    g = jax.grad(loss)(jnp.asarray(0.1))
+    assert bool(jnp.isfinite(g)) and abs(float(g)) > 1e-8

@@ -10,7 +10,7 @@ against the arrays actually used by a method (via tracing).
 from __future__ import annotations
 
 from abc import abstractmethod
-from typing import Callable, List, Sequence
+from typing import Callable, List
 
 import jax
 import jax.numpy as jnp

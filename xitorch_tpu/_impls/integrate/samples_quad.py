@@ -8,9 +8,6 @@ static loop (construction-time only).
 """
 from __future__ import annotations
 
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 
 from xitorch_tpu._impls.interpolate.interp_1d import get_spline_mat_inv

@@ -13,8 +13,7 @@ interp_1d.py and extrap_utils.py:
 """
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

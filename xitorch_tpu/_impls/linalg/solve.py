@@ -24,9 +24,7 @@ These functions run with gradients *blocked* — they are always wrapped by
 """
 from __future__ import annotations
 
-import math
-from functools import partial
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

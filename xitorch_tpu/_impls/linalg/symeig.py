@@ -20,8 +20,6 @@ TPU-native redesign of /root/reference/xitorch/_impls/linalg/symeig.py:
 """
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -9,7 +9,7 @@ slots get identity rows) so early iterations reuse the same compiled solve.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 from jax import lax

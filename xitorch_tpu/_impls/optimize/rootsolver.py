@@ -21,8 +21,7 @@ These run gradient-blocked; implicit differentiation lives in
 """
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

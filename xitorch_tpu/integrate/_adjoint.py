@@ -14,7 +14,6 @@ differentiation only (use the default adjoint for grad-of-grad).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -22,7 +22,7 @@ from typing import Any, Callable, Mapping, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator
+from xitorch_tpu._core.linop import LinearOperator
 from xitorch_tpu._impls.linalg.symeig import davidson, exacteig
 from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.linalg.solve import solve

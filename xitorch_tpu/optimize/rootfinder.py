@@ -28,7 +28,6 @@ from xitorch_tpu._impls.optimize.minimizer import adam, gd
 from xitorch_tpu._impls.optimize.rootsolver import (
     broyden1, broyden2, linearmixing, newton,
 )
-from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.grad.jachess import jac
 from xitorch_tpu.linalg.solve import solve
 from xitorch_tpu.utils.misc import get_method

@@ -16,7 +16,6 @@ These helpers only *annotate*; XLA lays the collectives on the ICI mesh.
 """
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence, Tuple
 
 import jax
