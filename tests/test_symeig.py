@@ -212,3 +212,59 @@ def test_symeig_errors(rng):
     Am = jnp.asarray(rng.standard_normal((5, 5)))
     with pytest.raises(RuntimeError):
         symeig(LinearOperator.m(Am, is_hermitian=False), 2)
+
+
+def test_symeig_with_M_grads(rng):
+    """Gradients w.r.t. BOTH A and M params through the iterative path's
+    implicit JVP (dM terms incl. normalization) vs dense-autodiff oracle."""
+    n, neig = 8, 2
+    a = jnp.asarray(rng.standard_normal((n, n)))
+    m0 = jnp.asarray(rng.standard_normal((n, n)) * 0.1)
+
+    def build(a, m0):
+        A = (a + a.T) / 2.0
+        M = (m0 + m0.T) / 2.0 + jnp.eye(n)
+        return A, M
+
+    def loss_iter(a, m0):
+        Ad, Md = build(a, m0)
+        Aop = LinearOperator.m(Ad, is_hermitian=True)
+        Mop = LinearOperator.m(Md, is_hermitian=True)
+        evals, evecs = symeig(Aop, neig, "lowest", Mop, method="davidson",
+                              min_eps=1e-12, max_niter=4000,
+                              bck_options={"rtol": 1e-12, "atol": 1e-14,
+                                           "max_niter": 1000})
+        return jnp.sum(evals ** 2) + jnp.sum(evecs ** 4)
+
+    def loss_dense(a, m0):
+        Ad, Md = build(a, m0)
+        L = jnp.linalg.cholesky(Md)
+        Li = jnp.linalg.inv(L)
+        A2 = Li @ Ad @ Li.T
+        A2 = (A2 + A2.T) / 2
+        evals, evecs = jnp.linalg.eigh(A2)
+        evecs = Li.T @ evecs
+        return jnp.sum(evals[:neig] ** 2) + jnp.sum(evecs[:, :neig] ** 4)
+
+    assert_allclose(loss_iter(a, m0), loss_dense(a, m0), rtol=1e-7)
+    ga_i, gm_i = jax.grad(loss_iter, argnums=(0, 1))(a, m0)
+    ga_d, gm_d = jax.grad(loss_dense, argnums=(0, 1))(a, m0)
+    assert_allclose(ga_i, ga_d, rtol=1e-4, atol=1e-7)
+    assert_allclose(gm_i, gm_d, rtol=1e-4, atol=1e-7)
+
+
+def test_symeig_vmap_davidson(rng):
+    """vmap over the davidson implicit path."""
+    n, neig, B = 8, 2, 3
+    a = jnp.asarray(rng.standard_normal((B, n, n)))
+
+    def lowest(a1):
+        A = LinearOperator.m((a1 + a1.T) / 2, is_hermitian=True)
+        evals, _ = symeig(A, neig, "lowest", method="davidson",
+                          min_eps=1e-10, max_niter=3000)
+        return evals
+
+    out = jax.vmap(lowest)(a)
+    for i in range(B):
+        d = jnp.linalg.eigvalsh((a[i] + a[i].T) / 2)
+        assert_allclose(out[i], d[:neig], atol=1e-7)

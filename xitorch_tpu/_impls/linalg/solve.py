@@ -511,17 +511,19 @@ def solve_ABE(A: jnp.ndarray, B: jnp.ndarray, E: jnp.ndarray) -> jnp.ndarray:
     def solve_col(b_col, e_col):
         # b_col: (*batch, na); e_col: (*batch,)
         AE = A_ - e_col[..., None, None] * eye
-        x = jnp.linalg.solve(AE, b_col[..., None])[..., 0]
-        # singular retry with diagonal jitter
-        bad = ~jnp.all(jnp.isfinite(x))
-
-        def retry(_):
-            eps = jnp.finfo(A.dtype).eps
-            dAE = 10 * eps * jnp.max(
-                jnp.abs(AE).reshape(*AE.shape[:-2], -1), axis=-1)[..., None, None]
-            return jnp.linalg.solve(AE + eye * dAE, b_col[..., None])[..., 0]
-
-        return lax.cond(bad, retry, lambda _: x, operand=None)
+        # singular retry with diagonal jitter (reference :528-535).  The
+        # shifted matrix may be exactly singular; detect it with a
+        # b-independent probe and fold the jitter into the matrix so the
+        # b->x map stays STRUCTURALLY linear (this path is transposed
+        # symbolically inside implicit-diff rules — no cond/stop_gradient
+        # on the rhs path is allowed)
+        probe = jnp.linalg.solve(AE, jnp.ones((*AE.shape[:-1], 1), AE.dtype))
+        bad = (~jnp.all(jnp.isfinite(probe), axis=(-2, -1)))[..., None, None]
+        eps = jnp.finfo(A.dtype).eps
+        dAE = 10 * eps * jnp.max(
+            jnp.abs(AE).reshape(*AE.shape[:-2], -1), axis=-1)[..., None, None]
+        AE_safe = AE + eye * jnp.where(bad, dAE, 0.0)
+        return jnp.linalg.solve(AE_safe, b_col[..., None])[..., 0]
 
     x = jax.vmap(solve_col, in_axes=(-1, -1), out_axes=-1)(B_, E_)
     return x
