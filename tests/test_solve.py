@@ -180,3 +180,18 @@ def test_solve_gradcheck_fd(rng):
                      max_niter=1000, posdef=True)
 
     gradcheck2(f, (a, B), order=2, atol=1e-4, rtol=1e-3, eps=1e-5)
+
+
+def test_solve_cg_ir_mixed_precision(rng):
+    """Mixed-precision iterative refinement reaches working-precision
+    accuracy with bf16 inner solves."""
+    n, nc = 16, 2
+    Am = make_spd(rng, (), n, dtype=jnp.float32)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)), dtype=jnp.float32)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    x = solve(A, Bm, method="cg_ir", rtol=1e-6, atol=1e-7, posdef=True)
+    resid = jnp.linalg.norm(A.mm(x) - Bm, axis=-2)
+    assert float(jnp.max(resid)) < 1e-4
+    # gradients still flow (implicit path independent of forward method)
+    g = jax.grad(lambda B: jnp.sum(solve(A, B, method="cg_ir", posdef=True) ** 2))(Bm)
+    assert bool(jnp.all(jnp.isfinite(g)))

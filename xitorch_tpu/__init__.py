@@ -17,7 +17,17 @@ from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator, checkl
 from xitorch_tpu._core.editable_module import EditableModule  # noqa: F401
 from xitorch_tpu._core.packer import Packer  # noqa: F401
 from xitorch_tpu._core.pure import make_pure, make_sibling  # noqa: F401
+# top-level debug + exception exports (parity: reference xitorch/__init__.py)
+from xitorch_tpu.debug.modes import (  # noqa: F401
+    set_debug_mode, is_debug_enabled, enable_debug, disable_debug,
+)
+from xitorch_tpu.utils.exceptions import (  # noqa: F401
+    GetSetParamsError, ConvergenceWarning, MathWarning,
+)
 from xitorch_tpu.version import __version__  # noqa: F401
+
+# alias for reference-API familiarity (get_pure_function ~ make_pure)
+get_pure_function = make_pure
 
 # subpackages importable as attributes (import xitorch_tpu; xitorch_tpu.linalg.solve)
 from xitorch_tpu import linalg, optimize, integrate, interpolate, grad, parallel, debug, utils  # noqa: F401,E402

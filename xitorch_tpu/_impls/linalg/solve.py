@@ -585,3 +585,73 @@ def broyden1_solve(A: LinearOperator, B: jnp.ndarray, E=None, M=None, **options)
     x0 = jnp.zeros((*batchdims, nr * ncols), dtype=A.dtype)
     x = broyden1(fcn_rootfinder, x0, **options)
     return x.reshape(*x.shape[:-1], nr, ncols)
+
+
+# ------------------------------------------------------------------
+# mixed-precision iterative refinement (TPU-native)
+# ------------------------------------------------------------------
+
+def cg_ir(A: LinearOperator, B: jnp.ndarray,
+          E: Optional[jnp.ndarray] = None,
+          M: Optional[LinearOperator] = None,
+          posdef: Optional[bool] = None,
+          rtol: float = 1e-6,
+          atol: float = 1e-8,
+          inner_rtol: float = 5e-2,
+          inner_max_niter: Optional[int] = None,
+          max_refine: int = 20,
+          low_dtype=jnp.bfloat16,
+          **options) -> jnp.ndarray:
+    """Mixed-precision iterative refinement around CG: the inner solves run
+    with the operator's parameters cast to ``low_dtype`` (bf16 rides the
+    MXU/VPU at full rate), while residuals are computed and accumulated at
+    the working precision.  Converges to working-precision accuracy whenever
+    kappa(A) * eps_low < 1.
+
+    Keyword arguments: rtol/atol (outer stopping), inner_rtol (inner CG
+    tolerance per refinement step), inner_max_niter, max_refine (outer
+    iteration cap), low_dtype.
+    """
+    if max_refine <= 0 or jnp.issubdtype(B.dtype, jnp.complexfloating):
+        return cg(A, B, E, M, posdef=posdef, rtol=rtol, atol=atol, **options)
+    work_dtype = B.dtype
+    A_lo = jax.tree_util.tree_map(
+        lambda x: x.astype(low_dtype)
+        if hasattr(x, "astype") and jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+        else x, A)
+    # explicit-matrix operators should use fast (default-precision) matmuls
+    # in the low-precision inner solve — that is the whole point
+    from xitorch_tpu._core.linop import MatrixLinearOperator
+    if isinstance(A_lo, MatrixLinearOperator):
+        A_lo = MatrixLinearOperator(A_lo.mat, A_lo.is_hermitian, precision=None)
+    E_lo = E.astype(low_dtype) if E is not None else None
+    M_lo = jax.tree_util.tree_map(
+        lambda x: x.astype(low_dtype)
+        if hasattr(x, "astype") and jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+        else x, M) if M is not None else None
+    if inner_max_niter is None:
+        inner_max_niter = min(int(A.shape[-1]), 100)
+
+    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True if posdef is None else posdef,
+                                        need_hermit=True)
+    bnorm = _colnorm(B2)
+    stop = jnp.maximum(rtol * bnorm, atol)
+
+    def cond_fun(s):
+        k, x, rmax = s
+        return jnp.logical_and(k < max_refine, rmax >= 1.0)
+
+    def body_fun(s):
+        k, x, _ = s
+        r = B2 - A_fcn(x)
+        dz = cg(A_lo, r.astype(low_dtype), E_lo, M_lo, posdef=True,
+                rtol=inner_rtol, atol=1e-4, max_niter=inner_max_niter)
+        x = x + dz.astype(work_dtype)
+        r2 = B2 - A_fcn(x)
+        rmax = jnp.max(_colnorm(r2) / stop)
+        return (k + 1, x, rmax)
+
+    _, x, _ = lax.while_loop(
+        cond_fun, body_fun,
+        (jnp.asarray(0), jnp.zeros_like(B2), jnp.asarray(jnp.inf, B2.real.dtype)))
+    return x

@@ -22,7 +22,8 @@ from jax import lax
 
 from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator
 from xitorch_tpu._impls.linalg.solve import (
-    bicgstab, broyden1_solve, cg, exactsolve, get_batchdims, gmres, scipy_gmres,
+    bicgstab, broyden1_solve, cg, cg_ir, exactsolve, get_batchdims, gmres,
+    scipy_gmres,
 )
 from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.utils.misc import get_method
@@ -46,6 +47,7 @@ def _fused_cg(A, B, E=None, M=None, rtol: float = 1e-6, atol: float = 1e-8,
 
 _SOLVE_METHODS = {
     "cg": cg,
+    "cg_ir": cg_ir,
     "fused_cg": _fused_cg,
     "bicgstab": bicgstab,
     "gmres": gmres,
