@@ -38,8 +38,11 @@ def main():
         s, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(nk))
         return s
 
+    # min_eps 1e-3: the batch spectra contain near-degenerate clusters
+    # (8th/9th gaps ~1e-4), so tighter f32 residuals are unreachable and a
+    # tighter setting just measures max_niter
     for method, opts in [("exacteig", {}),
-                         ("davidson", {"min_eps": 1e-5, "max_niter": 400})]:
+                         ("davidson", {"min_eps": 1e-3, "max_niter": 400})]:
         f1 = jax.jit(lambda m: run_k(m, method, 1, **opts))
         fK = jax.jit(lambda m: run_k(m, method, K, **opts))
         float(f1(mats))
