@@ -6,6 +6,13 @@ diagonally dominant), batch 512, n = 1024, ncols = 1, float32, rtol 1e-6.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "solves/sec", "vs_baseline": N}
 
+Robustness (round-2 contract): `python bench.py` never crashes without
+emitting that line.  The parent process imports no JAX; it (1) probes the
+TPU tunnel in a subprocess under a hard timeout, (2) runs the measurement
+in a subprocess (retrying TPU once), and (3) falls back to a CPU-labeled
+measurement if the tunnel is down — the round-1 failure mode was rc=1 with
+no parseable output when the axon backend could not initialize.
+
 Measurement notes:
 * K batch-solves (fresh rhs each) run inside ONE jitted program and the
   wall time is divided by K — this measures chip throughput rather than the
@@ -18,26 +25,61 @@ Measurement notes:
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-from jax import lax
-
 BASELINE_SOLVES_PER_SEC = float(os.environ.get("XT_BASELINE", "1375.35"))
-BATCH = int(os.environ.get("XT_BENCH_BATCH", "512"))
-N = int(os.environ.get("XT_BENCH_N", "1024"))
-K = int(os.environ.get("XT_BENCH_K", "16"))
+PROBE_TIMEOUT = int(os.environ.get("XT_BENCH_PROBE_TIMEOUT", "150"))
+MEASURE_TIMEOUT = int(os.environ.get("XT_BENCH_MEASURE_TIMEOUT", "420"))
 
 
-def main():
+def _fallback_line(note):
+    return {
+        "metric": "batched matrix-free solves/sec (benchmark failed: %s)" % note,
+        "value": 0.0,
+        "unit": "solves/sec",
+        "vs_baseline": 0.0,
+    }
+
+
+def probe():
+    """Child: touch the default backend with a tiny op; print its platform."""
+    import jax
+    import jax.numpy as jnp
+
+    x = float(jnp.sum(jnp.ones((128, 128), jnp.float32)))
+    assert x == 128.0 * 128.0
+    print("PROBE_OK %s" % jax.devices()[0].platform, flush=True)
+
+
+def measure(backend):
+    """Child: run the actual benchmark on `backend` ('default' or 'cpu')."""
+    import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        # CPU fallback: smaller sizes so the run fits the watchdog budget
+        # while keeping the same operator/tolerances (honest, labeled).
+        batch = int(os.environ.get("XT_BENCH_BATCH", "64"))
+        k = int(os.environ.get("XT_BENCH_K", "4"))
+        rep = 2
+    else:
+        batch = int(os.environ.get("XT_BENCH_BATCH", "512"))
+        k = int(os.environ.get("XT_BENCH_K", "16"))
+        rep = 5
+    n = int(os.environ.get("XT_BENCH_N", "1024"))
+
+    import jax.numpy as jnp
+    from jax import lax
+
     from xitorch_tpu import LinearOperator
     from xitorch_tpu.linalg import solve
 
     class Op(LinearOperator):
         def __init__(self, d, c, V):
-            n = d.shape[-1]
-            super().__init__(shape=(*d.shape[:-1], n, n), is_hermitian=True,
+            nn = d.shape[-1]
+            super().__init__(shape=(*d.shape[:-1], nn, nn), is_hermitian=True,
                              dtype=d.dtype)
             self.d = d
             self.c = c
@@ -57,9 +99,9 @@ def main():
     dtype = jnp.float32
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    d = 4.0 + 2.0 * jax.random.uniform(k1, (BATCH, N), dtype=dtype)
+    d = 4.0 + 2.0 * jax.random.uniform(k1, (batch, n), dtype=dtype)
     c = jnp.asarray(1.0, dtype=dtype)
-    V = jax.random.normal(k2, (BATCH, N, 4), dtype=dtype) / (N ** 0.5)
+    V = jax.random.normal(k2, (batch, n, 4), dtype=dtype) / (n ** 0.5)
     seed = jax.random.PRNGKey(7)
 
     method = os.environ.get("XT_BENCH_METHOD", "cg_ir")
@@ -76,8 +118,9 @@ def main():
     def run_k(d, c, V, seed, nk):
         A = Op(d, c, V)
 
-        def body(s, k):
-            b = jax.random.normal(jax.random.fold_in(seed, k), (BATCH, N, 1), dtype)
+        def body(s, kk):
+            b = jax.random.normal(jax.random.fold_in(seed, kk),
+                                  (batch, n, 1), dtype)
             x = one_solve(A, b)
             return s + jnp.sum(x), None
 
@@ -85,16 +128,16 @@ def main():
         return s
 
     run1 = jax.jit(lambda d, c, V, seed: run_k(d, c, V, seed, 1))
-    runK = jax.jit(lambda d, c, V, seed: run_k(d, c, V, seed, K))
+    runK = jax.jit(lambda d, c, V, seed: run_k(d, c, V, seed, k))
 
     # correctness gate (convergence required, as in the reference benchmarks)
     A = Op(d, c, V)
-    b0 = jax.random.normal(jax.random.fold_in(seed, 0), (BATCH, N, 1), dtype)
+    b0 = jax.random.normal(jax.random.fold_in(seed, 0), (batch, n, 1), dtype)
     x0 = one_solve(A, b0)
     resid = float(jnp.max(jnp.linalg.norm(A.mm(x0) - b0, axis=-2)))
     assert resid < 5e-4, "benchmark solve did not converge: resid=%g" % resid
 
-    def timed(f, rep=5):
+    def timed(f):
         float(f(d, c, V, seed))  # compile + warmup (host fetch forces sync)
         ts = []
         for _ in range(rep):
@@ -106,17 +149,71 @@ def main():
     t1 = timed(run1)
     tK = timed(runK)
     # marginal per-batch-solve time with the fixed dispatch cost removed
-    per_solve = max((tK - t1) / (K - 1), 1e-9) if K > 1 else t1
-    solves_per_sec = BATCH / per_solve
+    per_solve = max((tK - t1) / (k - 1), 1e-9) if k > 1 else t1
+    solves_per_sec = batch / per_solve
 
+    platform = jax.devices()[0].platform
     print(json.dumps({
-        "metric": "batched matrix-free solves/sec (%s), amortized over %d "
-                  "solves (B=%d, n=%d, f32, residual gate 5e-4)" % (method, K, BATCH, N),
+        "metric": "batched matrix-free solves/sec (%s, backend=%s), amortized "
+                  "over %d solves (B=%d, n=%d, f32, residual gate 5e-4)"
+                  % (method, platform, k, batch, n),
         "value": round(solves_per_sec, 2),
         "unit": "solves/sec",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
-    }))
+    }), flush=True)
+
+
+def _run_child(args, timeout):
+    """Run `python bench.py <args>` and return (rc, stdout) — rc None on
+    timeout."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                             cwd=here, timeout=timeout,
+                             stdout=subprocess.PIPE, stderr=sys.stderr)
+        return res.returncode, res.stdout.decode("utf-8", "replace")
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode("utf-8", "replace")
+        return None, out
+
+
+def _extract_json(stdout):
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+                if "value" in obj:
+                    return obj
+            except ValueError:
+                pass
+    return None
+
+
+def orchestrate():
+    # 1. probe the default (TPU tunnel) backend
+    rc, out = _run_child(["--probe"], PROBE_TIMEOUT)
+    tpu_ok = rc == 0 and "PROBE_OK" in out and "cpu" not in out.split()[-1:]
+
+    result = None
+    if tpu_ok:
+        for _ in range(2):  # retry TPU measurement once
+            rc, out = _run_child(["--measure", "default"], MEASURE_TIMEOUT)
+            result = _extract_json(out) if rc == 0 else None
+            if result is not None:
+                break
+    if result is None:
+        rc, out = _run_child(["--measure", "cpu"], MEASURE_TIMEOUT)
+        result = _extract_json(out) if rc == 0 else None
+    if result is None:
+        result = _fallback_line("TPU tunnel and CPU fallback both failed")
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        probe()
+    elif "--measure" in sys.argv:
+        measure(sys.argv[sys.argv.index("--measure") + 1])
+    else:
+        orchestrate()
