@@ -251,6 +251,25 @@ def test_squad_batched_dims():
     assert i.shape == (2, 1)
 
 
+def test_squad_integrate_interior_dim():
+    """Regression: integrate over an interior dim with keepdim=False must
+    restore the axis order (result was silently transposed)."""
+    x = jnp.linspace(0.0, 1.0, 5)
+    y = jnp.arange(5.0 * 2 * 3).reshape(5, 2, 3)
+    sq = SQuad(x, method="trapz")
+    expected = sq.integrate(jnp.moveaxis(y, 0, -1))  # reduce last axis
+    r = sq.integrate(y, dim=0)
+    assert r.shape == (2, 3)
+    assert_allclose(r, expected)
+    rk = sq.integrate(y, dim=0, keepdim=True)
+    assert rk.shape == (1, 2, 3)
+    assert_allclose(rk[0], expected)
+    # negative interior dim
+    r2 = sq.integrate(jnp.moveaxis(y, 0, 1), dim=-2)
+    assert r2.shape == (2, 3)
+    assert_allclose(r2, expected)
+
+
 def test_ivp_backsolve_adjoint():
     """Continuous-adjoint (backsolve) gradients match autodiff gradients."""
     a = jnp.asarray(-0.6)
@@ -287,3 +306,29 @@ def test_ivp_backsolve_ts_grad():
     yT = float(y0[0] * jnp.exp(a * (ts[-1] - ts[0])))
     assert_allclose(g[-1], 2 * a * yT ** 2, rtol=1e-4)
     assert_allclose(g[0], -2 * a * yT ** 2, rtol=1e-4)
+
+
+def test_ivp_backsolve_nonautonomous_grads():
+    """Backsolve ts/param/y0 grads match autodiff for a t-DEPENDENT fcn
+    (regression: grad_ts[0] was computed with an autonomous-only shortcut;
+    reference integrates a dL/dt slot, solve_ivp.py:171-199)."""
+
+    def fcn(t, y, a, w):
+        return a * y + jnp.sin(w * t) * (1.0 + 0.3 * y)
+
+    a = jnp.asarray(-0.4)
+    w = jnp.asarray(2.3)
+    y0 = jnp.asarray([0.9, 1.4])
+    ts = jnp.linspace(0.15, 1.35, 6)
+
+    def run(ts, a, w, y0, adjoint):
+        yt = solve_ivp(fcn, ts, y0, params=(a, w), method="rk45",
+                       adjoint=adjoint, atol=1e-11, rtol=1e-10)
+        # weight outputs unevenly so every grad_yt[i] is distinct
+        wts = jnp.arange(1.0, ts.shape[0] + 1.0)[:, None]
+        return jnp.sum(wts * yt ** 2)
+
+    g_auto = jax.grad(run, argnums=(0, 1, 2, 3))(ts, a, w, y0, "autodiff")
+    g_back = jax.grad(run, argnums=(0, 1, 2, 3))(ts, a, w, y0, "backsolve")
+    for ga, gb in zip(g_auto, g_back):
+        assert_allclose(gb, ga, rtol=2e-5, atol=1e-9)

@@ -195,3 +195,17 @@ def test_solve_cg_ir_mixed_precision(rng):
     # gradients still flow (implicit path independent of forward method)
     g = jax.grad(lambda B: jnp.sum(solve(A, B, method="cg_ir", posdef=True) ** 2))(Bm)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_solve_cg_ir_nonhermitian_falls_back(rng):
+    """cg_ir on a non-hermitian operator must still solve correctly (it
+    falls back to cg's normal-equation path; refining plain-A corrections
+    against an A^H A outer residual would be inconsistent)."""
+    n, nc = 10, 2
+    Am = jnp.asarray(rng.standard_normal((n, n)), dtype=jnp.float64)
+    Am = Am + n * jnp.eye(n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)), dtype=jnp.float64)
+    A = LinearOperator.m(Am)
+    assert not A.is_hermitian
+    x = solve(A, Bm, method="cg_ir", rtol=1e-9, atol=1e-11, max_niter=400)
+    assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-5, atol=1e-7)

@@ -669,7 +669,14 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
     tolerance per refinement step), inner_max_niter, max_refine (outer
     iteration cap), low_dtype.
     """
-    if max_refine <= 0 or jnp.issubdtype(B.dtype, jnp.complexfloating):
+    # cg_ir is only consistent when the OUTER residual operator is the plain
+    # A - ME (hermitian, assumed posdef): a non-hermitian A (or an explicit
+    # posdef=False) would switch the outer problem to the normal equations
+    # while the inner correction still solves with plain A — an inconsistent
+    # correction direction.  Fall back to cg in those cases.
+    is_hermit = A.is_hermitian and (M is None or M.is_hermitian)
+    if (max_refine <= 0 or jnp.issubdtype(B.dtype, jnp.complexfloating)
+            or not is_hermit or posdef is False):
         return cg(A, B, E, M, posdef=posdef, rtol=rtol, atol=atol, **options)
     work_dtype = B.dtype
     A_lo = jax.tree_util.tree_map(
@@ -689,17 +696,16 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
     if inner_max_niter is None:
         inner_max_niter = min(int(A.shape[-1]), 100)
 
-    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True if posdef is None else posdef,
-                                        need_hermit=True)
+    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True, need_hermit=True)
     bnorm = _colnorm(B2)
     stop = jnp.maximum(rtol * bnorm, atol)
 
     def cond_fun(s):
-        k, x, rmax = s
+        k, x, rmax, _, _ = s
         return jnp.logical_and(k < max_refine, rmax >= 1.0)
 
     def body_fun(s):
-        k, x, _ = s
+        k, x, rmax, best_x, best_rmax = s
         r = B2 - A_fcn(x)
         # note: the tracked inner loop measures ~2x faster than the lean
         # one at bf16 on TPU (f32-promoted reductions in the lean loop cost
@@ -709,9 +715,15 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
         x = x + dz.astype(work_dtype)
         r2 = B2 - A_fcn(x)
         rmax = jnp.max(_colnorm(r2) / stop)
-        return (k + 1, x, rmax)
+        # best-iterate semantics (reference robustness policy): a stalled or
+        # diverging refinement must not return a worse-than-best iterate
+        better = rmax < best_rmax
+        best_x = jnp.where(better, x, best_x)
+        best_rmax = jnp.where(better, rmax, best_rmax)
+        return (k + 1, x, rmax, best_x, best_rmax)
 
-    _, x, _ = lax.while_loop(
-        cond_fun, body_fun,
-        (jnp.asarray(0), jnp.zeros_like(B2), jnp.asarray(jnp.inf, B2.real.dtype)))
-    return x
+    x0 = jnp.zeros_like(B2)
+    inf = jnp.asarray(jnp.inf, B2.real.dtype)
+    _, _, _, best_x, _ = lax.while_loop(
+        cond_fun, body_fun, (jnp.asarray(0), x0, inf, x0, inf))
+    return best_x

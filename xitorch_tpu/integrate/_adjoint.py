@@ -72,14 +72,23 @@ def backsolve_ivp(solver: Callable, fcn: Callable, ts: jnp.ndarray,
                                       jnp.arange(nt - 2, -1, -1))
         grad_y0 = a_fin + grad_yt[0]
 
-        # ts gradients: dL/dts[i] = <grad_yt[i], f(ts[i], y_i)> for i>0,
-        # accumulated drift for ts[0] (reference :219-247)
+        # ts gradients: dL/dts[i] = <grad_yt[i], f(ts[i], y_i)> for i>0
+        # (sampling-time sensitivity).  For ts[0], shifting the start time
+        # with the same y0 perturbs the whole trajectory by
+        # -Phi(t_i, t0) f(t0, y0), so dL/dts[0] = -<a(t0), f(t0, y0)> with
+        # a(t0) the fully back-integrated adjoint (a_fin, BEFORE the
+        # grad_yt[0] injection — the ts[0] output equals y0 and does not
+        # move with ts[0]).  Equivalent to the reference's augmented dL/dt
+        # slot (/root/reference/xitorch/integrate/solve_ivp.py:171-199,
+        # 219-247) but evaluated at the endpoint; exact for non-autonomous
+        # fcn too (the old -sum(grad_ts[1:]) shortcut was autonomous-only).
         def dldt(i):
             return jnp.dot(fcn(ts[i], yt[i], *dynparams).reshape(-1),
                            grad_yt[i].reshape(-1))
 
         grad_ts = jax.vmap(dldt)(jnp.arange(nt))
-        grad_ts = grad_ts.at[0].set(-jnp.sum(grad_ts[1:]))
+        f_t0 = fcn(ts[0], yt[0], *dynparams).reshape(-1)
+        grad_ts = grad_ts.at[0].set(-jnp.dot(f_t0, a_fin.reshape(-1)))
 
         return grad_ts, grad_y0, punravel(gp_fin)
 

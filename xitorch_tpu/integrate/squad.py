@@ -75,6 +75,13 @@ class SQuad:
             res = res[..., None]
             if swap:
                 res = jnp.swapaxes(res, dim, -1)
+        elif swap:
+            # the former last axis was parked at position ``dim`` by the
+            # swap; after the reduction it must move back to the end, or
+            # the result comes out axis-permuted (reference squad.py applies
+            # the back-transpose for both keepdim values)
+            d = dim % (res.ndim + 1)
+            res = jnp.moveaxis(res, d, -1)
         return res
 
 
