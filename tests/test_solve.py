@@ -197,6 +197,93 @@ def test_solve_cg_ir_mixed_precision(rng):
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres", "cg_ir", "exactsolve"])
+def test_solve_return_info_converged(method, rng):
+    """(solution, info) convention: jit-safe converged flag + iteration count
+    (SURVEY §5; reference warns on non-convergence from inside solvers)."""
+    n, nc = 12, 2
+    Am = make_spd(rng, (), n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    A = LinearOperator.m(Am, is_hermitian=True)
+
+    @jax.jit
+    def f(Bm):
+        return solve(A, Bm, method=method, rtol=1e-9, atol=1e-11,
+                     max_niter=300, return_info=True)
+
+    x, info = f(Bm)
+    assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-6, atol=1e-8)
+    assert float(info["converged"]) == 1.0
+    assert set(info) == {"converged", "iterations", "resid", "resid_rel"}
+
+    # gradients flow through x (info has zero grads), matching the plain path
+    def loss(Bm, with_info):
+        if with_info:
+            xx, _ = solve(A, Bm, method=method, rtol=1e-11, atol=1e-13,
+                          max_niter=500, return_info=True)
+        else:
+            xx = solve(A, Bm, method=method, rtol=1e-11, atol=1e-13,
+                       max_niter=500)
+        return jnp.sum(xx ** 3)
+
+    g1 = jax.grad(loss)(Bm, True)
+    g2 = jax.grad(loss)(Bm, False)
+    assert_allclose(g1, g2, rtol=1e-6, atol=1e-9)
+
+
+def test_solve_return_info_param_grads_second_order(rng):
+    """Implicit grads (params of A, 2nd order) through the info path match
+    the dense oracle."""
+    n, nc = 6, 1
+    a = jnp.asarray(rng.standard_normal((n, n)) * 0.3)
+    B = jnp.asarray(rng.standard_normal((n, nc)))
+
+    def with_op(a):
+        x, info = solve(SPDOp(a), B, method="cg", rtol=1e-12, atol=1e-14,
+                        max_niter=500, posdef=True, return_info=True)
+        return jnp.sum(x ** 3)
+
+    def with_dense(a):
+        return jnp.sum(jnp.linalg.solve(SPDOp(a).dense(), B) ** 3)
+
+    assert_allclose(jax.grad(with_op)(a), jax.grad(with_dense)(a),
+                    rtol=1e-5, atol=1e-7)
+    assert_allclose(jax.hessian(with_op)(a), jax.hessian(with_dense)(a),
+                    rtol=1e-4, atol=1e-6)
+
+
+def test_solve_nonconvergence_warns_and_flags(rng):
+    from xitorch_tpu.utils.exceptions import ConvergenceWarning
+
+    n, nc = 30, 2
+    Am = make_spd(rng, (), n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    A = LinearOperator.m(Am, is_hermitian=True)
+    import warnings as _warnings
+    with pytest.warns(ConvergenceWarning):
+        x, info = solve(A, Bm, method="cg", rtol=1e-14, atol=1e-16,
+                        max_niter=2, return_info=True)
+    assert float(info["converged"]) == 0.0
+    assert float(info["iterations"]) == 2.0
+    # the plain path (no info) also warns in eager mode via a residual check
+    with pytest.warns(ConvergenceWarning):
+        solve(A, Bm, method="cg", rtol=1e-14, atol=1e-16, max_niter=1)
+    # converged solves do not warn
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        solve(A, Bm, method="cg", rtol=1e-9, atol=1e-11, max_niter=300,
+              return_info=True)
+
+
+def test_solve_return_info_unsupported_method(rng):
+    n = 8
+    Am = make_spd(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    Bm = jnp.asarray(rng.standard_normal((n, 1)))
+    with pytest.raises(RuntimeError, match="return_info"):
+        solve(A, Bm, method="scipy_gmres", return_info=True)
+
+
 def test_solve_cg_ir_nonhermitian_falls_back(rng):
     """cg_ir on a non-hermitian operator must still solve correctly (it
     falls back to cg's normal-equation path; refining plain-A corrections

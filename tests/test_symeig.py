@@ -268,3 +268,48 @@ def test_symeig_vmap_davidson(rng):
     for i in range(B):
         d = jnp.linalg.eigvalsh((a[i] + a[i].T) / 2)
         assert_allclose(out[i], d[:neig], atol=1e-7)
+
+
+@pytest.mark.parametrize("method", ["exacteig", "davidson"])
+def test_symeig_return_info(method, rng):
+    """(evals, evecs, info) convention with jit-safe converged flag."""
+    n, neig = 16, 3
+    Am = make_sym(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    opts = {} if method == "exacteig" else {"min_eps": 1e-9, "max_niter": 2000}
+
+    @jax.jit
+    def f(Am):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        return symeig(A, neig, "lowest", method=method, return_info=True,
+                      **opts)
+
+    evals, evecs, info = f(Am)
+    assert float(info["converged"]) == 1.0
+    assert set(info) == {"converged", "iterations", "resid", "resid_rel"}
+    check_eig(Am, evals, evecs)
+
+    # gradients flow through (evals, evecs); info grads are zero
+    def loss(Am, with_info):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        out = symeig(A, neig, "lowest", method=method, return_info=with_info,
+                     **opts)
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 4)
+
+    g1 = jax.grad(loss)(Am, True)
+    g2 = jax.grad(loss)(Am, False)
+    assert_allclose(g1, g2, rtol=1e-6, atol=1e-9)
+
+
+def test_symeig_davidson_nonconvergence_flag_and_warning(rng):
+    from xitorch_tpu.utils.exceptions import ConvergenceWarning
+
+    n, neig = 24, 3
+    Am = make_sym(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    with pytest.warns(ConvergenceWarning):
+        evals, evecs, info = symeig(A, neig, "lowest", method="davidson",
+                                    min_eps=1e-14, max_niter=2,
+                                    return_info=True)
+    assert float(info["converged"]) == 0.0
+    assert float(info["iterations"]) == 2.0

@@ -166,6 +166,17 @@ def _setup_precond(precond) -> Callable:
     raise TypeError("precond can only be a LinearOperator, callable, or None")
 
 
+def _make_info(converged, iterations, resid, resid_rel):
+    """Jit-safe convergence info struct (all-f32 leaves; SURVEY §5
+    convention, matching the optimize functionals' return_info)."""
+    return {
+        "converged": jnp.asarray(converged, jnp.float32),
+        "iterations": jnp.asarray(iterations, jnp.float32),
+        "resid": jnp.asarray(resid, jnp.float32),
+        "resid_rel": jnp.asarray(resid_rel, jnp.float32),
+    }
+
+
 # ------------------------------------------------------------------
 # Conjugate Gradient
 # ------------------------------------------------------------------
@@ -182,6 +193,7 @@ def cg(A: LinearOperator, B: jnp.ndarray,
        resid_calc_every: int = 10,
        track_best: bool = True,
        verbose: bool = False,
+       return_info: bool = False,
        **unused) -> jnp.ndarray:
     """Batched preconditioned conjugate gradient.
 
@@ -206,7 +218,7 @@ def cg(A: LinearOperator, B: jnp.ndarray,
 
     if not track_best:
         return _cg_lean(A_fcn, precond_fcn, B2, rtol, atol, eps, max_niter,
-                        resid_calc_every)
+                        resid_calc_every, return_info)
 
     B_norm = _colnorm(B2)
     stop_matrix = jnp.maximum(rtol * B_norm, atol)
@@ -251,11 +263,14 @@ def cg(A: LinearOperator, B: jnp.ndarray,
 
     init = (jnp.array(0), xk, rk, zk, pk, rkzk, xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
     state = lax.while_loop(cond_fun, body_fun, init)
+    if return_info:
+        return state[6], _make_info(state[-1] < 1.0, state[0],
+                                    state[7], state[-1])
     return state[6]  # best_x
 
 
 def _cg_lean(A_fcn, precond_fcn, B2, rtol, atol, eps, max_niter,
-             resid_calc_every):
+             resid_calc_every, return_info=False):
     """Lean (preconditioned) CG: recurrence-based stopping on squared norms,
     no best-iterate tracking — fewer reductions and carries per iteration.
     Reductions accumulate at >= f32 so low-precision (bf16) iterates still
@@ -300,6 +315,10 @@ def _cg_lean(A_fcn, precond_fcn, B2, rtol, atol, eps, max_niter,
 
     out = lax.while_loop(cond_fun, body_fun,
                          (jnp.asarray(0), x, r, z, p, rz, rr0))
+    if return_info:
+        rel2 = jnp.max(out[6] / stop2)
+        return out[1], _make_info(rel2 < 1.0, out[0],
+                                  jnp.sqrt(jnp.max(out[6])), jnp.sqrt(rel2))
     return out[1]
 
 
@@ -318,6 +337,7 @@ def bicgstab(A: LinearOperator, B: jnp.ndarray,
              atol: float = 1e-8,
              eps: float = 1e-12,
              resid_calc_every: int = 10,
+             return_info: bool = False,
              **unused) -> jnp.ndarray:
     """Batched stabilized biconjugate gradient (non-hermitian systems).
 
@@ -384,6 +404,9 @@ def bicgstab(A: LinearOperator, B: jnp.ndarray,
     init = (jnp.array(0), xk, rk, rho_k, omega_k, alpha, vk, pk,
             xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
     state = lax.while_loop(cond_fun, body_fun, init)
+    if return_info:
+        return state[8], _make_info(state[-1] < 1.0, state[0],
+                                    state[9], state[-1])
     return state[8]
 
 
@@ -399,6 +422,7 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
           rtol: float = 1e-6,
           atol: float = 1e-8,
           eps: float = 1e-12,
+          return_info: bool = False,
           **unused) -> jnp.ndarray:
     """Batched GMRES with classical Gram-Schmidt (twice) + Givens rotations.
 
@@ -504,7 +528,7 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
         return (k + 1, V, R, g, cs, sn, resid_max_rel)
 
     init = (jnp.array(0), V, R, g, cs, sn, jnp.array(jnp.inf, B2.real.dtype))
-    k_fin, V, R, g, cs, sn, _ = lax.while_loop(cond_fun, body_fun, init)
+    k_fin, V, R, g, cs, sn, rel_fin = lax.while_loop(cond_fun, body_fun, init)
 
     # solve the (k_fin x k_fin) triangular system, padding the unused tail
     # with the identity so shapes stay static
@@ -515,6 +539,10 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
     rhs = jnp.where(padmask, jnp.zeros_like(g[..., :m]), g[..., :m])
     y = jax.scipy.linalg.solve_triangular(Rp, rhs[..., None], lower=False)[..., 0]
     x = jnp.einsum("k...rc,...ck->...rc", V[:m], y)
+    if return_info:
+        # the GMRES residual magnitude per column is |g[..., k_fin]| for free
+        resid_abs = jnp.max(jnp.abs(g[..., k_fin]))
+        return x, _make_info(rel_fin < 1.0, k_fin, resid_abs, rel_fin)
     return x
 
 
@@ -525,12 +553,16 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
 def exactsolve(A: LinearOperator, B: jnp.ndarray,
                E: Optional[jnp.ndarray] = None,
                M: Optional[LinearOperator] = None,
+               return_info: bool = False,
                **unused) -> jnp.ndarray:
     """Solve by materializing the operator (reference exactsolve :481-512).
 
     Differentiable through (dense linalg has native JVP/VJP rules), so the
     API layer uses it directly without a custom rule.
     """
+    if return_info:
+        x = exactsolve(A, B, E, M)
+        return x, _make_info(1.0, 1.0, 0.0, 0.0)
     if E is None:
         Amatrix = A.fullmatrix()
         return jnp.linalg.solve(Amatrix, B)
@@ -658,6 +690,7 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
           inner_max_niter: Optional[int] = None,
           max_refine: int = 20,
           low_dtype=jnp.bfloat16,
+          return_info: bool = False,
           **options) -> jnp.ndarray:
     """Mixed-precision iterative refinement around CG: the inner solves run
     with the operator's parameters cast to ``low_dtype`` (bf16 rides the
@@ -677,7 +710,8 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
     is_hermit = A.is_hermitian and (M is None or M.is_hermitian)
     if (max_refine <= 0 or jnp.issubdtype(B.dtype, jnp.complexfloating)
             or not is_hermit or posdef is False):
-        return cg(A, B, E, M, posdef=posdef, rtol=rtol, atol=atol, **options)
+        return cg(A, B, E, M, posdef=posdef, rtol=rtol, atol=atol,
+                  return_info=return_info, **options)
     work_dtype = B.dtype
     A_lo = jax.tree_util.tree_map(
         lambda x: x.astype(low_dtype)
@@ -707,12 +741,18 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
     def body_fun(s):
         k, x, rmax, best_x, best_rmax = s
         r = B2 - A_fcn(x)
+        # normalize the inner rhs per column so the low-precision solve's
+        # tolerances stay meaningful as the residual shrinks (a fixed inner
+        # atol would stall the refinement once ||r|| drops below it), and so
+        # tiny residuals survive the bf16 cast
+        rnorm = _colnorm(r).astype(work_dtype)
+        rhat = r / _safedenom(rnorm, 1e-30)
         # note: the tracked inner loop measures ~2x faster than the lean
         # one at bf16 on TPU (f32-promoted reductions in the lean loop cost
         # more than the tracking) — keep track_best=True here
-        dz = cg(A_lo, r.astype(low_dtype), E_lo, M_lo, posdef=True,
+        dz = cg(A_lo, rhat.astype(low_dtype), E_lo, M_lo, posdef=True,
                 rtol=inner_rtol, atol=1e-4, max_niter=inner_max_niter)
-        x = x + dz.astype(work_dtype)
+        x = x + dz.astype(work_dtype) * rnorm
         r2 = B2 - A_fcn(x)
         rmax = jnp.max(_colnorm(r2) / stop)
         # best-iterate semantics (reference robustness policy): a stalled or
@@ -724,6 +764,9 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
 
     x0 = jnp.zeros_like(B2)
     inf = jnp.asarray(jnp.inf, B2.real.dtype)
-    _, _, _, best_x, _ = lax.while_loop(
+    k_fin, _, _, best_x, best_rmax = lax.while_loop(
         cond_fun, body_fun, (jnp.asarray(0), x0, inf, x0, inf))
+    if return_info:
+        resid_abs = best_rmax * jnp.max(stop)  # upper bound on max col resid
+        return best_x, _make_info(best_rmax < 1.0, k_fin, resid_abs, best_rmax)
     return best_x

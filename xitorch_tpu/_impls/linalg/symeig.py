@@ -80,9 +80,17 @@ def _degen_eigh_jvp(primals, tangents):
 
 def exacteig(A: LinearOperator, neig: int, mode: str,
              M: Optional[LinearOperator] = None,
+             return_info: bool = False,
              **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition by materializing the operator (reference :11-44).
     No additional options.  Differentiable natively (incl. 2nd order)."""
+    if return_info:
+        evals, evecs = exacteig(A, neig, mode, M)
+        info = {"converged": jnp.asarray(1.0, jnp.float32),
+                "iterations": jnp.asarray(1.0, jnp.float32),
+                "resid": jnp.asarray(0.0, jnp.float32),
+                "resid_rel": jnp.asarray(0.0, jnp.float32)}
+        return evals, evecs, info
     Amatrix = A.fullmatrix()
     if M is None:
         evals, evecs = degen_eigh(Amatrix)
@@ -112,6 +120,7 @@ def davidson(A: LinearOperator, neig: int, mode: str,
              min_eps: float = 1e-6,
              precond=None,
              verbose: bool = False,
+             return_info: bool = False,
              **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Block Davidson for ``neig`` extreme eigenpairs of a hermitian
     (matrix-free) operator; generalized problem via M-orthonormal bases.
@@ -223,13 +232,21 @@ def davidson(A: LinearOperator, neig: int, mode: str,
 
     state0 = (jnp.asarray(0), X0, X0, lam0, jnp.max(jnp.abs(R0)), best)
     out = lax.while_loop(cond_fun, body_fun, state0)
-    best_lam, best_X, _ = out[5]
+    best_lam, best_X, best_resid = out[5]
     lam_out = best_lam[..., :neig]
     X_out = best_X[..., :neig]
     if mode != "lowest":
         # return ascending order (reference take_eigpairs semantics)
         lam_out = lam_out[..., ::-1]
         X_out = X_out[..., ::-1]
+    if return_info:
+        info = {
+            "converged": jnp.asarray(best_resid < min_eps, jnp.float32),
+            "iterations": jnp.asarray(out[0], jnp.float32),
+            "resid": jnp.asarray(best_resid, jnp.float32),
+            "resid_rel": jnp.asarray(best_resid / min_eps, jnp.float32),
+        }
+        return lam_out, X_out, info
     return lam_out, X_out
 
 

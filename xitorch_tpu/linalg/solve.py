@@ -26,6 +26,7 @@ from xitorch_tpu._impls.linalg.solve import (
     scipy_gmres,
 )
 from xitorch_tpu.debug.modes import is_debug_enabled
+from xitorch_tpu.utils.exceptions import ConvergenceWarning
 from xitorch_tpu.utils.misc import get_method
 
 __all__ = ["solve"]
@@ -57,12 +58,17 @@ _SOLVE_METHODS = {
     "broyden1": broyden1_solve,
 }
 
+# methods whose impl supports the (x, info) return convention
+_INFO_METHODS = {"cg", "cg_ir", "bicgstab", "gmres", "exactsolve",
+                 "custom_exactsolve"}
+
 
 def solve(A: LinearOperator, B: jnp.ndarray,
           E: Optional[jnp.ndarray] = None,
           M: Optional[LinearOperator] = None,
           bck_options: Mapping[str, Any] = {},
           method: Union[str, Callable, None] = None,
+          return_info: bool = False,
           **fwd_options) -> jnp.ndarray:
     r"""Solve :math:`\mathbf{AX=B}` or :math:`\mathbf{AX-MXE=B}` (E diagonal,
     per column) for a (batched, matrix-free) LinearOperator.
@@ -76,6 +82,13 @@ def solve(A: LinearOperator, B: jnp.ndarray,
 
     Returns ``X (*BABEM, na, ncols)``; first and second order gradients flow
     to B, E, and the parameters of A and M via implicit differentiation.
+
+    With ``return_info=True``, returns ``(X, info)`` where ``info`` is a
+    jit-safe pytree ``{"converged", "iterations", "resid", "resid_rel"}``
+    (f32 scalars; gradients of info are zero).  In eager mode a
+    :class:`ConvergenceWarning` is emitted when the solve did not converge
+    (the reference warns from inside its solvers, e.g.
+    _impls/linalg/solve.py:156-160).
     """
     if A.shape[-1] != A.shape[-2]:
         raise RuntimeError("The linear operator A must have a square shape")
@@ -114,6 +127,8 @@ def solve(A: LinearOperator, B: jnp.ndarray,
 
     if method == "exactsolve":
         # dense path: differentiable natively (incl. higher order)
+        if return_info:
+            return exactsolve(A, B, E, M, return_info=True)
         return exactsolve(A, B, E, M)
 
     method_fcn = get_method("solve", _SOLVE_METHODS, method)
@@ -152,9 +167,84 @@ def solve(A: LinearOperator, B: jnp.ndarray,
             return z.conj()
         return bck_fcn(AH, b, E, MH, **bck_cfg)
 
-    return lax.custom_linear_solve(matvec, B2, solve_fcn,
-                                   transpose_solve=transpose_solve_fcn,
-                                   symmetric=symmetric)
+    if return_info:
+        if isinstance(method, str) and method not in _INFO_METHODS:
+            raise RuntimeError(
+                "return_info=True is not supported for method %r "
+                "(supported: %s, or a custom callable returning (x, info))"
+                % (method, sorted(_INFO_METHODS)))
+        x, info = _solve_with_info(A, B2, E, M, method_fcn, fwd_options,
+                                   bck_method, bck_cfg)
+        _warn_nonconverged_eager("solve", method, info)
+        return x, info
+
+    x = lax.custom_linear_solve(matvec, B2, solve_fcn,
+                                transpose_solve=transpose_solve_fcn,
+                                symmetric=symmetric)
+    # eager-mode convergence warning (reference solvers warn on
+    # non-convergence, _impls/linalg/solve.py:156-160); one extra matvec,
+    # skipped under jit/vmap/grad tracing where values are abstract
+    if not isinstance(x, jax.core.Tracer):
+        rtol = fwd_options.get("rtol", 1e-6)
+        atol = fwd_options.get("atol", 1e-8)
+        resid = jnp.linalg.norm(matvec(x) - B2, axis=-2)
+        stop = jnp.maximum(rtol * jnp.linalg.norm(B2, axis=-2), atol)
+        # broyden1/scipy bridges have their own tolerance semantics; use a
+        # loose factor so the warning only fires on genuine failures
+        if bool(jnp.any(resid > 10 * stop)):
+            warnings.warn(ConvergenceWarning(
+                "solve (method=%s) did not converge: max residual %.3e "
+                "(tolerance %.3e); the best iterate is returned"
+                % (method, float(jnp.max(resid)), float(jnp.max(stop)))))
+    return x
+
+
+def _warn_nonconverged_eager(what: str, method, info) -> None:
+    conv = info.get("converged", None)
+    if conv is None or isinstance(conv, jax.core.Tracer):
+        return
+    if float(conv) < 1.0:
+        warnings.warn(ConvergenceWarning(
+            "%s (method=%s) did not converge after %d iterations "
+            "(final residual %.3e, %.1fx the tolerance); the best iterate "
+            "is returned" % (what, method, int(info["iterations"]),
+                             float(info["resid"]), float(info["resid_rel"]))))
+
+
+def _solve_with_info(A, B2, E, M, method_fcn, fwd_options, bck_method,
+                     bck_cfg):
+    """Differentiable (solution, info) solve: the primal runs the impl once
+    (which reports its convergence info); the tangent rule solves the
+    linearized system ``A dX - M dX E = dB - dA X + dM X E + M X dE`` with
+    the (re-differentiable) public solve — the same linear-in-tangents +
+    custom_linear_solve structure used everywhere else, so reverse mode and
+    second order come from transposition.  Info tangents are zero."""
+    has_e = E is not None
+    has_m = M is not None
+
+    @jax.custom_jvp
+    def run(A, B, E, M):
+        return method_fcn(A, B, E, M, return_info=True, **fwd_options)
+
+    @run.defjvp
+    def run_jvp(primals, tangents):
+        A, B, E, M = primals
+        dA, dB, dE, dM = tangents
+        x, info = run(A, B, E, M)
+        _, dAX = jax.jvp(lambda a: a.mm(x), (A,), (dA,))
+        rhs = dB - dAX
+        if has_e:
+            MX = M.mm(x) if has_m else x
+            if has_m:
+                _, dMX = jax.jvp(lambda m: m.mm(x), (M,), (dM,))
+                rhs = rhs + dMX * E[..., None, :]
+            rhs = rhs + MX * dE[..., None, :]
+        dx = solve(A, rhs, E, M, bck_options=bck_cfg, method=bck_method,
+                   **bck_cfg)
+        dinfo = jax.tree_util.tree_map(jnp.zeros_like, info)
+        return (x, info), (dx, dinfo)
+
+    return run(A, B2, E, M)
 
 
 # docstring completion (parity: reference solve.py:233-243)

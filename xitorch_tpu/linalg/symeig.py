@@ -41,24 +41,27 @@ def lsymeig(A: LinearOperator, neig: Optional[int] = None,
             M: Optional[LinearOperator] = None,
             bck_options: Mapping[str, Any] = {},
             method: Union[str, Callable, None] = None,
+            return_info: bool = False,
             **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return symeig(A, neig, "lowest", M, bck_options=bck_options,
-                  method=method, **fwd_options)
+                  method=method, return_info=return_info, **fwd_options)
 
 
 def usymeig(A: LinearOperator, neig: Optional[int] = None,
             M: Optional[LinearOperator] = None,
             bck_options: Mapping[str, Any] = {},
             method: Union[str, Callable, None] = None,
+            return_info: bool = False,
             **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return symeig(A, neig, "uppest", M, bck_options=bck_options,
-                  method=method, **fwd_options)
+                  method=method, return_info=return_info, **fwd_options)
 
 
 def symeig(A: LinearOperator, neig: Optional[int] = None,
            mode: str = "lowest", M: Optional[LinearOperator] = None,
            bck_options: Mapping[str, Any] = {},
            method: Union[str, Callable, None] = None,
+           return_info: bool = False,
            **fwd_options) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r"""Obtain ``neig`` lowest/uppermost eigenpairs of :math:`\mathbf{AX=MXE}`.
 
@@ -67,6 +70,11 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
     ``(evals (*BAM, neig), evecs (*BAM, q, neig))``, M-orthonormal, with
     degeneracy-safe 1st/2nd-order gradients.  ``bck_options`` may carry
     ``degen_atol``/``degen_rtol`` (and solve options for the iterative path).
+
+    With ``return_info=True``, returns ``(evals, evecs, info)`` where
+    ``info`` is a jit-safe pytree ``{"converged", "iterations", "resid",
+    "resid_rel"}`` (f32 scalars, zero gradients); in eager mode a
+    :class:`ConvergenceWarning` is emitted on non-convergence.
     """
     if not A.is_hermitian:
         raise RuntimeError("The linear operator A must be Hermitian")
@@ -92,11 +100,15 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
             M.check()
 
     if method == "exacteig":
-        return exacteig(A, neig, mode, M)
+        return exacteig(A, neig, mode, M, return_info=return_info)
 
     method_fcn = get_method("symeig", _SYMEIG_METHODS, method)
-    return _symeig_implicit(A, M, neig, mode, method_fcn, dict(fwd_options),
-                            dict(bck_options))
+    out = _symeig_implicit(A, M, neig, mode, method_fcn, dict(fwd_options),
+                           dict(bck_options), return_info=return_info)
+    if return_info:
+        from xitorch_tpu.linalg.solve import _warn_nonconverged_eager
+        _warn_nonconverged_eager("symeig", method, out[2])
+    return out
 
 
 def _check_degen(evals: jnp.ndarray, degen_atol: float, degen_rtol: float):
@@ -132,7 +144,8 @@ def _ortho(A: jnp.ndarray, B: jnp.ndarray, *, D: Optional[jnp.ndarray],
 
 def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
                      neig: int, mode: str, method_fcn: Callable,
-                     fwd_options: dict, bck_options: dict):
+                     fwd_options: dict, bck_options: dict,
+                     return_info: bool = False):
     degen_atol = bck_options.pop("degen_atol", None)
     degen_rtol = bck_options.pop("degen_rtol", None)
     bck_cfg = bck_options
@@ -140,6 +153,9 @@ def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
 
     @jax.custom_jvp
     def _eigsolve(A, M):
+        if return_info:
+            return method_fcn(A, neig, mode, M, return_info=True,
+                              **fwd_options)
         evals, evecs = method_fcn(A, neig, mode, M, **fwd_options)
         return evals, evecs
 
@@ -147,7 +163,8 @@ def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
     def _eigsolve_jvp(primals, tangents):
         A, M = primals
         dA, dM = tangents
-        evals, evecs = _eigsolve(A, M)
+        out = _eigsolve(A, M)
+        evals, evecs = out[0], out[1]
 
         datol = jnp.finfo(evals.dtype).eps ** 0.6 if degen_atol is None else degen_atol
         drtol = jnp.finfo(evals.dtype).eps ** 0.4 if degen_rtol is None else degen_rtol
@@ -184,6 +201,9 @@ def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
             xdMx = jnp.einsum("...rc,...rc->...c", evecs.conj(), dMX)
             dX = dX - 0.5 * xdMx[..., None, :] * evecs
 
+        if return_info:
+            dinfo = jax.tree_util.tree_map(jnp.zeros_like, out[2])
+            return out, (devals, dX, dinfo)
         return (evals, evecs), (devals, dX)
 
     return _eigsolve(A, M)
