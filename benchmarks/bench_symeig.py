@@ -38,11 +38,28 @@ def main():
         s, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(nk))
         return s
 
+    # convergence is a hard requirement while benchmarking (reference
+    # policy, benchmarks/benchmarks_solve.py:61-65) — checked from the
+    # solver's info struct before timing
+    def assert_converged(method, opts):
+        if method == "exacteig":
+            return
+        A = LinearOperator.m(mats, is_hermitian=True)
+        out = jax.jit(lambda: symeig(A, NEIG, "lowest", method=method,
+                                     return_info=True, **opts))()
+        info = out[2]
+        assert float(info["converged"]) == 1.0, (
+            "benchmark %s did not converge: resid=%g after %d iterations"
+            % (method, float(info["resid"]), int(info["iterations"])))
+
     # min_eps 1e-3: the batch spectra contain near-degenerate clusters
     # (8th/9th gaps ~1e-4), so tighter f32 residuals are unreachable and a
     # tighter setting just measures max_niter
     for method, opts in [("exacteig", {}),
+                         ("chebfsi", {"min_eps": 1e-3, "max_niter": 40,
+                                      "nguess": 32, "degree": 24}),
                          ("davidson", {"min_eps": 1e-3, "max_niter": 400})]:
+        assert_converged(method, opts)
         f1 = jax.jit(lambda m: run_k(m, method, 1, **opts))
         fK = jax.jit(lambda m: run_k(m, method, K, **opts))
         float(f1(mats))

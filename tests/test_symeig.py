@@ -313,3 +313,62 @@ def test_symeig_davidson_nonconvergence_flag_and_warning(rng):
                                     return_info=True)
     assert float(info["converged"]) == 0.0
     assert float(info["iterations"]) == 2.0
+
+
+@pytest.mark.parametrize("mode", ["lowest", "uppest"])
+@pytest.mark.parametrize("batch", [(), (3,)])
+def test_chebfsi_matches_dense(mode, batch, rng):
+    n, neig = 40, 4
+    Am = make_sym(rng, batch, n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    evals, evecs, info = symeig(A, neig, mode, method="chebfsi",
+                                min_eps=1e-10, return_info=True)
+    assert float(info["converged"]) == 1.0
+    dv = jnp.linalg.eigvalsh(Am)
+    exp = dv[..., :neig] if mode == "lowest" else dv[..., -neig:]
+    assert_allclose(evals, exp, atol=1e-8)
+    check_eig(Am, evals, evecs)
+
+
+def test_chebfsi_grads_match_exacteig(rng):
+    n, neig = 20, 3
+    Am = make_sym(rng, (), n)
+
+    def loss(Am, method):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        kw = {} if method == "exacteig" else {
+            "min_eps": 1e-12,
+            "bck_options": {"rtol": 1e-12, "atol": 1e-14}}
+        ev, X = symeig(A, neig, "lowest", method=method, **kw)
+        return jnp.sum(ev ** 2) + jnp.sum(X ** 4)
+
+    g1 = jax.grad(loss)(Am, "chebfsi")
+    g2 = jax.grad(loss)(Am, "exacteig")
+    assert_allclose(g1, g2, rtol=1e-6, atol=1e-9)
+
+
+def test_chebfsi_f32_dense_bulk_spectrum(rng):
+    """The config-2 benchmark shape in miniature: f32 SPD batch with a
+    quasi-continuous bulk spectrum (the hard case for subspace filters —
+    regression for the CholQR orthogonality stall)."""
+    B, n, neig = 8, 96, 6
+    a = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32) / (n ** 0.5)
+    mats = a @ jnp.swapaxes(a, -2, -1) + 2 * jnp.eye(n, dtype=jnp.float32)
+    A = LinearOperator.m(mats, is_hermitian=True)
+    evals, evecs, info = jax.jit(
+        lambda: symeig(A, neig, "lowest", method="chebfsi", min_eps=1e-3,
+                       max_niter=40, nguess=24, degree=24,
+                       return_info=True))()
+    assert float(info["converged"]) == 1.0
+    dv = jnp.linalg.eigvalsh(mats)[..., :neig]
+    assert_allclose(evals, dv, atol=1e-4)
+
+
+def test_chebfsi_rejects_generalized(rng):
+    n = 10
+    Am = make_sym(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    Mm = make_sym(rng, (), n) + n * jnp.eye(n)
+    M = LinearOperator.m(Mm, is_hermitian=True)
+    with pytest.raises(RuntimeError, match="chebfsi"):
+        symeig(A, 2, "lowest", M=M, method="chebfsi")

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from xitorch_tpu._core.linop import LinearOperator
-from xitorch_tpu._impls.linalg.symeig import davidson, exacteig
+from xitorch_tpu._impls.linalg.symeig import chebfsi, davidson, exacteig
 from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.linalg.solve import solve
 from xitorch_tpu.utils.misc import get_method
@@ -32,6 +32,7 @@ __all__ = ["lsymeig", "usymeig", "symeig", "svd"]
 
 _SYMEIG_METHODS = {
     "davidson": davidson,
+    "chebfsi": chebfsi,
     "exacteig": exacteig,
     "custom_exacteig": exacteig,
 }
