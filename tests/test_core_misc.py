@@ -191,3 +191,52 @@ def test_serving_export_roundtrip(rng):
 
     compiled = serving.aot_compile(fn, (mat, b))
     assert_allclose(compiled(mat, b), jnp.linalg.solve(mat, b), rtol=1e-6)
+
+
+def test_debug_assert_fcn_params():
+    """Debug mode validates user callables with a framework message instead
+    of a raw tracer error (reference assertfuncs.py:11-21 usage)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from xitorch_tpu.debug import enable_debug
+    from xitorch_tpu.optimize import rootfinder
+    from xitorch_tpu.integrate import solve_ivp
+
+    def good(y, a):
+        return jnp.tanh(a @ y) + y / 2
+
+    def wrong_arity(y):
+        return y
+
+    def wrong_shape(y, a):
+        return jnp.sum(y)[None]
+
+    a = jnp.eye(3) * 0.3
+    y0 = jnp.zeros(3)
+    with enable_debug():
+        y = rootfinder(good, y0, params=(a,), method="broyden1")
+        assert y.shape == (3,)
+        with pytest.raises(RuntimeError, match="rootfinder fcn"):
+            rootfinder(wrong_arity, y0, params=(a,))
+        with pytest.raises(RuntimeError, match="rootfinder fcn"):
+            rootfinder(wrong_shape, y0, params=(a,))
+        with pytest.raises(RuntimeError, match="solve_ivp fcn"):
+            solve_ivp(lambda t, y: y * 0, jnp.linspace(0, 1, 3), y0,
+                      params=(a,))
+
+
+def test_assertfuncs_helpers():
+    import pytest
+
+    from xitorch_tpu.utils.assertfuncs import (
+        assert_broadcastable, assert_runtime, assert_type,
+    )
+
+    assert_broadcastable((3, 1, 5), (4, 5))
+    with pytest.raises(RuntimeError, match="broadcastable"):
+        assert_broadcastable((3, 2, 5), (4, 5))
+    with pytest.raises(RuntimeError, match="nope"):
+        assert_runtime(False, "nope")
+    with pytest.raises(TypeError):
+        assert_type(False, "bad type")

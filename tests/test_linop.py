@@ -154,3 +154,40 @@ def test_scipy_bridge(rng):
     sp = op.scipy_linalg_op()
     v = rng.standard_normal(4)
     assert_allclose(sp.matvec(v), np.asarray(mat) @ v, rtol=1e-6)
+
+
+def test_bcast_mv_broadcasts_before_subclass_mv(rng):
+    """mv/mm broadcast x's batch dims against the operator's before the
+    subclass _mv runs, so a _mv relying on fully-broadcast shapes is safe
+    (reference linop.py:215-274 semantics)."""
+    from xitorch_tpu import LinearOperator
+
+    class DiagOp(LinearOperator):
+        def __init__(self, d):  # d: (B, n)
+            n = d.shape[-1]
+            super().__init__(shape=(*d.shape[:-1], n, n), is_hermitian=True,
+                             dtype=d.dtype)
+            self.d = d
+
+        def _getparamnames(self, prefix=""):
+            return [prefix + "d"]
+
+        def _mv(self, x):
+            # relies on x having the operator's full batch shape
+            assert x.shape == self.d.shape
+            return self.d * x
+
+    d = jnp.asarray(rng.standard_normal((3, 5)))
+    op = DiagOp(d)
+    x1 = jnp.asarray(rng.standard_normal((5,)))       # unbatched input
+    y = op.mv(x1)
+    assert y.shape == (3, 5)
+    assert_allclose(y, d * x1)
+    xm = jnp.asarray(rng.standard_normal((5, 2)))     # unbatched matrix
+    ym = op.mm(xm)
+    assert ym.shape == (3, 5, 2)
+    assert_allclose(ym, d[..., None] * xm)
+    # incompatible batch shapes still fail loudly
+    xbad = jnp.asarray(rng.standard_normal((4, 5)))
+    with pytest.raises(Exception):
+        op.mv(xbad)

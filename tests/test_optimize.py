@@ -235,3 +235,73 @@ def test_mixed_static_params():
 
     g = jax.grad(loss)(jnp.asarray(0.1))
     assert bool(jnp.isfinite(g)) and abs(float(g)) > 1e-8
+
+
+def test_newton_inexact_eisenstat_walker(rng):
+    """Newton with an iterative inner solver and no explicit tolerances uses
+    the adaptive Eisenstat-Walker forcing (reference rootsolver.py:85-139)
+    and still converges to the same root as exact-solve Newton."""
+    from xitorch_tpu.optimize import rootfinder
+
+    A = jnp.asarray(rng.standard_normal((6, 6)) * 0.2)
+    b = jnp.asarray(rng.standard_normal((6,)))
+
+    def fcn(y, A, b):
+        return jnp.tanh(A @ y + b) + y / 2.0
+
+    y0 = jnp.zeros(6)
+    y_exact = rootfinder(fcn, y0, params=(A, b), method="newton",
+                         solver_method="exactsolve", maxiter=60)
+    y_ew, info = rootfinder(fcn, y0, params=(A, b), method="newton",
+                            solver_method="gmres", maxiter=60,
+                            return_info=True)
+    assert float(info["converged"]) == 1.0
+    assert_allclose(y_ew, y_exact, rtol=1e-6, atol=1e-8)
+    assert_allclose(fcn(y_ew, A, b), jnp.zeros(6), atol=1e-7)
+
+
+def test_minimize_bck_cg_ir_mixed_precision(rng):
+    """bck_options={'method': 'cg_ir'} is now supported on the minimize
+    backward (round-1 limitation): the Hessian linop is hermitian-flagged so
+    cg_ir applies; closure-converted (dtype-frozen) Jacobians are detected
+    by an abstract probe and degrade to full-precision cg — either way the
+    grads must match the exactsolve backward."""
+    from xitorch_tpu.optimize import minimize
+
+    n = 6
+    a = jnp.asarray(rng.standard_normal((n, n)) * 0.4, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    y0 = jnp.zeros(n, jnp.float32)
+
+    def fcn(y, a, b):
+        r = a @ y - b
+        return jnp.sum(r * r) + 0.1 * jnp.sum(y ** 4)
+
+    def loss(a, bck):
+        y = minimize(fcn, y0, params=(a, b), method="broyden1",
+                     maxiter=400, f_tol=1e-10, bck_options=bck)
+        return jnp.sum(y ** 2)
+
+    g_exact = jax.grad(loss)(a, {"method": "exactsolve"})
+    g_ir = jax.grad(loss)(a, {"method": "cg_ir", "rtol": 1e-6, "atol": 1e-7})
+    assert_allclose(g_ir, g_exact, rtol=1e-3, atol=1e-5)
+
+
+def test_equilibrium_bck_cg_ir_falls_back(rng):
+    """cg_ir in bck_options on a NON-hermitian residual Jacobian
+    (equilibrium) falls back to plain cg and still matches."""
+    from xitorch_tpu.optimize import equilibrium
+
+    W = jnp.asarray(rng.standard_normal((8, 8)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    y0 = jnp.zeros(8, jnp.float32)
+
+    def f(y, W, b):
+        return jnp.tanh(W @ y + b)
+
+    def loss(W, bck):
+        return jnp.sum(equilibrium(f, y0, params=(W, b), bck_options=bck) ** 2)
+
+    g1 = jax.grad(loss)(W, {})
+    g2 = jax.grad(loss)(W, {"method": "cg_ir"})
+    assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)

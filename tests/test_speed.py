@@ -60,11 +60,27 @@ def test_ivp_euler_speed_vs_manual_loop():
         "solve_ivp euler backward too slow: %.4fs vs %.4fs" % (t_glib, t_gman)
 
 
-def test_no_leak_repeated_calls():
-    """Analog of the reference memleak tests (xitorch/_tests/test_memleak.py):
-    repeated solver calls must not grow the number of live device buffers."""
+def _live_arrays():
     import gc
 
+    gc.collect()
+    return sum(1 for o in gc.get_objects() if isinstance(o, jax.Array))
+
+
+def _assert_no_leak(f, *args, reps=20, slack=10):
+    jax.block_until_ready(f(*args))  # compile + steady state
+    before = _live_arrays()
+    for _ in range(reps):
+        jax.block_until_ready(f(*args))
+    after = _live_arrays()
+    assert after - before < slack, \
+        "live jax.Array count grew: %d -> %d" % (before, after)
+
+
+def test_no_leak_solve():
+    """Analog of the reference memleak tests (xitorch/_tests/test_memleak.py
+    :19-177, which cover all five functionals): repeated solver calls must
+    not grow the number of live device buffers."""
     from xitorch_tpu import LinearOperator
     from xitorch_tpu.linalg import solve
     import numpy as np
@@ -78,13 +94,52 @@ def test_no_leak_repeated_calls():
     def f(Am, Bm):
         return solve(LinearOperator.m(Am, is_hermitian=True), Bm, method="cg")
 
-    def live_arrays():
-        gc.collect()
-        return sum(1 for o in gc.get_objects() if isinstance(o, jax.Array))
+    _assert_no_leak(f, Am, Bm)
 
-    f(Am, Bm).block_until_ready()
-    before = live_arrays()
-    for _ in range(20):
-        f(Am, Bm).block_until_ready()
-    after = live_arrays()
-    assert after - before < 10, "live jax.Array count grew: %d -> %d" % (before, after)
+
+def test_no_leak_symeig():
+    from xitorch_tpu import LinearOperator
+    from xitorch_tpu.linalg import symeig
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((8, 8))
+    Am = jnp.asarray((a + a.T) / 2)
+
+    @jax.jit
+    def f(Am):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        ev, X = symeig(A, 3, "lowest", method="davidson", min_eps=1e-9,
+                       max_niter=500)
+        return ev
+
+    _assert_no_leak(f, Am)
+
+
+def test_no_leak_rootfinder_equilibrium_minimize():
+    """Memleak analogs for the optimize functionals, including their
+    implicit backward (the reference's leak was in Broyden state lambdas)."""
+    from xitorch_tpu.optimize import equilibrium, minimize, rootfinder
+
+    A = jnp.eye(4) * 0.3
+    y0 = jnp.zeros(4)
+
+    @jax.jit
+    def f_root(A):
+        return jax.grad(lambda A: jnp.sum(
+            rootfinder(lambda y, A: jnp.tanh(A @ y + 0.5) + y / 2, y0,
+                       params=(A,), method="broyden1") ** 2))(A)
+
+    @jax.jit
+    def f_equil(A):
+        return equilibrium(lambda y, A: jnp.tanh(A @ y + 0.5), y0,
+                           params=(A,), method="anderson_acc")
+
+    @jax.jit
+    def f_min(A):
+        return minimize(lambda y, A: jnp.sum((A @ y - 0.5) ** 2) + jnp.sum(y ** 2),
+                        y0, params=(A,), method="broyden1")
+
+    _assert_no_leak(f_root, A)
+    _assert_no_leak(f_equil, A)
+    _assert_no_leak(f_min, A)

@@ -372,3 +372,44 @@ def test_chebfsi_rejects_generalized(rng):
     M = LinearOperator.m(Mm, is_hermitian=True)
     with pytest.raises(RuntimeError, match="chebfsi"):
         symeig(A, 2, "lowest", M=M, method="chebfsi")
+
+
+def test_degen_requirement_mathwarning(rng, recwarn):
+    """Debug mode checks the degeneracy requirement on the evecs cotangent
+    and warns when the loss depends on the arbitrary rotation within a
+    degenerate subspace (reference symeig.py:335-347 + MathWarning tests
+    test_linop_fcns.py:182-348)."""
+    import warnings as _warnings
+
+    from xitorch_tpu.debug import enable_debug
+    from xitorch_tpu.utils.exceptions import MathWarning
+
+    # exactly degenerate lowest pair
+    d = jnp.asarray([1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    Q = jnp.linalg.qr(jnp.asarray(rng.standard_normal((8, 8))))[0]
+    Am = Q @ jnp.diag(d) @ Q.T
+    Am = (Am + Am.T) / 2
+
+    def loss_variant(Am):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        ev, X = symeig(A, 2, "lowest", method="davidson", min_eps=1e-11,
+                       max_niter=2000)
+        return jnp.sum(X[:, 0] ** 4)  # depends on the rotation -> violates
+
+    def loss_invariant(Am):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        ev, X = symeig(A, 2, "lowest", method="davidson", min_eps=1e-11,
+                       max_niter=2000)
+        return jnp.sum(ev ** 2)  # eigenvalues only -> fine
+
+    with enable_debug():
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            jax.grad(loss_variant)(Am)
+        assert any(issubclass(x.category, MathWarning) for x in w), \
+            [str(x.message)[:80] for x in w]
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            jax.grad(loss_invariant)(Am)
+        assert not any(issubclass(x.category, MathWarning) for x in w), \
+            [str(x.message)[:120] for x in w]

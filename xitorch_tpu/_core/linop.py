@@ -298,8 +298,13 @@ class LinearOperator:
 
     def _bcast_mv(self, x: jnp.ndarray) -> jnp.ndarray:
         # broadcast x's batch dims against the operator's declared batch dims
-        # before dispatching to the subclass _mv (which may rely on full shapes)
-        return self._mv(x)
+        # before dispatching to the subclass _mv, so _mv always sees the
+        # fully-broadcast batch shape (reference semantics, linop.py:215-274;
+        # a subclass _mv that assumes full shapes would otherwise get wrong
+        # shapes silently).  broadcast_to is free under XLA.
+        bout = get_bcasted_dims(x.shape[:-1], self.shape[:-2])
+        xb = jnp.broadcast_to(x, (*bout, x.shape[-1]))
+        return self._mv(xb)
 
     def _adjoint_rmv(self, v: jnp.ndarray) -> jnp.ndarray:
         # v: (*Bv, p) -> (*Bout, q), computing A^H v exactly via vjp.
@@ -319,7 +324,14 @@ class LinearOperator:
 
     # ------------------------- debug check -------------------------
     def check(self, warn: bool = True) -> None:
-        """Run expensive shape/linearity checks (debug mode)."""
+        """Run expensive shape/linearity checks (debug mode).
+
+        Silently skipped when the operator's leaves are tracers (under
+        jit/grad/vmap): the numeric value checks need concrete arrays.
+        """
+        if any(isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree_util.tree_leaves(self)):
+            return
         checklinop(self)
         if warn:
             warnings.warn("... LinearOperator.check is performed, which is an "

@@ -224,11 +224,23 @@ def _nonlin_solver(fcn, x0, params=(), *,
     if jac_variant == "newton":
         from xitorch_tpu.grad.jachess import jac as jac_op
         from xitorch_tpu.linalg.solve import solve as linsolve
-        skw = solver_kwargs or {}
+        skw = dict(solver_kwargs or {})
+        # Eisenstat-Walker forcing (reference rootsolver.py:85-139): the
+        # inner Jacobian solve runs to the adaptive RELATIVE tolerance
+        # ||J dx + f|| <= eta ||f|| instead of a fixed one — loose far from
+        # the root, tight near it.  (An absolute tol can exceed the initial
+        # residual and make the inner solver return a zero step, stalling
+        # Newton — the relative form always forces a real reduction.)
+        # User-supplied tolerances win.
+        use_ew = ("rtol" not in skw) and ("atol" not in skw) \
+            and solver_method != "exactsolve"
 
         def gm_solve(state, v):
             x_cur = state["x"]
             jl = jac_op(lambda xx: func(xx), (x_cur,), idxs=0)
+            if use_ew:
+                return linsolve(jl, v[:, None], method=solver_method,
+                                rtol=state["eta"], atol=1e-30, **skw)[:, 0]
             return linsolve(jl, v[:, None], method=solver_method, **skw)[:, 0]
     elif jac_variant == "linearmixing":
         la = -1.0 if alpha is None else alpha
@@ -283,16 +295,29 @@ def _nonlin_solver(fcn, x0, params=(), *,
         best_x = jnp.where(better, xnew, state["best_x"])
         best_ynorm = jnp.where(better, ynorm_new, state["best_ynorm"])
 
+        # Eisenstat-Walker eta adaptation (reference rootsolver.py:134-139)
+        gamma = 0.9
+        eta_max = 0.9999
+        eta_threshold = 0.1
+        eta = state["eta"]
+        y_norm_safe = jnp.where(state["y_norm"] == 0, 1.0, state["y_norm"])
+        eta_A = gamma * (ynorm_new / y_norm_safe) ** 2
+        gamma_eta2 = gamma * eta * eta
+        eta_new = jnp.where(gamma_eta2 < eta_threshold,
+                            jnp.minimum(eta_max, eta_A),
+                            jnp.minimum(eta_max, jnp.maximum(eta_A, gamma_eta2)))
+
         state2 = gm_update(state, xnew, ynew)
         stop = stop_cond.check(xnew, ynew, dx)
         return {**state2, "x": xnew, "y": ynew, "y_norm": ynorm_new,
-                "best_x": best_x, "best_ynorm": best_ynorm,
+                "best_x": best_x, "best_ynorm": best_ynorm, "eta": eta_new,
                 "iter": state["iter"] + 1, "stop": stop}
 
     state0 = {
         "x": x, "y": y, "y_norm": y_norm,
         "best_x": x, "best_ynorm": y_norm,
         "cns": cns, "dns": dns, "count": count0,
+        "eta": jnp.asarray(1e-3, y_norm.dtype),
         "iter": jnp.asarray(0), "stop": y_norm == 0,
     }
     out = lax.while_loop(cond_fun, body_fun, state0)

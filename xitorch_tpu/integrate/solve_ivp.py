@@ -63,6 +63,11 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
         raise RuntimeError("Argument ts must be a 1D tensor")
     if method is None:
         method = "rk45"
+    from xitorch_tpu.debug.modes import is_debug_enabled
+    if is_debug_enabled():
+        from xitorch_tpu.utils.assertfuncs import assert_fcn_params
+        assert_fcn_params(fcn, (ts[0], y0, *params), what="solve_ivp fcn",
+                          expect_like=y0)
     solver = get_method("solve_ivp", _IVP_METHODS, method)
 
     if adjoint == "backsolve":

@@ -106,10 +106,70 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
     method_fcn = get_method("symeig", _SYMEIG_METHODS, method)
     out = _symeig_implicit(A, M, neig, mode, method_fcn, dict(fwd_options),
                            dict(bck_options), return_info=return_info)
+    if is_debug_enabled():
+        # debug-only observer: checks the degeneracy requirement on the
+        # incoming evecs cotangent and warns (reference symeig.py:335-347).
+        # Uses custom_vjp, so under debug mode the iterative path is
+        # first-order reverse only — debug trades capability for checks.
+        evals_c, evecs_c = _attach_degen_requirement_check(
+            out[0], out[1], dict(bck_options))
+        out = (evals_c, evecs_c, *out[2:]) if return_info \
+            else (evals_c, evecs_c)
     if return_info:
         from xitorch_tpu.linalg.solve import _warn_nonconverged_eager
         _warn_nonconverged_eager("symeig", method, out[2])
     return out
+
+
+def _warn_degen_requirement(violated, evals, reqmax):
+    if bool(violated):
+        import warnings
+
+        from xitorch_tpu.utils.exceptions import MathWarning
+
+        warnings.warn(MathWarning(
+            "Degeneracy appears but the loss function seems to depend "
+            "strongly on the eigenvectors: the gradient might be incorrect "
+            "(max requirement violation %.3e; it should be ~0).\n"
+            "Eigenvalues:\n%s" % (float(reqmax), evals)))
+
+
+def _attach_degen_requirement_check(evals, evecs, bck_options):
+    """Identity on (evals, evecs) whose VJP inspects the evecs cotangent:
+    if eigenvalues are (near-)degenerate, the derivative is well-defined
+    only when D * (X^H G - (X^H G)^H) ~ 0 (reference symeig.py:335-347);
+    otherwise a MathWarning is emitted at runtime via jax.debug.callback."""
+    datol = bck_options.get("degen_atol", None)
+    drtol = bck_options.get("degen_rtol", None)
+    if datol is None:
+        datol = float(jnp.finfo(evals.dtype).eps) ** 0.6
+    if drtol is None:
+        drtol = float(jnp.finfo(evals.dtype).eps) ** 0.4
+
+    @jax.custom_vjp
+    def observer(evals, evecs):
+        return evals, evecs
+
+    def fwd(evals, evecs):
+        return (evals, evecs), (evals, evecs)
+
+    def bwd(res, cot):
+        evals, evecs = res
+        _, gevecs = cot
+        D = _check_degen(evals, datol, drtol)
+        eye = jnp.eye(D.shape[-1], dtype=D.dtype)
+        isdegen = jnp.any((D - eye) != 0)
+        xtg = jnp.swapaxes(evecs, -2, -1).conj() @ gevecs
+        req1 = D * (xtg - jnp.swapaxes(xtg, -2, -1).conj())
+        reqtol = jnp.max(jnp.abs(xtg)) * evecs.shape[-2] \
+            * jnp.finfo(evecs.dtype).eps
+        reqmax = jnp.max(jnp.abs(req1))
+        violated = isdegen & (reqmax > reqtol)
+        jax.debug.callback(_warn_degen_requirement, violated, evals, reqmax)
+        return cot
+
+    observer.defvjp(fwd, bwd)
+    return observer(evals, evecs)
 
 
 def _check_degen(evals: jnp.ndarray, degen_atol: float, degen_rtol: float):

@@ -28,8 +28,10 @@ from xitorch_tpu._impls.optimize.minimizer import adam, gd
 from xitorch_tpu._impls.optimize.rootsolver import (
     broyden1, broyden2, linearmixing, newton,
 )
+from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.grad.jachess import jac
 from xitorch_tpu.linalg.solve import solve
+from xitorch_tpu.utils.assertfuncs import assert_fcn_params
 from xitorch_tpu.utils.misc import get_method
 
 __all__ = ["rootfinder", "equilibrium", "minimize"]
@@ -83,11 +85,13 @@ def _partition_params(params: Sequence[Any]):
 
 def _implicit_rootsolve(res_fcn: Callable, run_solver: Callable,
                         y0, dynparams, merge, bck_options: Mapping[str, Any],
-                        has_info: bool = False):
+                        has_info: bool = False, hermitian: bool = False):
     """Run ``run_solver`` forward; differentiate implicitly through the root
     condition ``res_fcn(y*, *params) = 0``.  With ``has_info`` the solver
     returns ``(y, info)`` and info gets zero tangents (jit-safe convergence
-    reporting, SURVEY §5)."""
+    reporting, SURVEY §5).  ``hermitian`` declares the residual Jacobian
+    symmetric (minimize: it is the Hessian), letting the backward solve use
+    hermitian-only methods (cg / mixed-precision cg_ir) from bck_options."""
     bck_cfg = dict(bck_options)
 
     @jax.custom_jvp
@@ -109,7 +113,7 @@ def _implicit_rootsolve(res_fcn: Callable, run_solver: Callable,
 
         # solve J dy = -rhs with the matrix-free Jacobian at (y*, θ)
         jlinop = jac(lambda y, *dp: res_fcn(y, *merge(dp)),
-                     (ystar, *dynparams), idxs=0)
+                     (ystar, *dynparams), idxs=0, is_hermitian=hermitian)
         dy = solve(jlinop, -rhs.reshape(-1, 1), bck_options=bck_cfg, **bck_cfg)
         dy = dy.reshape(ystar.shape)
         if has_info:
@@ -146,6 +150,11 @@ def rootfinder(fcn: Callable, y0: jnp.ndarray,
     """
     if method is None:
         method = "broyden1"
+    if is_debug_enabled():
+        # debug-gated validation (reference rootfinder.py:96-97): the root
+        # residual must evaluate and have y0's structure
+        assert_fcn_params(fcn, (y0, *params), what="rootfinder fcn",
+                          expect_like=y0)
     pfcn, alldyn = _prepare(fcn, y0, params)
     method_fcn = get_method("rootfinder", _RF_METHODS, method)
 
@@ -170,6 +179,9 @@ def equilibrium(fcn: Callable, y0: jnp.ndarray,
     """
     if method is None:
         method = "broyden1"
+    if is_debug_enabled():
+        assert_fcn_params(fcn, (y0, *params), what="equilibrium fcn",
+                          expect_like=y0)
     pfcn, alldyn = _prepare(fcn, y0, params)
 
     def res_fcn(y, *ps):
@@ -209,6 +221,8 @@ def minimize(fcn: Callable, y0: jnp.ndarray,
             "complex y0 is not supported in minimize (parity with reference)")
     if method is None:
         method = "broyden1"
+    if is_debug_enabled():
+        assert_fcn_params(fcn, (y0, *params), what="minimize fcn")
     pfcn, alldyn = _prepare(fcn, y0, params)
 
     def scalar_fcn(y, *ps):
@@ -234,7 +248,8 @@ def minimize(fcn: Callable, y0: jnp.ndarray,
 
     return _implicit_rootsolve(grad_fcn, run_solver, y0, alldyn,
                                lambda dp: tuple(dp), bck_options,
-                               has_info=bool(fwd_options.get("return_info")))
+                               has_info=bool(fwd_options.get("return_info")),
+                               hermitian=True)
 
 
 # docstring completion (parity: reference rootfinder.py:388-393)
