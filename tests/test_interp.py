@@ -121,3 +121,25 @@ def test_interp_jit_vmap(rng):
     f = Interp1D(x, ys[0], method="linear")
     out2 = jax.jit(lambda ff, q: ff(q))(f, xq)
     assert_allclose(out2, f(xq), atol=1e-12)
+
+
+def test_interp1d_pallas_tridiag_matches_default(rng):
+    """Opt-in Pallas Thomas path (ops/tridiag.py) gives the same spline and
+    gradients as the default solve."""
+    from xitorch_tpu.interpolate import Interp1D
+
+    n = 160
+    x = jnp.asarray(np.sort(rng.uniform(0, 1, n)))
+    y = jnp.asarray(rng.standard_normal((3, n)))
+    xq = jnp.asarray(rng.uniform(0.02, 0.98, 50))
+    f_def = Interp1D(x, y, method="cspline", bc_type="natural")(xq)
+    f_pal = Interp1D(x, y, method="cspline", bc_type="natural",
+                     use_pallas=True)(xq)
+    assert_allclose(f_pal, f_def, rtol=1e-8, atol=1e-10)
+
+    g_def = jax.grad(lambda y: jnp.sum(
+        Interp1D(x, y, method="cspline", bc_type="natural")(xq) ** 2))(y)
+    g_pal = jax.grad(lambda y: jnp.sum(
+        Interp1D(x, y, method="cspline", bc_type="natural",
+                 use_pallas=True)(xq) ** 2))(y)
+    assert_allclose(g_pal, g_def, rtol=1e-8, atol=1e-10)

@@ -106,7 +106,8 @@ class CubicSpline1D(_BaseInterp1D):
 
     def __init__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
                  bc_type: Optional[str] = None, extrap=None,
-                 use_tridiag: Optional[bool] = None, **unused):
+                 use_tridiag: Optional[bool] = None,
+                 use_pallas: bool = False, **unused):
         if bc_type is None:
             bc_type = "not-a-knot"
         bc_types = ["natural", "clamped", "not-a-knot", "periodic"]
@@ -126,6 +127,9 @@ class CubicSpline1D(_BaseInterp1D):
                 and x.shape[-1] >= 128
         self._use_tridiag = use_tridiag and bc_type in ("natural", "clamped") \
             and x.ndim == 1
+        # opt-in Pallas Thomas kernel for the tridiagonal path
+        # (xitorch_tpu/ops/tridiag.py; VMEM-resident, lanes = batch)
+        self._use_pallas = bool(use_pallas) and self._use_tridiag
         if not self._use_tridiag:
             self.spline_mat_inv = get_spline_mat_inv(x, bc_type)  # (*BX, nr, nr)
         if self._y_is_given:
@@ -133,7 +137,8 @@ class CubicSpline1D(_BaseInterp1D):
 
     def _solve_ks(self, y):
         if self._use_tridiag:
-            return spline_ks_tridiag(self.x, y, self.bc_type)
+            return spline_ks_tridiag(self.x, y, self.bc_type,
+                                     use_pallas=self._use_pallas)
         return jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
 
     def _interp(self, xq, y):
@@ -288,9 +293,11 @@ def _offdiag_embed(d: jnp.ndarray, offset: int) -> jnp.ndarray:
     return dd[..., :, None] * eye
 
 
-def spline_ks_tridiag(x: jnp.ndarray, y: jnp.ndarray, bc_type: str) -> jnp.ndarray:
+def spline_ks_tridiag(x: jnp.ndarray, y: jnp.ndarray, bc_type: str,
+                      use_pallas: bool = False) -> jnp.ndarray:
     """Spline gradients ks for natural/clamped bc via an O(n) tridiagonal
-    solve (lax.linalg.tridiagonal_solve) instead of the dense inverse.
+    solve (lax.linalg.tridiagonal_solve, or the Pallas Thomas kernel with
+    ``use_pallas=True``) instead of the dense inverse.
 
     x: (nr,); y: (*BY, nr) -> ks: (*BY, nr).
     """
@@ -324,8 +331,14 @@ def spline_ks_tridiag(x: jnp.ndarray, y: jnp.ndarray, bc_type: str) -> jnp.ndarr
     elif bc_type != "natural":
         raise RuntimeError("tridiagonal spline path supports natural/clamped only")
 
-    # solve for all batch rows at once: b must be (nr, k)
     batch_shape = yb.shape[:-1]
+    if use_pallas:
+        # differentiable Pallas Thomas kernel; the shared diagonals
+        # broadcast across the flattened batch lanes
+        from xitorch_tpu.ops.tridiag import tridiag_solve
+
+        return tridiag_solve(dl, diag, du, r)
+    # solve for all batch rows at once: b must be (nr, k)
     b2 = jnp.moveaxis(r.reshape(-1, nr), 0, -1)  # (nr, nbatch)
     ks = tridiagonal_solve(dl, diag, du, b2)  # (nr, nbatch)
     return jnp.moveaxis(ks, -1, 0).reshape(*batch_shape, nr)

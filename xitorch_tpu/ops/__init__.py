@@ -1,1 +1,4 @@
 from xitorch_tpu.ops.fused_cg import fused_cg_dense, fits_fused_cg  # noqa: F401
+from xitorch_tpu.ops.tridiag import (  # noqa: F401
+    tridiag_matvec, tridiag_solve, tridiag_solve_pallas,
+)
