@@ -1,9 +1,13 @@
 """Benchmark grid: solve / symeig across hermiticity x eigenvalue-range x
 size — the reference's asv suites (benchmarks/benchmarks_solve.py:10-59)
-rebuilt as a plain script.  Convergence failures are hard errors (reference
-:61-65).
+rebuilt as a plain script, now as a *comparison*: each grid point also
+times the torch reference (/root/reference, guarded import) on the SAME
+matrix and tolerances and emits {time_s, ref_time_s, speedup}.
+Convergence failures are hard errors (reference policy :61-65), checked
+from the solver's info struct.
 
-Run: python benchmarks/benchmarks_solve.py [--quick]
+Run: python benchmarks/benchmarks_solve.py [--quick] [--no-ref]
+     [--out results.jsonl]
 Prints one JSON line per grid point.
 """
 import argparse
@@ -16,6 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xitorch_tpu import LinearOperator
 from xitorch_tpu.linalg import solve, symeig
@@ -32,10 +37,59 @@ def timeit(f, *args, rep=3):
     return min(ts)
 
 
+def _load_reference():
+    """Import the torch reference (read-only); None if unavailable."""
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch  # noqa: F401
+        import xitorch  # noqa: F401
+        import xitorch.linalg  # noqa: F401
+        return xitorch
+    except Exception:
+        return None
+
+
+def _ref_timeit(f, rep=2):
+    f()
+    ts = []
+    for _ in range(rep):
+        t0 = time.perf_counter()
+        f()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--no-ref", action="store_true",
+                   help="skip the torch reference comparison")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the default backend in this "
+                        "image is a TPU tunnel that hangs when down)")
+    p.add_argument("--out", default=None, help="append JSONL results here")
     args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "tpu":
+        # the f64 grid needs real f64 — without this the arrays silently
+        # drop to f32 while the convergence gate assumes f64
+        jax.config.update("jax_enable_x64", True)
+
+    ref = None if args.no_ref else _load_reference()
+    if ref is not None:
+        import torch
+        torch.set_num_threads(1)  # match the BASELINE.md measurement setup
+
+    out_f = open(args.out, "a") if args.out else None
+
+    def emit(row):
+        line = json.dumps(row)
+        print(line)
+        if out_f:
+            out_f.write(line + "\n")
+            out_f.flush()
 
     dtype = jnp.float32 if jax.default_backend() == "tpu" else jnp.float64
     sizes = [100, 350] if args.quick else [100, 350, 700]
@@ -51,6 +105,9 @@ def main():
                     minabs_eival=0.1, seed=12, dtype=dtype)
                 A = LinearOperator.m(mat, is_hermitian=is_hermitian)
                 B = jax.random.normal(jax.random.PRNGKey(0), (n, ncols), dtype)
+                method = "cg" if is_hermitian else "bicgstab"
+                solve_opts = dict(posdef=None if is_hermitian else True,
+                                  rtol=1e-5, atol=1e-7, max_niter=8 * n)
 
                 @jax.jit
                 def dosolve(mat, B):
@@ -58,24 +115,46 @@ def main():
                     # bicgstab handles indefinite systems directly: skip the
                     # posdef probe (which would square the conditioning via
                     # the normal-equation fallback)
-                    return solve(Aop, B, method="cg" if is_hermitian else "bicgstab",
-                                 posdef=None if is_hermitian else True,
-                                 rtol=1e-5, atol=1e-7, max_niter=8 * n)
+                    return solve(Aop, B, method=method, return_info=True,
+                                 **solve_opts)
 
-                x = dosolve(mat, B)
+                x, info = dosolve(mat, B)
                 resid = float(jnp.max(jnp.linalg.norm(A.mm(x) - B, axis=-2)))
-                # convergence gate scales with the dtype's conditioning floor:
-                # the non-normal grid matrices reach kappa ~ 1e6 at n=350,
-                # which caps f32 residuals near kappa*eps*|B| regardless of
-                # solver (verified against f32 exactsolve)
+                # convergence is a hard requirement: either the solver's own
+                # flag, or (f32 grids, kappa ~ 1e6 at n>=350) a residual
+                # within the dtype's conditioning floor — verified against
+                # f32 exactsolve
                 gate = 1e-2 * n * (1.0 if dtype == jnp.float64 else 5.0)
-                assert resid < gate, \
+                assert float(info["converged"]) == 1.0 or resid < gate, \
                     "solve did not converge (n=%d herm=%s range=%s resid=%g)" % (
                         n, is_hermitian, (lo, hi), resid)
                 t = timeit(dosolve, mat, B)
-                print(json.dumps({"suite": "solve", "hermitian": is_hermitian,
-                                  "eigrange": [lo, hi], "n": n,
-                                  "time_s": round(t, 5)}))
+
+                ref_t = None
+                if ref is not None:
+                    import torch
+                    from xitorch import LinearOperator as TLinOp
+                    from xitorch.linalg import solve as tsolve
+                    tmat = torch.from_numpy(np.asarray(mat))
+                    tB = torch.from_numpy(np.asarray(B))
+                    tA = TLinOp.m(tmat, is_hermitian=is_hermitian)
+
+                    def ref_solve():
+                        with torch.no_grad():
+                            return tsolve(tA, tB, method=method,
+                                          posdef=None if is_hermitian else True,
+                                          rtol=1e-5, atol=1e-7,
+                                          max_niter=8 * n)
+
+                    ref_t = _ref_timeit(ref_solve)
+
+                emit({"suite": "solve", "hermitian": is_hermitian,
+                      "eigrange": [lo, hi], "n": n,
+                      "backend": jax.default_backend(),
+                      "time_s": round(t, 5),
+                      "iterations": int(info["iterations"]),
+                      "ref_time_s": round(ref_t, 5) if ref_t else None,
+                      "speedup": round(ref_t / t, 2) if ref_t else None})
 
                 if is_hermitian:
                     @jax.jit
@@ -84,9 +163,29 @@ def main():
                         return symeig(Aop, 10, "lowest")
 
                     t = timeit(doeig, mat)
-                    print(json.dumps({"suite": "symeig", "hermitian": True,
-                                      "eigrange": [lo, hi], "n": n,
-                                      "time_s": round(t, 5)}))
+                    ref_t = None
+                    if ref is not None:
+                        import torch
+                        from xitorch import LinearOperator as TLinOp
+                        from xitorch.linalg import symeig as tsymeig
+                        tmat = torch.from_numpy(np.asarray(mat))
+                        tA = TLinOp.m(tmat, is_hermitian=True)
+
+                        def ref_eig():
+                            with torch.no_grad():
+                                return tsymeig(tA, 10, "lowest")
+
+                        ref_t = _ref_timeit(ref_eig)
+
+                    emit({"suite": "symeig", "hermitian": True,
+                          "eigrange": [lo, hi], "n": n,
+                          "backend": jax.default_backend(),
+                          "time_s": round(t, 5),
+                          "ref_time_s": round(ref_t, 5) if ref_t else None,
+                          "speedup": round(ref_t / t, 2) if ref_t else None})
+
+    if out_f:
+        out_f.close()
 
 
 if __name__ == "__main__":

@@ -730,6 +730,18 @@ def cg_ir(A: LinearOperator, B: jnp.ndarray,
     if inner_max_niter is None:
         inner_max_niter = min(int(A.shape[-1]), 100)
 
+    # operators built from closure-converted callables carry a dtype-frozen
+    # jaxpr: casting their leaves to bf16 feeds bf16 into f32 equations and
+    # fails.  Probe abstractly (trace only, no FLOPs) and fall back to the
+    # full-precision cg when the operator is not dtype-polymorphic.
+    try:
+        probe = jax.ShapeDtypeStruct(
+            (*A.shape[:-2], A.shape[-1], B.shape[-1]), low_dtype)
+        jax.eval_shape(lambda p: A_lo.mm(p), probe)
+    except Exception:
+        return cg(A, B, E, M, posdef=posdef, rtol=rtol, atol=atol,
+                  return_info=return_info, **options)
+
     A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True, need_hermit=True)
     bnorm = _colnorm(B2)
     stop = jnp.maximum(rtol * bnorm, atol)

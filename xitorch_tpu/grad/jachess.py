@@ -22,15 +22,19 @@ __all__ = ["jac", "hess"]
 
 
 def jac(fcn: Callable, params: Sequence[Any],
-        idxs: Union[None, int, Sequence[int]] = None) -> Union[LinearOperator, List]:
+        idxs: Union[None, int, Sequence[int]] = None,
+        is_hermitian: bool = False) -> Union[LinearOperator, List]:
     """Return LinearOperator(s) acting as the Jacobian of ``fcn`` w.r.t.
     ``params[idx]`` evaluated at ``params``.
 
     Parity: reference ``jac`` (jachess.py:11-43).  ``idxs=None`` selects all
-    inexact-array params.
+    inexact-array params.  ``is_hermitian=True`` declares the Jacobian
+    symmetric (e.g. when fcn is itself a gradient, so J is a Hessian) —
+    this unlocks hermitian-only solvers (cg, cg_ir) on the operator.
     """
     idxs_list = _setup_idxs(idxs, params)
-    res = [_Jac(fcn, params, idx) for idx in idxs_list]
+    res = [_Jac(fcn, params, idx, is_hermitian=is_hermitian)
+           for idx in idxs_list]
     if isinstance(idxs, int):
         return res[0]
     return res
