@@ -296,3 +296,59 @@ def test_solve_cg_ir_nonhermitian_falls_back(rng):
     assert not A.is_hermitian
     x = solve(A, Bm, method="cg_ir", rtol=1e-9, atol=1e-11, max_niter=400)
     assert_allclose(x, jnp.linalg.solve(Am, Bm), rtol=1e-5, atol=1e-7)
+
+
+def test_gmres_restarted(rng):
+    """GMRES(k) with restarts matches the full-memory solve (and its info
+    reports total iterations across cycles)."""
+    n, nc = 24, 2
+    Am = jnp.asarray(rng.standard_normal((n, n))) + n * jnp.eye(n)
+    Bm = jnp.asarray(rng.standard_normal((n, nc)))
+    A = LinearOperator.m(Am)
+    x_full, info_full = solve(A, Bm, method="gmres", rtol=1e-10, atol=1e-12,
+                              max_niter=200, return_info=True)
+    x_rst, info_rst = solve(A, Bm, method="gmres", rtol=1e-10, atol=1e-12,
+                            max_niter=200, restart=8, return_info=True)
+    expected = jnp.linalg.solve(Am, Bm)
+    assert_allclose(x_full, expected, rtol=1e-6, atol=1e-8)
+    assert_allclose(x_rst, expected, rtol=1e-6, atol=1e-8)
+    assert float(info_rst["converged"]) == 1.0
+    # grads flow through the restarted path too
+    g = jax.grad(lambda B: jnp.sum(solve(A, B, method="gmres", restart=8,
+                                         max_niter=200) ** 2))(Bm)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_linop_dense_folding_and_heuristic(rng):
+    """Explicit-operator algebra folds to explicit operators (reference
+    linop.py:432-444) and the default-method heuristic keys on the
+    is_fullmatrix_implemented capability flag."""
+    from xitorch_tpu import MatrixLinearOperator
+
+    n = 6
+    Am = make_spd(rng, (), n)
+    Bm2 = make_spd(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    B = LinearOperator.m(Bm2, is_hermitian=True)
+    S = A + B
+    D = A - B
+    T = 2.0 * A
+    assert isinstance(S, MatrixLinearOperator)
+    assert isinstance(D, MatrixLinearOperator)
+    assert isinstance(T, MatrixLinearOperator)
+    assert S.is_hermitian and D.is_hermitian and T.is_hermitian
+    assert_allclose(S.fullmatrix(), Am + Bm2)
+    assert_allclose(D.fullmatrix(), Am - Bm2)
+    assert_allclose(T.fullmatrix(), 2.0 * Am)
+
+    # custom subclass with its own _fullmatrix -> exactsolve default
+    class FullOp(SPDOp):
+        def _fullmatrix(self):
+            return self.dense()
+
+    a = jnp.asarray(rng.standard_normal((n, n)) * 0.3)
+    b = jnp.asarray(rng.standard_normal((n, 1)))
+    x = solve(FullOp(a), b)  # default method -> exactsolve (dense path)
+    assert_allclose(x, jnp.linalg.solve(FullOp(a).dense(), b), rtol=1e-8)
+    assert FullOp(a).is_fullmatrix_implemented
+    assert not SPDOp(a).is_fullmatrix_implemented

@@ -168,6 +168,15 @@ class LinearOperator:
         if self.shape[-2:] != b.shape[-2:]:
             raise RuntimeError(
                 "Mismatch shape of add operation: %s and %s" % (self.shape, b.shape))
+        # explicit operators fold to an explicit result (reference
+        # linop.py:432-444) — repeated algebra otherwise builds deep
+        # wrapper chains with one matvec per term
+        if isinstance(self, MatrixLinearOperator) and \
+                isinstance(b, MatrixLinearOperator):
+            return MatrixLinearOperator(
+                self.mat + b.mat,
+                is_hermitian=self.is_hermitian and b.is_hermitian,
+                precision=self._precision)
         return AddLinearOperator(self, b)
 
     def __sub__(self, b: "LinearOperator") -> "LinearOperator":
@@ -176,6 +185,12 @@ class LinearOperator:
         if self.shape[-2:] != b.shape[-2:]:
             raise RuntimeError(
                 "Mismatch shape of sub operation: %s and %s" % (self.shape, b.shape))
+        if isinstance(self, MatrixLinearOperator) and \
+                isinstance(b, MatrixLinearOperator):
+            return MatrixLinearOperator(
+                self.mat - b.mat,
+                is_hermitian=self.is_hermitian and b.is_hermitian,
+                precision=self._precision)
         return AddLinearOperator(self, b, -1)
 
     def __rsub__(self, b):
@@ -184,6 +199,10 @@ class LinearOperator:
     def __mul__(self, f: Union[int, float]):
         if not isinstance(f, (int, float)):
             raise TypeError("LinearOperator can only be multiplied with a scalar")
+        if isinstance(self, MatrixLinearOperator):
+            return MatrixLinearOperator(self.mat * f,
+                                        is_hermitian=self.is_hermitian,
+                                        precision=self._precision)
         return MulLinearOperator(self, f)
 
     def __rmul__(self, f):
@@ -276,6 +295,12 @@ class LinearOperator:
     @property
     def is_getparamnames_implemented(self) -> bool:
         return True
+
+    @property
+    def is_fullmatrix_implemented(self) -> bool:
+        """True when the subclass provides its own cheap ``_fullmatrix``
+        (reference capability flag; drives the exactsolve default)."""
+        return type(self)._fullmatrix is not LinearOperator._fullmatrix
 
     # ------------------------- param extraction (parity) -------------------------
     def getlinopparams(self) -> Sequence[jnp.ndarray]:

@@ -422,6 +422,7 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
           rtol: float = 1e-6,
           atol: float = 1e-8,
           eps: float = 1e-12,
+          restart: Optional[int] = None,
           return_info: bool = False,
           **unused) -> jnp.ndarray:
     """Batched GMRES with classical Gram-Schmidt (twice) + Givens rotations.
@@ -429,23 +430,59 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
     Unlike the reference's gmres (solve.py:326-433, per-iteration lstsq),
     the Arnoldi orthogonalization is two batched matmuls per step (MXU) and
     the least-squares residual falls out of the Givens-rotated rhs for
-    free.  Memory: the full Krylov basis (max_niter+1, *B, na, ncols).
+    free.  Memory: the Krylov basis ``(k+1, *B, na, ncols)`` where
+    ``k = restart`` (GMRES(k): cycles restart from the current iterate
+    until ``max_niter`` total iterations) or ``max_niter`` when ``restart``
+    is None (full GMRES, the reference's behavior).
     """
     nr, ncols = A.shape[-1], B.shape[-1]
     if max_niter is None:
         max_niter = min(int(nr), 200)
-    m = max_niter
 
     # gmres handles general (non-hermitian, indefinite) systems directly, so
     # the normal-equation fallback is unnecessary: skip the posdef probe.
     A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True, need_hermit=False)
 
-    batch = B2.shape[:-2]
     dtype = B2.dtype
     B_norm = _colnorm(B2)
     stop_matrix = jnp.squeeze(jnp.maximum(rtol * B_norm, atol), -2)  # (*B,nc)
 
-    r0 = B2  # x0 = 0
+    if restart is None or restart >= max_niter:
+        x, k_fin, rel_fin = _gmres_cycle(A_fcn, B2, jnp.zeros_like(B2),
+                                         max_niter, stop_matrix, eps, dtype)
+        iters = k_fin
+    else:
+        k = int(restart)
+        ncycles = -(-max_niter // k)  # ceil
+
+        def outer_cond(s):
+            c, x, iters, rel = s
+            return jnp.logical_and(c < ncycles, rel >= 1.0)
+
+        def outer_body(s):
+            c, x, iters, _ = s
+            x, k_fin, rel = _gmres_cycle(A_fcn, B2, x, k, stop_matrix, eps,
+                                         dtype)
+            return (c + 1, x, iters + k_fin, rel)
+
+        _, x, iters, rel_fin = lax.while_loop(
+            outer_cond, outer_body,
+            (jnp.asarray(0), jnp.zeros_like(B2), jnp.asarray(0),
+             jnp.asarray(jnp.inf, B2.real.dtype)))
+
+    if return_info:
+        resid_abs = rel_fin * jnp.max(stop_matrix)  # upper bound
+        return x, _make_info(rel_fin < 1.0, iters, resid_abs, rel_fin)
+    return x
+
+
+def _gmres_cycle(A_fcn, B2, x0, m, stop_matrix, eps, dtype):
+    """One GMRES cycle of up to ``m`` Arnoldi steps from iterate ``x0``.
+    Returns (x1, k_fin, resid_rel)."""
+    batch = B2.shape[:-2]
+    nr, ncols = B2.shape[-2], B2.shape[-1]
+
+    r0 = B2 - A_fcn(x0)
     beta = _colnorm(r0)  # (*B,1,nc)
     V = jnp.zeros((m + 1, *batch, nr, ncols), dtype=dtype)
     V = V.at[0].set(r0 / _safedenom(beta, eps))
@@ -538,12 +575,8 @@ def gmres(A: LinearOperator, B: jnp.ndarray,
     Rp = jnp.where(padmask[:, None] | padmask[None, :], eye, R)
     rhs = jnp.where(padmask, jnp.zeros_like(g[..., :m]), g[..., :m])
     y = jax.scipy.linalg.solve_triangular(Rp, rhs[..., None], lower=False)[..., 0]
-    x = jnp.einsum("k...rc,...ck->...rc", V[:m], y)
-    if return_info:
-        # the GMRES residual magnitude per column is |g[..., k_fin]| for free
-        resid_abs = jnp.max(jnp.abs(g[..., k_fin]))
-        return x, _make_info(rel_fin < 1.0, k_fin, resid_abs, rel_fin)
-    return x
+    x = x0 + jnp.einsum("k...rc,...ck->...rc", V[:m], y)
+    return x, k_fin, rel_fin
 
 
 # ------------------------------------------------------------------

@@ -132,6 +132,13 @@ def davidson(A: LinearOperator, neig: int, mode: str,
     ``precond``: optional LinearOperator or callable applied to the residual
     block before expansion (e.g. an approximate (diag(A)-λ)^-1).
     """
+    if max_addition is not None:
+        import warnings
+
+        warnings.warn(
+            "davidson(max_addition=...) is accepted for API parity with the "
+            "reference but has no effect here: the fixed subspace always "
+            "holds [X, R, X_prev] (documented deviation)")
     if nguess is None:
         nguess = neig
     nguess = max(nguess, neig)

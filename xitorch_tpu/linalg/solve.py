@@ -89,6 +89,12 @@ def solve(A: LinearOperator, B: jnp.ndarray,
     :class:`ConvergenceWarning` is emitted when the solve did not converge
     (the reference warns from inside its solvers, e.g.
     _impls/linalg/solve.py:156-160).
+
+    Performance note: for cg/cg_ir, pass a **static** ``posdef`` bool
+    whenever you know it.  ``posdef=None`` compiles a runtime
+    power-iteration probe plus *both* the plain and normal-equation
+    branches under ``lax.cond`` — roughly double the compile time and one
+    probe per solve.
     """
     if A.shape[-1] != A.shape[-2]:
         raise RuntimeError("The linear operator A must have a square shape")
@@ -116,8 +122,12 @@ def solve(A: LinearOperator, B: jnp.ndarray,
             M.check()
 
     if method is None:
-        if isinstance(A, MatrixLinearOperator) and \
-           (M is None or isinstance(M, MatrixLinearOperator)):
+        # reference heuristic (solve.py:96-104): exactsolve when the
+        # operator(s) can materialize cheaply — keyed on the capability
+        # flag, not the concrete type, so custom subclasses implementing
+        # _fullmatrix get the dense path too
+        if A.is_fullmatrix_implemented and \
+           (M is None or M.is_fullmatrix_implemented):
             method = "exactsolve"
         elif A.shape[-1] <= 5:
             method = "exactsolve"
