@@ -28,18 +28,28 @@ def _blocks(relpath):
         return _BLOCK_RE.findall(f.read())
 
 
-def _run(relpath, ns, hooks=None):
+def _run(relpath, ns, pre_hooks=None):
+    """Execute blocks in order.  ``pre_hooks`` maps a substring of a
+    block's source to a function(ns) run BEFORE that block — keyed on
+    content, not index, so doc edits cannot silently shift bindings."""
     blocks = _blocks(relpath)
     assert blocks, "no python blocks found in %s" % relpath
+    fired = set()
     for i, src in enumerate(blocks):
+        if pre_hooks:
+            for key, hook in pre_hooks.items():
+                if key in src:
+                    hook(ns)
+                    fired.add(key)
         try:
             exec(compile(src, "%s[block %d]" % (relpath, i), "exec"), ns)
         except Exception as e:  # pragma: no cover - diagnostic
             raise AssertionError(
                 "doc example %s block %d failed: %s\n---\n%s"
                 % (relpath, i, e, src)) from e
-        if hooks and i in hooks:
-            hooks[i](ns)
+    if pre_hooks:
+        missing = set(pre_hooks) - fired
+        assert not missing, "pre_hooks never matched a block: %s" % missing
 
 
 def _base_ns(rng):
@@ -75,16 +85,18 @@ def test_doc_functionals(rng):
         "ysamples": jnp.sin(x),
     })
 
-    def after_optimize(ns):
+    def before_linalg(ns):
         # the linalg section uses A as a LinearOperator
         ns["A"] = xt.LinearOperator.m(ns["Amat"], is_hermitian=True)
 
-    def after_integrate(ns):
+    def before_interp(ns):
         # the interpolation section samples y on the grid x
-        ns["y"] = jnp.sin(3 * ns["x"])
+        x = jnp.linspace(0.0, 1.0, 17)
+        ns["x"] = x
+        ns["y"] = jnp.sin(3 * x)
         ns["xq"] = jnp.linspace(0.1, 0.9, 7)
 
-    def after_interp(ns):
+    def before_jachess(ns):
         # the jac/hess section differentiates f(a, b) and scalar g(x)
         ns["f"] = lambda a, b: jnp.tanh(a) + b
         ns["g"] = lambda x: jnp.sum(x ** 3)
@@ -92,8 +104,11 @@ def test_doc_functionals(rng):
         ns["b"] = jnp.asarray([0.1, 0.4])
         ns["x"] = jnp.asarray([0.5, 1.5, -0.7])
 
-    _run("getstart/functionals.md", ns,
-         hooks={0: after_optimize, 2: after_integrate, 3: after_interp})
+    _run("getstart/functionals.md", ns, pre_hooks={
+        "from xitorch_tpu.linalg import": before_linalg,
+        "from xitorch_tpu.interpolate import": before_interp,
+        "from xitorch_tpu.grad import": before_jachess,
+    })
 
 
 def test_doc_linearoperator(rng):
@@ -103,14 +118,15 @@ def test_doc_linearoperator(rng):
         "b": jnp.asarray(rng.standard_normal((4, 1))),
     })
 
-    def after_wrap(ns):
+    def before_subclass(ns):
         # the ones() matrix is singular; later blocks check/solve with A —
         # use a well-conditioned hermitian batch instead
         m3 = jnp.asarray(rng.standard_normal((3, 4, 4)))
         m3 = m3 + jnp.swapaxes(m3, -2, -1) + 8 * jnp.eye(4)
         ns["A"] = xt.LinearOperator.m(m3, is_hermitian=True)
 
-    _run("getstart/linearoperator.md", ns, hooks={0: after_wrap})
+    _run("getstart/linearoperator.md", ns,
+         pre_hooks={"class MyOp": before_subclass})
 
 
 def test_doc_debugging(rng):
@@ -128,7 +144,8 @@ def test_doc_debugging(rng):
     def reset_debug(ns):
         xt.set_debug_mode(False)
 
-    _run("getstart/debugging.md", ns, hooks={0: reset_debug})
+    _run("getstart/debugging.md", ns,
+         pre_hooks={'method="cg", verbose=True': reset_debug})
     xt.set_debug_mode(False)
 
 

@@ -605,10 +605,16 @@ def exactsolve(A: LinearOperator, B: jnp.ndarray,
     else:
         Mmatrix = M.fullmatrix()
         L = jnp.linalg.cholesky(Mmatrix)
-        Linv = jnp.linalg.inv(L)
-        LinvT = jnp.swapaxes(Linv, -2, -1).conj()
-        A2 = Linv @ A.mm(LinvT)
-        B2 = Linv @ B
+        # triangular solves instead of inv(L): faster and more accurate
+        tri = jax.scipy.linalg.solve_triangular
+        eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+        LinvT = jnp.swapaxes(tri(L, eye, lower=True), -2, -1).conj()
+        AL = A.mm(LinvT)
+        A2 = tri(jnp.broadcast_to(L, (*AL.shape[:-2], *L.shape[-2:])), AL,
+                 lower=True)
+        bb = get_bcasted_dims(L.shape[:-2], B.shape[:-2])
+        B2 = tri(jnp.broadcast_to(L, (*bb, *L.shape[-2:])),
+                 jnp.broadcast_to(B, (*bb, *B.shape[-2:])), lower=True)
         X2 = solve_ABE(A2, B2, E)
         return LinvT @ X2
 

@@ -97,9 +97,13 @@ def exacteig(A: LinearOperator, neig: int, mode: str,
         return take_eigpairs(evals, evecs, neig, mode)
     Mmatrix = M.fullmatrix()
     L = jnp.linalg.cholesky(Mmatrix)
-    Linv = jnp.linalg.inv(L)
+    # triangular solve instead of inv(L): faster and more accurate
+    tri = jax.scipy.linalg.solve_triangular
+    eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
+    Linv = tri(L, eye, lower=True)
     LinvT = jnp.swapaxes(Linv, -2, -1).conj()
-    A2 = Linv @ Amatrix @ LinvT
+    A2 = tri(jnp.broadcast_to(L, (*Amatrix.shape[:-2], *L.shape[-2:])),
+             Amatrix @ LinvT, lower=True)
     A2 = (A2 + jnp.swapaxes(A2, -2, -1).conj()) * 0.5
     evals, evecs = degen_eigh(A2)
     evals, evecs = take_eigpairs(evals, evecs, neig, mode)
