@@ -22,7 +22,16 @@ HIDDEN = int(os.environ.get("XT_DEQ_HIDDEN", "256"))
 K = 8
 
 
+def _maybe_force_cpu():
+    """--cpu / XT_CPU=1: force the CPU backend (the default backend in this
+    image is a TPU tunnel that hangs when down)."""
+    import sys
+    if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _maybe_force_cpu()
     d_in, d_out = 64, 8
     params = init_deq(jax.random.PRNGKey(0), d_in, HIDDEN, d_out, jnp.float32)
     optimizer = optax.adam(1e-3)

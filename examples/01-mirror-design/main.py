@@ -10,7 +10,14 @@ Gradients flow through the root *implicitly*.
 
 Run: python examples/01-mirror-design/main.py
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".."))
+
 import jax
+
+if _os.environ.get("XT_CPU") == "1":  # run on CPU when the TPU tunnel is down
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import optax
 from jax.flatten_util import ravel_pytree

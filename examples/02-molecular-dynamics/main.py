@@ -8,7 +8,14 @@ trajectory.
 
 Run: python examples/02-molecular-dynamics/main.py
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".."))
+
 import jax
+
+if _os.environ.get("XT_CPU") == "1":  # run on CPU when the TPU tunnel is down
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import optax
 

@@ -9,7 +9,14 @@ Run: python examples/03-deep-equilibrium/main.py
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", ".."))
+
 import jax
+
+if _os.environ.get("XT_CPU") == "1":  # run on CPU when the TPU tunnel is down
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import optax
 

@@ -94,3 +94,16 @@ def test_symeig_complex_davidson_grad(rng):
     gref = jax.grad(loss_dense)(a)
     assert_allclose(ge, gref, rtol=1e-5, atol=1e-8)
     assert_allclose(gd_, gref, rtol=1e-4, atol=1e-7)
+
+
+def test_complex_symeig_chebfsi(rng):
+    n = 24
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Am = jnp.asarray((a + a.conj().T) / 2)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    evals, evecs, info = symeig(A, 4, "lowest", method="chebfsi",
+                                min_eps=1e-10, return_info=True)
+    assert float(info["converged"]) == 1.0
+    assert_allclose(evals, jnp.linalg.eigvalsh(Am)[:4], atol=1e-8)
+    res = Am @ evecs - evecs * evals[None, :]
+    assert float(jnp.max(jnp.abs(res))) < 1e-8

@@ -332,3 +332,43 @@ def test_ivp_backsolve_nonautonomous_grads():
     g_back = jax.grad(run, argnums=(0, 1, 2, 3))(ts, a, w, y0, "backsolve")
     for ga, gb in zip(g_auto, g_back):
         assert_allclose(gb, ga, rtol=2e-5, atol=1e-9)
+
+
+def test_ivp_return_info():
+    """solve_ivp(return_info=True): adaptive step accounting, jit-safe."""
+    a = jnp.asarray(-0.7)
+    y0 = jnp.asarray([1.0, 0.4])
+    ts = jnp.linspace(0.0, 2.0, 6)
+
+    @jax.jit
+    def f(a):
+        return solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk45",
+                         atol=1e-9, rtol=1e-8, return_info=True)
+
+    yt, info = f(a)
+    assert float(info["converged"]) == 1.0
+    assert float(info["iterations"]) > 0
+    assert_allclose(yt, y0 * jnp.exp(a * ts)[:, None], rtol=1e-6)
+
+    # budget exhaustion flags non-convergence
+    yt2, info2 = solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk45",
+                           atol=1e-12, rtol=1e-12, max_steps=3,
+                           return_info=True)
+    assert float(info2["converged"]) == 0.0
+
+    # fixed-step methods: trivially complete
+    yt3, info3 = solve_ivp(exp_fcn, ts, y0, params=(a,), method="rk4",
+                           return_info=True)
+    assert float(info3["converged"]) == 1.0
+    assert float(info3["iterations"]) == ts.shape[0] - 1
+
+    # grads still flow through yt with info requested
+    g = jax.grad(lambda a: jnp.sum(f(a)[0] ** 2))(a)
+    g2 = jax.grad(lambda a: jnp.sum(solve_ivp(
+        exp_fcn, ts, y0, params=(a,), method="rk45", atol=1e-9,
+        rtol=1e-8) ** 2))(a)
+    assert_allclose(g, g2, rtol=1e-10)
+
+    with pytest.raises(RuntimeError, match="return_info"):
+        solve_ivp(exp_fcn, ts, y0, params=(a,), adjoint="backsolve",
+                  return_info=True)

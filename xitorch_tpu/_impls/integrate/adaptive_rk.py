@@ -56,7 +56,8 @@ _RK45 = dict(
 def _rk_adaptive(fcn: Callable, ts: jnp.ndarray, y0: jnp.ndarray,
                  params: Sequence, tbl: dict,
                  atol: float = 1e-8, rtol: float = 1e-5,
-                 max_steps: int = 4096, remat: bool = True, **unused):
+                 max_steps: int = 4096, remat: bool = True,
+                 return_info: bool = False, **unused):
     """
     Keyword arguments
     -----------------
@@ -66,6 +67,9 @@ def _rk_adaptive(fcn: Callable, ts: jnp.ndarray, y0: jnp.ndarray,
         Total trial-step budget for the whole trajectory (static).
     remat: bool
         Rematerialize each trial step in reverse mode (O(sqrt)-ish memory).
+    return_info: bool
+        Also return a jit-safe info pytree {"converged" (budget covered all
+        output times), "iterations" (accepted steps), "rejected"}.
     """
     yshape = y0.shape
     y0f = y0.reshape(-1)
@@ -145,12 +149,13 @@ def _rk_adaptive(fcn: Callable, ts: jnp.ndarray, y0: jnp.ndarray,
         # emit output-time writes instead of carrying the yt buffer (keeps
         # reverse-mode memory at O(max_steps * n), not O(max_steps * nt * n))
         out = (reached, jnp.minimum(i + 1, nt - 1),
-               jnp.where(reached, ynew, jnp.zeros_like(ynew)))
+               jnp.where(reached, ynew, jnp.zeros_like(ynew)),
+               step_ok, (~accept) & (~done))
         return carry_new, out
 
     carry0 = (ts_n[0], y0f, f0, h0, jnp.asarray(0), jnp.asarray(False))
-    (tf, yf, ff, hf, i_fin, _), (wrote, idxs, yvals) = lax.scan(
-        body, carry0, None, length=max_steps)
+    (tf, yf, ff, hf, i_fin, _), (wrote, idxs, yvals, acc_slots, rej_slots) = \
+        lax.scan(body, carry0, None, length=max_steps)
 
     # scatter the recorded outputs: each output row is written at most once
     yt = jnp.zeros((nt, n), dtype=dtype)
@@ -159,7 +164,15 @@ def _rk_adaptive(fcn: Callable, ts: jnp.ndarray, y0: jnp.ndarray,
     # if the budget ran out, fill remaining outputs with the last state
     filled = jnp.arange(nt)[:, None] <= i_fin
     yt = jnp.where(filled, yt, yf[None, :])
-    return yt.reshape(nt, *yshape)
+    yt = yt.reshape(nt, *yshape)
+    if return_info:
+        info = {
+            "converged": jnp.asarray(i_fin >= nt - 1, jnp.float32),
+            "iterations": jnp.sum(acc_slots).astype(jnp.float32),
+            "rejected": jnp.sum(rej_slots).astype(jnp.float32),
+        }
+        return yt, info
+    return yt
 
 
 def rk23_adaptive(fcn, ts, y0, params=(), **kwargs):

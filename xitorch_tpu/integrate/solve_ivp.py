@@ -50,6 +50,7 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
               bck_options: Mapping[str, Any] = {},
               method: Union[str, Callable, None] = None,
               adjoint: str = "autodiff",
+              return_info: bool = False,
               **fwd_options):
     r"""Solve dy/dt = fcn(t, y, *params) from y(ts[0]) = y0, returning y at
     every t in ``ts`` with shape ``(nt, *ny)`` (pytree leaves gain a leading
@@ -58,6 +59,12 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
     adjoint: "autodiff" (default — reverse-AD through the solver: exact
     w.r.t. the discrete solution, any order, vmappable) or "backsolve"
     (the reference's continuous adjoint: O(1) memory, 1st order only).
+
+    With ``return_info=True`` (autodiff adjoint only), returns
+    ``(yt, info)`` where info is a jit-safe pytree: for adaptive methods
+    ``{"converged"`` (step budget covered all output times),
+    ``"iterations"`` (accepted steps), ``"rejected"}``; trivially complete
+    for fixed-step methods.
     """
     if ts.ndim != 1:
         raise RuntimeError("Argument ts must be a 1D tensor")
@@ -70,6 +77,9 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
                           expect_like=y0)
     solver = get_method("solve_ivp", _IVP_METHODS, method)
 
+    if return_info and adjoint != "autodiff":
+        raise RuntimeError(
+            "return_info=True requires adjoint='autodiff'")
     if adjoint == "backsolve":
         from xitorch_tpu.integrate._adjoint import backsolve_ivp
         from xitorch_tpu.optimize.rootfinder import _partition_params
@@ -87,8 +97,12 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
     if adjoint != "autodiff":
         raise RuntimeError("Unknown adjoint mode: %s" % adjoint)
 
+    is_adaptive = isinstance(method, str) and method in _ADAPTIVE
+    if return_info and is_adaptive:
+        fwd_options = dict(fwd_options, return_info=True)
+
     is_pytree = not hasattr(y0, "shape")
-    if (isinstance(method, str) and method in _ADAPTIVE) and is_pytree:
+    if is_adaptive and is_pytree:
         # adaptive kernels work on flat arrays; ravel the pytree through
         y0flat, unravel = ravel_pytree(y0)
 
@@ -96,10 +110,19 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
             dy = fcn(t, unravel(yf), *params)
             return ravel_pytree(dy)[0]
 
-        ytflat = solver(fcn_flat, ts, y0flat, params, **fwd_options)
-        return jax.vmap(unravel)(ytflat)
+        out = solver(fcn_flat, ts, y0flat, params, **fwd_options)
+        ytflat, info = out if return_info else (out, None)
+        yt = jax.vmap(unravel)(ytflat)
+        return (yt, info) if return_info else yt
 
-    return solver(fcn, ts, y0, params, **fwd_options)
+    out = solver(fcn, ts, y0, params, **fwd_options)
+    if return_info and not is_adaptive:
+        # fixed-step (or custom) methods take exactly nt-1 deterministic steps
+        info = {"converged": jnp.asarray(1.0, jnp.float32),
+                "iterations": jnp.asarray(ts.shape[0] - 1, jnp.float32),
+                "rejected": jnp.asarray(0.0, jnp.float32)}
+        return out, info
+    return out
 
 
 # docstring completion
