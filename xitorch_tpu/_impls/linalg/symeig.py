@@ -33,6 +33,13 @@ from xitorch_tpu.utils.tensor import tallqr
 __all__ = ["exacteig", "degen_eigh", "davidson", "chebfsi", "take_eigpairs"]
 
 
+def _dot_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul at HIGHEST precision: TPU's default bf16 multiplies cap
+    residuals of the Rayleigh-Ritz / projection algebra at ~8e-3, above
+    any useful min_eps (see CLAUDE.md precision note)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def take_eigpairs(eival: jnp.ndarray, eivec: jnp.ndarray, neig: int, mode: str):
     """Select neig eigenpairs from a full (sorted ascending) decomposition
     (reference _take_eigpairs :255-264)."""
@@ -66,7 +73,7 @@ def _degen_eigh_jvp(primals, tangents):
     (dA,) = tangents
     evals, evecs = degen_eigh(A)
     evecsH = jnp.swapaxes(evecs, -2, -1).conj()
-    dS = evecsH @ dA @ evecs  # (*B, n, n)
+    dS = _dot_hi(_dot_hi(evecsH, dA), evecs)  # (*B, n, n)
     devals = jnp.real(jnp.diagonal(dS, axis1=-2, axis2=-1)).astype(evals.dtype)
 
     # F_ij = 1/(λ_j - λ_i) masked to 0 on (near-)degenerate pairs & diagonal
@@ -74,7 +81,7 @@ def _degen_eigh_jvp(primals, tangents):
     diff = evals[..., None, :] - evals[..., :, None]  # λ_j - λ_i
     degen = jnp.abs(diff) <= min_threshold
     F = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, diff))
-    devecs = evecs @ (F * dS)
+    devecs = _dot_hi(evecs, F * dS)
     return (evals, evecs), (devals, devecs)
 
 
@@ -103,11 +110,11 @@ def exacteig(A: LinearOperator, neig: int, mode: str,
     Linv = tri(L, eye, lower=True)
     LinvT = jnp.swapaxes(Linv, -2, -1).conj()
     A2 = tri(jnp.broadcast_to(L, (*Amatrix.shape[:-2], *L.shape[-2:])),
-             Amatrix @ LinvT, lower=True)
+             _dot_hi(Amatrix, LinvT), lower=True)
     A2 = (A2 + jnp.swapaxes(A2, -2, -1).conj()) * 0.5
     evals, evecs = degen_eigh(A2)
     evals, evecs = take_eigpairs(evals, evecs, neig, mode)
-    evecs = LinvT @ evecs  # M-orthonormal eigenvectors
+    evecs = _dot_hi(LinvT, evecs)  # M-orthonormal eigenvectors
     return evals, evecs
 
 
@@ -167,7 +174,7 @@ def davidson(A: LinearOperator, neig: int, mode: str,
     def rayleigh_ritz(V):
         # V: (*B, na, s) M-orthonormal
         AV = A.mm(V)
-        T = jnp.swapaxes(V, -2, -1).conj() @ AV  # (*B, s, s)
+        T = _dot_hi(jnp.swapaxes(V, -2, -1).conj(), AV)  # (*B, s, s)
         T = (T + jnp.swapaxes(T, -2, -1).conj()) * 0.5
         evalT, evecT = jnp.linalg.eigh(sign * T)
         evalT = sign * evalT
@@ -176,8 +183,8 @@ def davidson(A: LinearOperator, neig: int, mode: str,
         # (descending) — flipped back to ascending at return
         evalT_sel = evalT[..., :block]
         evecT_sel = evecT[..., :block]
-        X = V @ evecT_sel  # (*B, na, block)
-        AX = AV @ evecT_sel
+        X = _dot_hi(V, evecT_sel)  # (*B, na, block)
+        AX = _dot_hi(AV, evecT_sel)
         return X, AX, evalT_sel
 
     def residual(X, AX, lam):
@@ -192,7 +199,7 @@ def davidson(A: LinearOperator, neig: int, mode: str,
         """M-orthogonalize the block against X, normalize columns, and
         replace (near-)degenerate columns with fresh noise — keeps the
         subspace [X, R, P] full-rank so the Cholesky-QR stays sane."""
-        W = W - X @ (jnp.swapaxes(MX, -2, -1).conj() @ W)
+        W = W - _dot_hi(X, _dot_hi(jnp.swapaxes(MX, -2, -1).conj(), W))
         norms = _colnorm(W)
         noise = jax.random.normal(key, W.shape, dtype=jnp.float32).astype(W.dtype)
         scale = jnp.max(norms)
@@ -271,9 +278,9 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
             nguess: Optional[int] = None,
             v_init: str = "randn",
             min_eps: float = 1e-6,
-            degree: int = 16,
+            degree: int = 24,
             polish: int = 2,
-            fast_filter: bool = True,
+            fast_filter: bool = False,
             return_info: bool = False,
             **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chebyshev-filtered subspace iteration (ChebFSI, Zhou et al. style)
@@ -289,11 +296,18 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
 
     Keyword arguments: max_niter (RR rounds), nguess (block size, default
     ``max(2*neig, neig+6)``), degree (filter polynomial degree), polish
-    (extra LOBPCG-style accurate-precision rounds at the end — these clean
-    up the low-precision filter noise), fast_filter (run filter matmuls at
-    the backend's fast default precision, e.g. bf16 multiplies on TPU; the
-    Rayleigh-Ritz, bounds, and residuals always use HIGHEST).  min_eps:
-    absolute residual tolerance, as in davidson.
+    (extra LOBPCG-style rounds run ONLY if the filtered iteration exits
+    above ``min_eps`` — converged runs pay nothing for them), fast_filter
+    (run filter matmuls at the backend's fast default precision, e.g. bf16
+    multiplies on TPU; the Rayleigh-Ritz, bounds, and residuals always use
+    HIGHEST).  min_eps: absolute residual tolerance, as in davidson.
+
+    ``fast_filter`` defaults to False: measured on a v5e (B=64, n=256,
+    neig=8, min_eps=1e-3), the bf16 filter's noise floor (~6e-3 residual)
+    stalls the iteration and even the accurate-precision polish cannot
+    recover, so the run burns max_niter rounds — 516 decomps/s vs 3,460
+    decomps/s for the full-precision filter that converges in 4 rounds.
+    Chip-level matmul rate is not wall-clock rate when it costs accuracy.
 
     Generalized (M != None) problems are not supported — use davidson.
     """
@@ -334,8 +348,8 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
                        precision=jax.lax.Precision.HIGHEST)
         T = (T + jnp.swapaxes(T, -2, -1).conj()) * 0.5
         ritz, W = jnp.linalg.eigh(T)  # ascending
-        X = V @ W
-        AX = AV @ W
+        X = _dot_hi(V, W)
+        AX = _dot_hi(AV, W)
         return X, AX, ritz
 
     def _colnorm(W):
@@ -431,10 +445,15 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     niter, best = out[0], out[6]
     best_ritz, best_X, best_resid = best
 
-    # polish: LOBPCG-style rounds at accurate precision on [X, R] — cleans
-    # the fast-filter noise floor down to working-precision residuals
-    def polish_body(i, carry):
-        X, ritz, resid = carry
+    # polish: LOBPCG-style rounds at accurate precision on [X, R] — runs
+    # only while the residual target is still missed (converged runs skip
+    # straight through), cleaning filter noise down to working precision
+    def polish_cond(carry):
+        i, X, ritz, resid = carry
+        return (i < polish) & (resid >= min_eps)
+
+    def polish_body(carry):
+        i, X, ritz, resid = carry
         AX = mm_hi(X)
         R = AX - X * ritz[..., None, :]
         Rn = R / jnp.where(_colnorm(R) == 0, 1.0, _colnorm(R))
@@ -447,12 +466,13 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
         residn = jnp.max(_colnorm(Rn2[..., :neig]))
         valid = (jnp.all(jnp.isfinite(ritzn)) & jnp.all(jnp.isfinite(Xn))
                  & (residn < resid))
-        return (jnp.where(valid, Xn, X), jnp.where(valid, ritzn, ritz),
+        return (i + 1, jnp.where(valid, Xn, X), jnp.where(valid, ritzn, ritz),
                 jnp.where(valid, residn, resid))
 
     if polish > 0:
-        best_X, best_ritz, best_resid = lax.fori_loop(
-            0, polish, polish_body, (best_X, best_ritz, best_resid))
+        _, best_X, best_ritz, best_resid = lax.while_loop(
+            polish_cond, polish_body,
+            (jnp.asarray(0), best_X, best_ritz, best_resid))
 
     lam_out = best_ritz[..., :neig]
     X_out = best_X[..., :neig]
