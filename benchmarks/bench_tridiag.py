@@ -61,6 +61,7 @@ def main():
     _maybe_force_cpu()
     platform = jax.devices()[0].platform
     key = jax.random.PRNGKey(0)
+    REPS = 32
     for K, n in [(2048, 256), (4096, 512), (8192, 1024)]:
         dl, d, du, b = make_systems(K, n, key)
         f_pal = jax.jit(lambda dl, d, du, b: tridiag_solve_pallas(dl, d, du, b))
@@ -72,21 +73,27 @@ def main():
         err = float(jnp.max(jnp.abs(xp - xx)))
         assert err < 1e-4, "pallas vs xla mismatch: %g" % err
 
-        # K solves inside one dispatch already; amortize with 8 reps inside
-        # jit to wash out the host<->device tunnel latency of this image
-        def rep8(f):
+        # marginal-cost methodology (see bench.py): the host<->device
+        # round trip of this image's TPU tunnel is ~30 ms — time 1 rep and
+        # REPS reps inside jit and difference out the fixed dispatch cost
+        def repn(f, nrep):
             def g(dl, d, du, b):
                 s = jnp.asarray(0.0, jnp.float32)
-                for i in range(8):
+                for i in range(nrep):
                     s = s + jnp.sum(f(dl, d + 0.0 * s, du, b))
                 return s
             return jax.jit(g)
 
-        t_pal = timed(rep8(f_pal), (dl, d, du, b)) / 8
-        t_xla = timed(rep8(f_xla), (dl, d, du, b)) / 8
+        def marginal(f):
+            t1 = timed(repn(f, 1), (dl, d, du, b))
+            tN = timed(repn(f, REPS), (dl, d, du, b))
+            return max((tN - t1) / (REPS - 1), 1e-9)
+
+        t_pal = marginal(f_pal)
+        t_xla = marginal(f_xla)
         print(json.dumps({
-            "metric": "batched tridiag solve (K=%d, n=%d, f32, backend=%s)"
-                      % (K, n, platform),
+            "metric": "batched tridiag solve (K=%d, n=%d, f32, backend=%s), "
+                      "amortized over %d calls" % (K, n, platform, REPS),
             "pallas_s": round(t_pal, 6),
             "xla_s": round(t_xla, 6),
             "speedup_pallas_vs_xla": round(t_xla / t_pal, 2),

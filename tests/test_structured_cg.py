@@ -1,0 +1,108 @@
+"""Structured-operator fused CG: TridiagLowRankOperator + Pallas kernel.
+
+The kernel (ops/structured_cg.py) runs in interpret mode on CPU so this
+suite executes the actual kernel code path; on TPU the same code
+compiles via Mosaic.  Gradients flow through ``linalg.solve``'s
+``custom_linear_solve`` exactly as for every other method.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.test_util import check_grads
+
+import xitorch_tpu as xt
+from xitorch_tpu.linalg import solve
+from xitorch_tpu.ops.structured_cg import structured_cg_pallas
+
+
+def _mk(batch=3, n=32, r=2, dtype=jnp.float32, seed=0):
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(seed), 4)
+    d = 4.0 + jax.random.uniform(k1, (batch, n), dtype)
+    c = 0.5 + 0.1 * jax.random.uniform(k2, (batch, n - 1), dtype)
+    V = jax.random.normal(k3, (batch, n, r), dtype) / (n ** 0.5)
+    b = jax.random.normal(k4, (batch, n, 2), dtype)
+    return d, c, V, b
+
+
+def test_operator_matvec_matches_fullmatrix():
+    d, c, V, b = _mk()
+    A = xt.TridiagLowRankOperator(d, c, V)
+    x = b[..., 0]
+    dense = A.fullmatrix()
+    ref = jnp.einsum("...nm,...m->...n", dense, x)
+    assert jnp.allclose(A.mv(x), ref, atol=1e-5)
+    xt.checklinop(A)
+
+
+def test_kernel_interpret_matches_dense():
+    d, c, V, b = _mk()
+    A = xt.TridiagLowRankOperator(d, c, V)
+    cl, cu = A.full_couplings()
+    x, it, res = structured_cg_pallas(d, cl, cu, V, b[..., 0],
+                                      rtol=1e-6, atol=1e-9, interpret=True)
+    ref = jnp.linalg.solve(A.fullmatrix(), b[..., 0:1])[..., 0]
+    assert jnp.max(jnp.abs(x - ref)) < 1e-4
+    assert float(jnp.max(res)) < 1e-4
+
+
+def test_solve_method_structured_cg():
+    d, c, V, b = _mk()
+    A = xt.TridiagLowRankOperator(d, c, V)
+    x, info = solve(A, b, method="structured_cg", rtol=1e-6, atol=1e-9,
+                    interpret=True, return_info=True)
+    ref = jnp.linalg.solve(A.fullmatrix(), b)
+    assert jnp.max(jnp.abs(x - ref)) < 1e-4
+    assert float(info["converged"]) == 1.0
+
+
+def test_solve_structured_cg_grads():
+    d, c, V, b = _mk(batch=2, n=16, r=1)
+
+    def f(d, c, V, b):
+        A = xt.TridiagLowRankOperator(d, c, V)
+        return solve(A, b, method="structured_cg", rtol=1e-10, atol=1e-12,
+                     interpret=True)
+
+    check_grads(f, (d.astype(jnp.float64), c.astype(jnp.float64),
+                    V.astype(jnp.float64), b.astype(jnp.float64)),
+                order=2, modes=["rev"], atol=1e-4, rtol=1e-4)
+
+
+def test_pure_tridiag_direct_path():
+    d, c, V, b = _mk()
+    A = xt.TridiagLowRankOperator(d, c)  # V=None -> direct Thomas
+    x = solve(A, b, method="structured_cg", interpret=True)
+    ref = jnp.linalg.solve(A.fullmatrix(), b)
+    assert jnp.max(jnp.abs(x - ref)) < 1e-4
+
+
+def test_scalar_coupling_and_no_coupling():
+    d, c, V, b = _mk()
+    A = xt.TridiagLowRankOperator(d, jnp.asarray(0.7), V)
+    dense = A.fullmatrix()
+    lowrank = jnp.einsum("...nk,...mk->...nm", V, V)
+    assert jnp.allclose(dense[..., 0, 1] - lowrank[..., 0, 1], 0.7)
+    x = solve(A, b, method="structured_cg", interpret=True,
+              rtol=1e-7, atol=1e-9)
+    assert jnp.max(jnp.abs(jnp.linalg.solve(dense, b) - x)) < 2e-4
+
+    A0 = xt.TridiagLowRankOperator(d)  # diagonal only
+    x0 = solve(A0, b, method="structured_cg", interpret=True)
+    assert jnp.max(jnp.abs(x0 - b / d[..., None])) < 1e-5
+
+
+def test_fallback_f64_uses_cg():
+    # float64 is not kernel-eligible; the method silently falls back to cg
+    d, c, V, b = _mk(dtype=jnp.float64)
+    A = xt.TridiagLowRankOperator(d, c, V)
+    x = solve(A, b, method="structured_cg", rtol=1e-12, atol=1e-14)
+    ref = jnp.linalg.solve(A.fullmatrix(), b)
+    assert jnp.max(jnp.abs(x - ref)) < 1e-9
+
+
+def test_bad_shapes_raise():
+    d = jnp.ones((3, 8))
+    with pytest.raises(RuntimeError):
+        xt.TridiagLowRankOperator(d, jnp.ones((3, 5)))
+    with pytest.raises(RuntimeError):
+        xt.TridiagLowRankOperator(d, None, jnp.ones((3, 7, 2)))

@@ -46,10 +46,70 @@ def _fused_cg(A, B, E=None, M=None, rtol: float = 1e-6, atol: float = 1e-8,
     return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter, **options)
 
 
+def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
+                   atol: float = 1e-8, max_niter=None,
+                   return_info: bool = False, **options):
+    """Fused Pallas solve for :class:`TridiagLowRankOperator`: the whole
+    CG state and operator data live in VMEM (ops/structured_cg.py), so
+    per-iteration HBM traffic is zero.  Pure tridiagonal operators
+    (V is None) get a *direct* Thomas solve instead of CG.  Falls back
+    to the XLA cg for any other operator/backend/dtype or E/M shifts."""
+    from xitorch_tpu._core.structured import TridiagLowRankOperator
+    from xitorch_tpu.ops.structured_cg import (
+        fits_structured_cg, structured_cg_pallas,
+    )
+
+    interpret = options.pop("interpret", False)
+    on_tpu = interpret or jax.default_backend() == "tpu"
+    if not (E is None and M is None and on_tpu
+            and isinstance(A, TridiagLowRankOperator)
+            and jnp.dtype(A.dtype) == jnp.dtype(jnp.float32)):
+        return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter,
+                  return_info=return_info, **options)
+
+    cl, cu = A.full_couplings()
+    bT = jnp.swapaxes(B, -1, -2)  # (*B, ncols, n): columns into batch
+
+    if A.V is None:
+        from xitorch_tpu.ops.tridiag import tridiag_solve_pallas
+        x = tridiag_solve_pallas(cl[..., None, :], A.d[..., None, :],
+                                 cu[..., None, :], bT, interpret=interpret)
+        x = jnp.swapaxes(x, -1, -2)
+        if return_info:
+            info = {"converged": jnp.asarray(1.0, jnp.float32),
+                    "iterations": jnp.asarray(1.0, jnp.float32),
+                    "resid": jnp.asarray(0.0, jnp.float32),
+                    "resid_rel": jnp.asarray(0.0, jnp.float32)}
+            return x, info
+        return x
+
+    if not fits_structured_cg(A.shape[-1], A.V.shape[-1], A.dtype):
+        return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter,
+                  return_info=return_info, **options)
+
+    x, it, res = structured_cg_pallas(
+        A.d[..., None, :], cl[..., None, :], cu[..., None, :],
+        A.V[..., None, :, :], bT, rtol=rtol, atol=atol,
+        max_niter=max_niter, interpret=interpret)
+    x = jnp.swapaxes(x, -1, -2)
+    if return_info:
+        bnorm = jnp.linalg.norm(bT, axis=-1)
+        stop = jnp.maximum(rtol * bnorm, atol)
+        info = {
+            "converged": jnp.all(res <= stop).astype(jnp.float32),
+            "iterations": jnp.max(it),
+            "resid": jnp.max(res),
+            "resid_rel": jnp.max(res / stop),
+        }
+        return x, info
+    return x
+
+
 _SOLVE_METHODS = {
     "cg": cg,
     "cg_ir": cg_ir,
     "fused_cg": _fused_cg,
+    "structured_cg": _structured_cg,
     "bicgstab": bicgstab,
     "gmres": gmres,
     "exactsolve": exactsolve,
@@ -60,7 +120,7 @@ _SOLVE_METHODS = {
 
 # methods whose impl supports the (x, info) return convention
 _INFO_METHODS = {"cg", "cg_ir", "bicgstab", "gmres", "exactsolve",
-                 "custom_exactsolve"}
+                 "custom_exactsolve", "structured_cg"}
 
 
 def solve(A: LinearOperator, B: jnp.ndarray,

@@ -35,29 +35,29 @@ def tridiag_matvec(dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray,
     return y
 
 
-def _thomas_kernel(dl_ref, d_ref, du_ref, b_ref, x_ref, cp_ref, bp_ref,
+def _thomas_kernel(dl_ref, d_ref, du_ref, b_ref, x_ref, cp_ref,
                    *, n: int, eps: float):
-    # forward sweep
+    # forward sweep; the transformed rhs lives directly in x_ref (it is
+    # consumed in reverse order by the back substitution), saving one
+    # (n, tile) VMEM scratch buffer
     d0 = d_ref[0, :]
     d0 = jnp.where(d0 == 0, eps, d0)
     cp_ref[0, :] = du_ref[0, :] / d0
-    bp_ref[0, :] = b_ref[0, :] / d0
+    x_ref[0, :] = b_ref[0, :] / d0
 
     def fwd(i, _):
         m = d_ref[i, :] - dl_ref[i, :] * cp_ref[i - 1, :]
         m = jnp.where(m == 0, eps, m)
         cp_ref[i, :] = du_ref[i, :] / m
-        bp_ref[i, :] = (b_ref[i, :] - dl_ref[i, :] * bp_ref[i - 1, :]) / m
+        x_ref[i, :] = (b_ref[i, :] - dl_ref[i, :] * x_ref[i - 1, :]) / m
         return 0
 
     lax.fori_loop(1, n, fwd, 0)
 
-    # back substitution
-    x_ref[n - 1, :] = bp_ref[n - 1, :]
-
+    # back substitution (in place)
     def bwd(j, _):
         i = n - 2 - j
-        x_ref[i, :] = bp_ref[i, :] - cp_ref[i, :] * x_ref[i + 1, :]
+        x_ref[i, :] = x_ref[i, :] - cp_ref[i, :] * x_ref[i + 1, :]
         return 0
 
     lax.fori_loop(0, n - 1, bwd, 0)
@@ -89,7 +89,13 @@ def tridiag_solve_pallas(dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray,
         return jnp.moveaxis(a, 0, -1)  # (n, K)
 
     dlp, dp, dup, bp = map(to_panel, (dl, d, du, b))
-    tk = min(tile, K)
+    # VMEM budget: 4 double-buffered inputs + 1 double-buffered output
+    # + 1 scratch = 11 (n, tk) planes must fit the ~16MB scoped limit
+    # (measured OOM at n=1024, tk=512: 24MB requested)
+    itemsize = jnp.dtype(b.dtype).itemsize
+    budget = 10 * 1024 * 1024
+    tk_max = max(128, (budget // (11 * n * itemsize)) // 128 * 128)
+    tk = min(tile, K, tk_max)
     # pad K to a tile multiple; padded columns solve d=1 systems (harmless)
     Kpad = ((K + tk - 1) // tk) * tk
     if Kpad != K:
@@ -105,10 +111,10 @@ def tridiag_solve_pallas(dl: jnp.ndarray, d: jnp.ndarray, du: jnp.ndarray,
     try:
         from jax.experimental.pallas import tpu as pltpu
         memspace = pltpu.VMEM
-        scratch = [pltpu.VMEM((n, tk), bp.dtype), pltpu.VMEM((n, tk), bp.dtype)]
+        scratch = [pltpu.VMEM((n, tk), bp.dtype)]
     except ImportError:  # pragma: no cover
         memspace = None
-        scratch = [jax.ShapeDtypeStruct((n, tk), bp.dtype)] * 2
+        scratch = [jax.ShapeDtypeStruct((n, tk), bp.dtype)]
 
     def spec():
         kwargs = {"index_map": lambda i: (0, i)}
