@@ -91,6 +91,44 @@ def test_scalar_coupling_and_no_coupling():
     assert jnp.max(jnp.abs(x0 - b / d[..., None])) < 1e-5
 
 
+def test_e_shift_stays_on_kernel():
+    # (A - e_j I) x_j = b_j per column: a diagonal shift keeps the
+    # structure (this is symeig's implicit-gradient shifted solve)
+    d, c, V, b = _mk()
+    A = xt.TridiagLowRankOperator(d, c, V)
+    E = -jnp.asarray([1.0, 2.5], jnp.float32)  # below spectrum: posdef
+    x, info = solve(A, b, E=E, method="structured_cg", rtol=1e-6,
+                    atol=1e-9, interpret=True, return_info=True)
+    assert float(info["converged"]) == 1.0
+    dense = A.fullmatrix()
+    eye = jnp.eye(d.shape[-1], dtype=jnp.float32)
+    for j in range(2):
+        ref = jnp.linalg.solve(dense - E[j] * eye, b[..., j:j + 1])[..., 0]
+        assert jnp.max(jnp.abs(x[..., j] - ref)) < 2e-4
+
+
+def test_symeig_grads_with_structured_bck():
+    # lowest eigenvalue of a structured operator, implicit gradients with
+    # the structured kernel doing the shifted backward solves
+    from xitorch_tpu.linalg import symeig
+
+    d, c, V, _ = _mk(batch=2, n=24, r=1)
+
+    def f(dd):
+        A = xt.TridiagLowRankOperator(dd, c, V)
+        evals, _ = symeig(A, 2, "lowest", method="exacteig",
+                          bck_options={"method": "structured_cg",
+                                       "interpret": True})
+        return jnp.sum(evals)
+
+    g = jax.grad(f)(d)
+    # Hellmann-Feynman: dE/dd_i = sum_k |psi_k(i)|^2
+    A = xt.TridiagLowRankOperator(d, c, V)
+    _, vecs = jnp.linalg.eigh(A.fullmatrix())
+    ref = jnp.sum(vecs[..., :2] ** 2, axis=-1)
+    assert jnp.max(jnp.abs(g - ref)) < 1e-3
+
+
 def test_fallback_f64_uses_cg():
     # float64 is not kernel-eligible; the method silently falls back to cg
     d, c, V, b = _mk(dtype=jnp.float64)

@@ -52,8 +52,11 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
     """Fused Pallas solve for :class:`TridiagLowRankOperator`: the whole
     CG state and operator data live in VMEM (ops/structured_cg.py), so
     per-iteration HBM traffic is zero.  Pure tridiagonal operators
-    (V is None) get a *direct* Thomas solve instead of CG.  Falls back
-    to the XLA cg for any other operator/backend/dtype or E/M shifts."""
+    (V is None) get a *direct* Thomas solve instead of CG.  Per-column
+    diagonal shifts E (M=None) keep the structure — ``A - e_j I`` just
+    shifts d — so symeig's implicit-gradient shifted solves stay on the
+    fused path.  Falls back to the XLA cg for any other operator/
+    backend/dtype or for M-generalized shifts."""
     from xitorch_tpu._core.structured import TridiagLowRankOperator
     from xitorch_tpu.ops.structured_cg import (
         fits_structured_cg, structured_cg_pallas,
@@ -61,7 +64,7 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
 
     interpret = options.pop("interpret", False)
     on_tpu = interpret or jax.default_backend() == "tpu"
-    if not (E is None and M is None and on_tpu
+    if not (M is None and on_tpu
             and isinstance(A, TridiagLowRankOperator)
             and jnp.dtype(A.dtype) == jnp.dtype(jnp.float32)):
         return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter,
@@ -69,10 +72,15 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
 
     cl, cu = A.full_couplings()
     bT = jnp.swapaxes(B, -1, -2)  # (*B, ncols, n): columns into batch
+    # per-column diagonal: columns are batch rows of bT, so E (*BE, ncols)
+    # becomes a shift of d along that axis
+    dcol = A.d[..., None, :]
+    if E is not None:
+        dcol = dcol - E[..., :, None]
 
     if A.V is None:
         from xitorch_tpu.ops.tridiag import tridiag_solve_pallas
-        x = tridiag_solve_pallas(cl[..., None, :], A.d[..., None, :],
+        x = tridiag_solve_pallas(cl[..., None, :], dcol,
                                  cu[..., None, :], bT, interpret=interpret)
         x = jnp.swapaxes(x, -1, -2)
         if return_info:
@@ -88,7 +96,7 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
                   return_info=return_info, **options)
 
     x, it, res = structured_cg_pallas(
-        A.d[..., None, :], cl[..., None, :], cu[..., None, :],
+        dcol, cl[..., None, :], cu[..., None, :],
         A.V[..., None, :, :], bT, rtol=rtol, atol=atol,
         max_niter=max_niter, interpret=interpret)
     x = jnp.swapaxes(x, -1, -2)
