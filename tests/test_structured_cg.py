@@ -144,3 +144,32 @@ def test_bad_shapes_raise():
         xt.TridiagLowRankOperator(d, jnp.ones((3, 5)))
     with pytest.raises(RuntimeError):
         xt.TridiagLowRankOperator(d, None, jnp.ones((3, 7, 2)))
+
+
+def test_structured_cg_shard_map_matches_single():
+    """dp-sharded structured solve via shard_map == unsharded (the Pallas
+    call is per-device; shard_map is the multi-chip pattern for it)."""
+    from jax.sharding import PartitionSpec as P
+
+    from xitorch_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+        _pytest.skip("needs 4 devices")
+
+    d, c, V, b = _mk(batch=8, n=32, r=2)
+    mesh = make_mesh(4, axis_names=("dp",))
+
+    def local_solve(d, c, V, b):
+        A = xt.TridiagLowRankOperator(d, c, V)
+        return solve(A, b, method="structured_cg", rtol=1e-7, atol=1e-10,
+                     interpret=True)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, so shard_map's vma check must be off for kernel bodies
+    sharded = jax.shard_map(local_solve, mesh=mesh,
+                            in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                            out_specs=P("dp"), check_vma=False)
+    xs = jax.jit(sharded)(d, c, V, b)
+    x1 = local_solve(d, c, V, b)
+    assert jnp.max(jnp.abs(xs - x1)) < 1e-5
