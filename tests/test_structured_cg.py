@@ -173,3 +173,62 @@ def test_structured_cg_shard_map_matches_single():
     xs = jax.jit(sharded)(d, c, V, b)
     x1 = local_solve(d, c, V, b)
     assert jnp.max(jnp.abs(xs - x1)) < 1e-5
+
+
+def test_banded_operator_matvec_and_solve():
+    """Pentadiagonal + low-rank: bands at offsets 1 and 2."""
+    k = jax.random.split(jax.random.PRNGKey(3), 5)
+    B, n, r = 3, 40, 2
+    d = 6.0 + jax.random.uniform(k[0], (B, n), jnp.float32)
+    c1 = 0.5 * jax.random.uniform(k[1], (B, n - 1), jnp.float32)
+    c2 = 0.3 * jax.random.uniform(k[2], (B, n - 2), jnp.float32)
+    V = jax.random.normal(k[3], (B, n, r), jnp.float32) / (n ** 0.5)
+    b = jax.random.normal(k[4], (B, n, 2), jnp.float32)
+
+    A = xt.BandedLowRankOperator(d, {1: c1, 2: c2}, V)
+    dense = A.fullmatrix()
+    x0 = b[..., 0]
+    ref_mv = jnp.einsum("...nm,...m->...n", dense, x0)
+    assert jnp.max(jnp.abs(A.mv(x0) - ref_mv)) < 1e-5
+    xt.checklinop(A)
+
+    x, info = solve(A, b, method="structured_cg", rtol=1e-7, atol=1e-9,
+                    interpret=True, return_info=True)
+    ref = jnp.linalg.solve(dense, b)
+    assert jnp.max(jnp.abs(x - ref)) < 2e-4
+    assert float(info["converged"]) == 1.0
+
+
+def test_banded_operator_grads():
+    k = jax.random.split(jax.random.PRNGKey(4), 5)
+    B, n = 2, 16
+    d = 5.0 + jax.random.uniform(k[0], (B, n), jnp.float64)
+    c2 = 0.4 * jax.random.uniform(k[1], (B, n - 2), jnp.float64)
+    V = jax.random.normal(k[2], (B, n, 1), jnp.float64) / 4.0
+    b = jax.random.normal(k[3], (B, n, 1), jnp.float64)
+
+    def f(d, c2, V, b):
+        A = xt.BandedLowRankOperator(d, {2: c2}, V)
+        return solve(A, b, method="structured_cg", rtol=1e-11, atol=1e-13,
+                     interpret=True)
+
+    check_grads(f, (d, c2, V, b), order=2, modes=["rev"],
+                atol=1e-4, rtol=1e-4)
+
+
+def test_banded_no_lowrank_and_scalar_bands():
+    d = 4.0 + jax.random.uniform(jax.random.PRNGKey(5), (2, 24), jnp.float32)
+    A = xt.BandedLowRankOperator(d, {3: jnp.asarray(0.5)})
+    b = jax.random.normal(jax.random.PRNGKey(6), (2, 24, 1), jnp.float32)
+    x = solve(A, b, method="structured_cg", rtol=1e-7, atol=1e-10,
+              interpret=True)
+    ref = jnp.linalg.solve(A.fullmatrix(), b)
+    assert jnp.max(jnp.abs(x - ref)) < 2e-4
+
+
+def test_banded_bad_offsets_raise():
+    d = jnp.ones((8,))
+    with pytest.raises(RuntimeError):
+        xt.BandedLowRankOperator(d, {0: jnp.ones((8,))})
+    with pytest.raises(RuntimeError):
+        xt.BandedLowRankOperator(d, {2: jnp.ones((3,))})

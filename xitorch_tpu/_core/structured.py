@@ -16,7 +16,101 @@ import jax.numpy as jnp
 
 from xitorch_tpu._core.linop import LinearOperator
 
-__all__ = ["TridiagLowRankOperator"]
+__all__ = ["TridiagLowRankOperator", "BandedLowRankOperator"]
+
+
+class BandedLowRankOperator(LinearOperator):
+    r"""Hermitian operator :math:`A = \mathrm{diag}(d) + \sum_k B_{o_k}(c_k)
+    + V V^T` with symmetric bands at arbitrary offsets.
+
+    ``d``: (*B, n) diagonal; ``bands``: mapping ``{offset: coupling}`` with
+    offset >= 1 and coupling scalar or (*B, n-offset) (``c[..., i]``
+    couples sites i and i+offset, mirrored below the diagonal); ``V``:
+    optional (*B, n, r) low-rank factor.  Generalizes
+    :class:`TridiagLowRankOperator` (= single band at offset 1); the
+    same fused Pallas CG serves ``linalg.solve(..., method=
+    "structured_cg")`` with one extra vector op per band per iteration.
+    """
+
+    def __init__(self, d: jnp.ndarray, bands=None,
+                 V: Optional[jnp.ndarray] = None):
+        d = jnp.asarray(d)
+        n = d.shape[-1]
+        bands = dict(bands or {})
+        offsets = tuple(sorted(int(o) for o in bands))
+        if any(o < 1 or o >= n for o in offsets):
+            raise RuntimeError(
+                "BandedLowRankOperator: band offsets must be in [1, n-1]"
+                " (got %s with n=%d)" % (offsets, n))
+        vals = []
+        batch = d.shape[:-1]
+        for o in offsets:
+            c = jnp.asarray(bands[o], dtype=d.dtype)
+            if c.ndim > 0 and c.shape[-1] != n - o:
+                raise RuntimeError(
+                    "BandedLowRankOperator: band %d coupling must be a "
+                    "scalar or have last dim n-%d=%d (got %s)"
+                    % (o, o, n - o, c.shape))
+            if c.ndim > 1:
+                batch = jnp.broadcast_shapes(batch, c.shape[:-1])
+            vals.append(c)
+        if V is not None:
+            V = jnp.asarray(V, dtype=d.dtype)
+            if V.shape[-2] != n:
+                raise RuntimeError(
+                    "BandedLowRankOperator: V must be (*B, n=%d, r) "
+                    "(got %s)" % (n, V.shape))
+            batch = jnp.broadcast_shapes(batch, V.shape[:-2])
+        super().__init__(shape=(*batch, n, n), is_hermitian=True,
+                         dtype=d.dtype, _suppress_hermit_warning=True)
+        self.d = d
+        self.offsets = offsets       # static
+        self.band_vals = tuple(vals)  # pytree children
+        self.V = V
+
+    def _getparamnames(self, prefix: str = "") -> List[str]:
+        names = [prefix + "d", prefix + "band_vals"]
+        if self.V is not None:
+            names.append(prefix + "V")
+        return names
+
+    def _mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = self.d * x
+        pad = [(0, 0)] * (x.ndim - 1)
+        for o, c in zip(self.offsets, self.band_vals):
+            y = y + jnp.pad(c * x[..., o:], pad + [(0, o)])
+            y = y + jnp.pad(c * x[..., :-o], pad + [(o, 0)])
+        if self.V is not None:
+            vtx = jnp.einsum("...nk,...n->...k", self.V, x)
+            y = y + jnp.einsum("...nk,...k->...n", self.V, vtx)
+        return y
+
+    def _fullmatrix(self) -> jnp.ndarray:
+        n = self.shape[-1]
+        batch = self.shape[:-2]
+        out = jnp.zeros((*batch, n, n), self.dtype) \
+            + self.d[..., :, None] * jnp.eye(n, dtype=self.dtype)
+        for o, c in zip(self.offsets, self.band_vals):
+            cb = jnp.broadcast_to(c, (*batch, n - o))
+            idx = jnp.arange(n - o)
+            out = out.at[..., idx, idx + o].add(cb)
+            out = out.at[..., idx + o, idx].add(cb)
+        if self.V is not None:
+            out = out + jnp.einsum("...nk,...mk->...nm", self.V, self.V)
+        return out
+
+    def full_bands(self):
+        """(bl, bu) as (*B, nb, n) planes with bl[..., k, :o_k] =
+        bu[..., k, n-o_k:] = 0, the layout the Pallas kernel consumes."""
+        n = self.shape[-1]
+        batch = self.shape[:-2]
+        bls, bus = [], []
+        for o, c in zip(self.offsets, self.band_vals):
+            cb = jnp.broadcast_to(c, (*batch, n - o))
+            zero = jnp.zeros((*batch, o), self.dtype)
+            bls.append(jnp.concatenate([zero, cb], axis=-1))
+            bus.append(jnp.concatenate([cb, zero], axis=-1))
+        return jnp.stack(bls, axis=-2), jnp.stack(bus, axis=-2)
 
 
 class TridiagLowRankOperator(LinearOperator):

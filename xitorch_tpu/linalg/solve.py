@@ -57,7 +57,9 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
     shifts d — so symeig's implicit-gradient shifted solves stay on the
     fused path.  Falls back to the XLA cg for any other operator/
     backend/dtype or for M-generalized shifts."""
-    from xitorch_tpu._core.structured import TridiagLowRankOperator
+    from xitorch_tpu._core.structured import (
+        BandedLowRankOperator, TridiagLowRankOperator,
+    )
     from xitorch_tpu.ops.structured_cg import (
         fits_structured_cg, structured_cg_pallas,
     )
@@ -65,12 +67,26 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
     interpret = options.pop("interpret", False)
     on_tpu = interpret or jax.default_backend() == "tpu"
     if not (M is None and on_tpu
-            and isinstance(A, TridiagLowRankOperator)
+            and isinstance(A, (TridiagLowRankOperator, BandedLowRankOperator))
             and jnp.dtype(A.dtype) == jnp.dtype(jnp.float32)):
         return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter,
                   return_info=return_info, **options)
 
-    cl, cu = A.full_couplings()
+    if isinstance(A, TridiagLowRankOperator):
+        cl, cu = A.full_couplings()
+        bl = cl[..., None, :]
+        bu = cu[..., None, :]
+        offsets = (1,)
+        pure_tridiag = A.V is None
+    else:
+        bl, bu = A.full_bands()
+        offsets = A.offsets
+        if not offsets:  # diagonal-only: give it one zero band for layout
+            bl = jnp.zeros((*A.shape[:-2], 1, A.shape[-1]), A.dtype)
+            bu = bl
+            offsets = (1,)
+        pure_tridiag = A.V is None and offsets == (1,)
+
     bT = jnp.swapaxes(B, -1, -2)  # (*B, ncols, n): columns into batch
     # per-column diagonal: columns are batch rows of bT, so E (*BE, ncols)
     # becomes a shift of d along that axis
@@ -78,10 +94,11 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
     if E is not None:
         dcol = dcol - E[..., :, None]
 
-    if A.V is None:
+    if pure_tridiag:
         from xitorch_tpu.ops.tridiag import tridiag_solve_pallas
-        x = tridiag_solve_pallas(cl[..., None, :], dcol,
-                                 cu[..., None, :], bT, interpret=interpret)
+        x = tridiag_solve_pallas(bl[..., 0, :][..., None, :], dcol,
+                                 bu[..., 0, :][..., None, :], bT,
+                                 interpret=interpret)
         x = jnp.swapaxes(x, -1, -2)
         if return_info:
             info = {"converged": jnp.asarray(1.0, jnp.float32),
@@ -91,13 +108,16 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
             return x, info
         return x
 
-    if not fits_structured_cg(A.shape[-1], A.V.shape[-1], A.dtype):
+    rank = A.V.shape[-1] if A.V is not None else 1
+    if not fits_structured_cg(A.shape[-1], rank, A.dtype, nb=len(offsets)):
         return cg(A, B, E, M, rtol=rtol, atol=atol, max_niter=max_niter,
                   return_info=return_info, **options)
+    V = A.V if A.V is not None \
+        else jnp.zeros((*A.shape[:-2], A.shape[-1], 1), A.dtype)
 
     x, it, res = structured_cg_pallas(
-        dcol, cl[..., None, :], cu[..., None, :],
-        A.V[..., None, :, :], bT, rtol=rtol, atol=atol,
+        dcol, bl[..., None, :, :], bu[..., None, :, :],
+        V[..., None, :, :], bT, offsets=offsets, rtol=rtol, atol=atol,
         max_niter=max_niter, interpret=interpret)
     x = jnp.swapaxes(x, -1, -2)
     if return_info:

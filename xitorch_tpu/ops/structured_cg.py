@@ -35,50 +35,47 @@ __all__ = ["structured_cg_pallas", "fits_structured_cg"]
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _tile_batch(n: int, r: int, itemsize: int) -> int:
+def _tile_batch(n: int, nb: int, r: int, itemsize: int) -> int:
     """Largest multiple-of-8 batch tile fitting the VMEM budget.
 
-    Planes of (Kt, n): inputs d, cl, cu, b double-buffered (8), V planes
-    double-buffered (2r), output x double-buffered (2), scratch r/p/Ap (3).
+    Planes of (Kt, n): inputs d, b double-buffered (4), band planes
+    double-buffered (4*nb: lower+upper), V planes double-buffered (2r),
+    output x double-buffered (2), scratch r/p/Ap (3).
     """
-    planes = 8 + 2 * r + 2 + 3
+    planes = 4 + 4 * nb + 2 * r + 2 + 3
     kt = _VMEM_BUDGET // (planes * n * itemsize)
     return max(8, (kt // 8) * 8)
 
 
-def fits_structured_cg(n: int, r: int, dtype) -> bool:
+def fits_structured_cg(n: int, r: int, dtype, nb: int = 1) -> bool:
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),):
         return False
     # one batch element must fit with the minimum tile of 8
-    planes = 8 + 2 * r + 2 + 3
+    planes = 4 + 4 * nb + 2 * r + 2 + 3
     return planes * n * 8 * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
 
 
-def _cg_kernel(d_ref, cl_ref, cu_ref, V_ref, b_ref, x_ref, it_ref, res_ref,
-               r_scr, p_scr, ap_scr, *, max_niter: int, rtol: float,
+def _cg_kernel(d_ref, bl_ref, bu_ref, V_ref, b_ref, x_ref, it_ref, res_ref,
+               r_scr, p_scr, ap_scr, *, offsets, max_niter: int, rtol: float,
                atol: float, eps: float, interpret: bool):
     d = d_ref[:]          # (Kt, n)
-    cl = cl_ref[:]
-    cu = cu_ref[:]
     b = b_ref[:]
+    n = d.shape[1]
 
-    def shift_down(v):
-        # y[i] = v[i-1]; wrapped element killed by cl[..., 0] == 0
+    def roll(v, shift):
+        # circular shift along lanes; wrapped elements are killed by the
+        # zero-padded band entries (bl[..., k, :o] == bu[..., k, n-o:] == 0).
+        # pltpu.roll requires a non-negative shift: -o == n - o circularly
         if interpret:
-            return jnp.roll(v, 1, axis=1)
+            return jnp.roll(v, shift, axis=1)
         from jax.experimental.pallas import tpu as pltpu
-        return pltpu.roll(v, 1, 1)
-
-    def shift_up(v):
-        # y[i] = v[i+1]; wrapped element killed by cu[..., -1] == 0.
-        # pltpu.roll requires a non-negative shift: roll by n-1 == roll by -1
-        if interpret:
-            return jnp.roll(v, -1, axis=1)
-        from jax.experimental.pallas import tpu as pltpu
-        return pltpu.roll(v, v.shape[1] - 1, 1)
+        return pltpu.roll(v, shift % n, 1)
 
     def matvec(p):
-        y = d * p + cl * shift_down(p) + cu * shift_up(p)
+        y = d * p
+        for k, o in enumerate(offsets):
+            y = y + bl_ref[:, k, :] * roll(p, o)    # y[i] += bl_i p_{i-o}
+            y = y + bu_ref[:, k, :] * roll(p, -o)   # y[i] += bu_i p_{i+o}
         V = V_ref[:]      # (Kt, r, n)
         vt = jnp.sum(V * p[:, None, :], axis=2, keepdims=True)  # (Kt, r, 1)
         y = y + jnp.sum(V * vt, axis=1)
@@ -115,29 +112,37 @@ def _cg_kernel(d_ref, cl_ref, cu_ref, V_ref, b_ref, x_ref, it_ref, res_ref,
     res_ref[:] = jnp.sqrt(rr)
 
 
-def structured_cg_pallas(d: jnp.ndarray, cl: jnp.ndarray, cu: jnp.ndarray,
+def structured_cg_pallas(d: jnp.ndarray, bl: jnp.ndarray, bu: jnp.ndarray,
                          V: jnp.ndarray, b: jnp.ndarray,
+                         offsets: Tuple[int, ...] = (1,),
                          rtol: float = 1e-6, atol: float = 1e-8,
                          max_niter: Optional[int] = None,
                          eps: float = 1e-30,
                          interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Raw kernel entry (no AD): CG-solve ``A x = b`` for
-    ``A = diag(d) + cl*down-shift + cu*up-shift + V V^T`` per batch element.
+    ``A = diag(d) + sum_k band_k + V V^T`` per batch element.
 
-    All of d, cl, cu, b are (*B, n) (cl[..., 0] and cu[..., -1] must be 0);
-    V is (*B, n, r).  Returns ``(x, iterations, resid)`` with iterations/
-    resid of shape (*B,) (iterations is tile-uniform: the max over the
-    tile the element landed in).
+    ``offsets`` is a static tuple of band offsets (o >= 1); ``bl``/``bu``
+    hold the lower/upper band couplings as full-length planes, shape
+    (*B, n) for the single-band case offsets=(1,) or (*B, nb, n) for
+    nb > 1 bands, with ``bl[..., k, :o_k] == bu[..., k, n-o_k:] == 0``.
+    d, b are (*B, n); V is (*B, n, r).  Returns ``(x, iterations, resid)``
+    with iterations/resid of shape (*B,) (iterations is tile-uniform: the
+    max over the tile the element landed in).
     """
     from jax.experimental import pallas as pl
 
     interpret = interpret or jax.default_backend() != "tpu"
 
     n = b.shape[-1]
+    nb = len(offsets)
+    if bl.ndim == d.ndim and nb == 1:  # single-band convenience layout
+        bl = bl[..., None, :]
+        bu = bu[..., None, :]
     if max_niter is None:
         max_niter = min(2 * n, 400)
-    batch = jnp.broadcast_shapes(d.shape[:-1], cl.shape[:-1], cu.shape[:-1],
+    batch = jnp.broadcast_shapes(d.shape[:-1], bl.shape[:-2], bu.shape[:-2],
                                  V.shape[:-2], b.shape[:-1])
     K = math.prod(batch) if batch else 1
     r = V.shape[-1]
@@ -145,19 +150,23 @@ def structured_cg_pallas(d: jnp.ndarray, cl: jnp.ndarray, cu: jnp.ndarray,
     def flat2(a):
         return jnp.broadcast_to(a, (*batch, n)).reshape(K, n)
 
-    dd, clf, cuf, bf = map(flat2, (d, cl, cu, b))
+    def flat3(a):
+        return jnp.broadcast_to(a, (*batch, nb, n)).reshape(K, nb, n)
+
+    dd, bf = map(flat2, (d, b))
+    blf, buf = map(flat3, (bl, bu))
     # V as (K, r, n): r in sublanes, n in lanes
     Vf = jnp.moveaxis(jnp.broadcast_to(V, (*batch, n, r)).reshape(K, n, r),
                       -1, -2)
 
-    kt = _tile_batch(n, r, jnp.dtype(b.dtype).itemsize)
+    kt = _tile_batch(n, nb, r, jnp.dtype(b.dtype).itemsize)
     kt = min(kt, max(8, ((K + 7) // 8) * 8))
     Kpad = ((K + kt - 1) // kt) * kt
     if Kpad != K:
         pw = Kpad - K
         dd = jnp.pad(dd, ((0, pw), (0, 0)), constant_values=1.0)
-        clf = jnp.pad(clf, ((0, pw), (0, 0)))
-        cuf = jnp.pad(cuf, ((0, pw), (0, 0)))
+        blf = jnp.pad(blf, ((0, pw), (0, 0), (0, 0)))
+        buf = jnp.pad(buf, ((0, pw), (0, 0), (0, 0)))
         bf = jnp.pad(bf, ((0, pw), (0, 0)))
         Vf = jnp.pad(Vf, ((0, pw), (0, 0), (0, 0)))
 
@@ -176,12 +185,13 @@ def structured_cg_pallas(d: jnp.ndarray, cl: jnp.ndarray, cu: jnp.ndarray,
             kwargs["memory_space"] = memspace
         return pl.BlockSpec(block, **kwargs)
 
-    kernel = functools.partial(_cg_kernel, max_niter=max_niter, rtol=rtol,
+    kernel = functools.partial(_cg_kernel, offsets=tuple(offsets),
+                               max_niter=max_niter, rtol=rtol,
                                atol=atol, eps=eps, interpret=interpret)
     x, it, res = pl.pallas_call(
         kernel,
         grid=(Kpad // kt,),
-        in_specs=[spec2((kt, n)), spec2((kt, n)), spec2((kt, n)),
+        in_specs=[spec2((kt, n)), spec2((kt, nb, n)), spec2((kt, nb, n)),
                   spec2((kt, r, n)), spec2((kt, n))],
         out_specs=(spec2((kt, n)), spec2((kt, 1)), spec2((kt, 1))),
         out_shape=(jax.ShapeDtypeStruct((Kpad, n), bf.dtype),
@@ -189,7 +199,7 @@ def structured_cg_pallas(d: jnp.ndarray, cl: jnp.ndarray, cu: jnp.ndarray,
                    jax.ShapeDtypeStruct((Kpad, 1), jnp.float32)),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(dd, clf, cuf, Vf, bf)
+    )(dd, blf, buf, Vf, bf)
     x = x[:K].reshape(*batch, n)
     it = it[:K, 0].reshape(batch)
     res = res[:K, 0].reshape(batch)
