@@ -240,3 +240,52 @@ def test_assertfuncs_helpers():
         assert_runtime(False, "nope")
     with pytest.raises(TypeError):
         assert_type(False, "bad type")
+
+
+def test_assert_converged_eager_and_checkify():
+    import warnings
+
+    import xitorch_tpu as xt
+    from xitorch_tpu.linalg import solve
+
+    n = 24
+    a = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float64) / n**0.5
+    mat = a @ a.T + 2 * jnp.eye(n)
+    A = xt.LinearOperator.m(mat, is_hermitian=True)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, 2), jnp.float64)
+
+    # converged: no raise
+    x, info = solve(A, b, method="cg", return_info=True)
+    xt.assert_converged(info)
+
+    # starved iteration budget: eager raise with the residual in the message
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x, info = solve(A, b, method="cg", max_niter=1, return_info=True)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        xt.assert_converged(info)
+
+    # under jit: checkify functionalizes the error
+    from jax.experimental import checkify
+
+    def solve_and_assert(b):
+        x, info = solve(A, b, method="cg", max_niter=1, return_info=True)
+        xt.assert_converged(info)
+        return x
+
+    err, _ = jax.jit(checkify.checkify(solve_and_assert))(b)
+    with pytest.raises(Exception, match="did not converge"):
+        err.throw()
+
+
+def test_profile_and_annotate(tmp_path):
+    import xitorch_tpu as xt
+
+    with xt.debug.profile(str(tmp_path)):
+        with xt.debug.annotate("region"):
+            y = jnp.sum(jnp.ones((8, 8)) * 2.0)
+            y.block_until_ready()
+    import os
+    # a trace directory with at least one event file must exist
+    found = [p for p, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "profiler produced no trace files"

@@ -25,6 +25,7 @@ from xitorch_tpu.debug.modes import (  # noqa: F401
 from xitorch_tpu.utils.exceptions import (  # noqa: F401
     GetSetParamsError, ConvergenceWarning, MathWarning,
 )
+from xitorch_tpu.utils.convergence import assert_converged  # noqa: F401
 from xitorch_tpu.version import __version__  # noqa: F401
 
 # alias for reference-API familiarity (get_pure_function ~ make_pure)
