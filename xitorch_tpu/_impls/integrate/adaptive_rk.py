@@ -97,15 +97,20 @@ def _rk_adaptive(fcn: Callable, ts: jnp.ndarray, y0: jnp.ndarray,
         K = jnp.zeros((n_stages + 1, n), dtype=dtype)
         K = K.at[0].set(f)
         for s in range(1, n_stages):
-            dy = (A[s, :s] @ K[:s]) * h
+            # HIGHEST: stage combinations set the step error; TPU
+            # bf16 would inject ~1e-2 noise into every step
+            dy = jnp.tensordot(A[s, :s], K[:s], axes=1,
+                               precision=jax.lax.Precision.HIGHEST) * h
             K = K.at[s].set(func(t + C[s] * h, y + dy))
-        ynew = y + h * (B @ K[:-1])
+        ynew = y + h * jnp.tensordot(B, K[:-1], axes=1,
+                                     precision=jax.lax.Precision.HIGHEST)
         fnew = func(t + h, ynew)
         K = K.at[-1].set(fnew)
         # the step-size controller is a discrete control, not part of the
         # differentiable solution: block gradients (also avoids the NaN of
         # d/dx sqrt(x) at x=0 on exact-landing steps)
-        err = lax.stop_gradient((E @ K) * h)
+        err = lax.stop_gradient(jnp.tensordot(
+            E, K, axes=1, precision=jax.lax.Precision.HIGHEST) * h)
         return ynew, fnew, jnp.sqrt(jnp.sum(err * err))
 
     if remat:

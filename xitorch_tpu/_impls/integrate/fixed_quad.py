@@ -39,4 +39,5 @@ def leggauss(fcn, xl, xu, params, n: int = 100, **unused):
 
     ys = jax.vmap(lambda x: fcn(x, *params))(xs)  # pytree with leading n
     return jax.tree_util.tree_map(
-        lambda y: jnp.tensordot(ws, y, axes=(0, 0)), ys)
+        lambda y: jnp.tensordot(ws, y, axes=(0, 0),
+                        precision=jax.lax.Precision.HIGHEST), ys)

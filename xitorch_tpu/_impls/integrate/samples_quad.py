@@ -8,6 +8,7 @@ static loop (construction-time only).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from xitorch_tpu._impls.interpolate.interp_1d import get_spline_mat_inv
@@ -106,14 +107,20 @@ class CubicSplineSQuad(_SQuadBase):
         self.wk = get_cspline_grad_weights(x)
 
     def cumsum(self, y):
-        ks = jnp.einsum("...ij,...j->...i", self.spline_mat, y)
-        return (jnp.einsum("...ij,...j->...i", self.wk, ks)
-                + jnp.einsum("...ij,...j->...i", self.wy, y))
+        ks = jnp.einsum("...ij,...j->...i", self.spline_mat, y,
+                      precision=jax.lax.Precision.HIGHEST)
+        return (jnp.einsum("...ij,...j->...i", self.wk, ks,
+                      precision=jax.lax.Precision.HIGHEST)
+                + jnp.einsum("...ij,...j->...i", self.wy, y,
+                      precision=jax.lax.Precision.HIGHEST))
 
     def integrate(self, y):
-        ks = jnp.einsum("...ij,...j->...i", self.spline_mat, y)
-        return (jnp.einsum("...j,...j->...", self.wk[..., -1, :], ks)
-                + jnp.einsum("...j,...j->...", self.wy[..., -1, :], y))
+        ks = jnp.einsum("...ij,...j->...i", self.spline_mat, y,
+                      precision=jax.lax.Precision.HIGHEST)
+        return (jnp.einsum("...j,...j->...", self.wk[..., -1, :], ks,
+                      precision=jax.lax.Precision.HIGHEST)
+                + jnp.einsum("...j,...j->...", self.wy[..., -1, :], y,
+                      precision=jax.lax.Precision.HIGHEST))
 
 
 class _WeightBasedSQuad(_SQuadBase):
@@ -124,10 +131,12 @@ class _WeightBasedSQuad(_SQuadBase):
         raise NotImplementedError
 
     def cumsum(self, y):
-        return jnp.einsum("...ij,...j->...i", self.w, y)
+        return jnp.einsum("...ij,...j->...i", self.w, y,
+                      precision=jax.lax.Precision.HIGHEST)
 
     def integrate(self, y):
-        return jnp.einsum("...j,...j->...", self.w[..., -1, :], y)
+        return jnp.einsum("...j,...j->...", self.w[..., -1, :], y,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class TrapzSQuad(_WeightBasedSQuad):

@@ -139,7 +139,10 @@ class CubicSpline1D(_BaseInterp1D):
         if self._use_tridiag:
             return spline_ks_tridiag(self.x, y, self.bc_type,
                                      use_pallas=self._use_pallas)
-        return jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y)
+        # HIGHEST: spline coefficients feed gradient paths; bf16 TPU
+        # multiplies would cap interpolation accuracy at ~1e-2
+        return jnp.einsum("...ij,...j->...i", self.spline_mat_inv, y,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _interp(self, xq, y):
         if self._y_is_given:

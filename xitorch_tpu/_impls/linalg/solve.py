@@ -495,7 +495,10 @@ def _gmres_cycle(A_fcn, B2, x0, m, stop_matrix, eps, dtype):
 
     def arnoldi_dots(V, w, mask):
         # V: (m+1,*B,nr,nc), w: (*B,nr,nc) -> h: (m+1,*B,nc)
-        h = jnp.einsum("k...rc,...rc->k...c", V.conj(), w)
+        # HIGHEST precision: Arnoldi orthogonalization at TPU-default
+        # bf16 loses the Krylov basis orthogonality (~8e-3 floor)
+        h = jnp.einsum("k...rc,...rc->k...c", V.conj(), w,
+                       precision=jax.lax.Precision.HIGHEST)
         return h * mask.reshape((m + 1,) + (1,) * (w.ndim - 1))
 
     def cond_fun(state):
@@ -509,9 +512,11 @@ def _gmres_cycle(A_fcn, B2, x0, m, stop_matrix, eps, dtype):
         mask = (jnp.arange(m + 1) <= k).astype(dtype)
         # CGS2 orthogonalization: two batched matmul sweeps (MXU-friendly)
         h1 = arnoldi_dots(V, w, mask)
-        w = w - jnp.einsum("k...c,k...rc->...rc", h1, V)
+        w = w - jnp.einsum("k...c,k...rc->...rc", h1, V,
+                           precision=jax.lax.Precision.HIGHEST)
         h2 = arnoldi_dots(V, w, mask)
-        w = w - jnp.einsum("k...c,k...rc->...rc", h2, V)
+        w = w - jnp.einsum("k...c,k...rc->...rc", h2, V,
+                           precision=jax.lax.Precision.HIGHEST)
         h = h1 + h2  # (m+1, *B, nc); valid entries 0..k
         hk1 = _colnorm(w)  # (*B,1,nc) real
         V = V.at[k + 1].set(w / _safedenom(hk1, eps))
@@ -575,7 +580,8 @@ def _gmres_cycle(A_fcn, B2, x0, m, stop_matrix, eps, dtype):
     Rp = jnp.where(padmask[:, None] | padmask[None, :], eye, R)
     rhs = jnp.where(padmask, jnp.zeros_like(g[..., :m]), g[..., :m])
     y = jax.scipy.linalg.solve_triangular(Rp, rhs[..., None], lower=False)[..., 0]
-    x = x0 + jnp.einsum("k...rc,...ck->...rc", V[:m], y)
+    x = x0 + jnp.einsum("k...rc,...ck->...rc", V[:m], y,
+                        precision=jax.lax.Precision.HIGHEST)
     return x, k_fin, rel_fin
 
 
@@ -616,7 +622,7 @@ def exactsolve(A: LinearOperator, B: jnp.ndarray,
         B2 = tri(jnp.broadcast_to(L, (*bb, *L.shape[-2:])),
                  jnp.broadcast_to(B, (*bb, *B.shape[-2:])), lower=True)
         X2 = solve_ABE(A2, B2, E)
-        return LinvT @ X2
+        return jnp.matmul(LinvT, X2, precision=jax.lax.Precision.HIGHEST)
 
 
 def solve_ABE(A: jnp.ndarray, B: jnp.ndarray, E: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from xitorch_tpu._impls.optimize.rootsolver import TerminationCondition, _norm
+from xitorch_tpu.utils.tensor import einsum_hi
 
 __all__ = ["anderson_acc"]
 
@@ -74,7 +75,9 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
         nsize = jnp.minimum(k, msize)
         active = (jnp.arange(msize) < nsize).astype(dtype)  # (m,)
         g = (fcol - xcol) * active[..., :, None]  # (*B, m, feat)
-        gram = jnp.einsum("...nf,...mf->...nm", g, g)
+        # HIGHEST precision: a bf16 Gram of near-converged (small) residual
+        # differences destroys the mixing weights on TPU (see CLAUDE.md)
+        gram = einsum_hi("...nf,...mf->...nm", g, g)
         # bordered system: [[0, 1_act^T], [1_act, G + lmbda I]] alpha' = e0
         hmat = jnp.zeros((*batch_shape, msize + 1, msize + 1), dtype=dtype)
         hmat = hmat.at[..., 0, 1:].set(active)
@@ -88,8 +91,8 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
         y = y.at[..., 0, :].set(1.0)
         alpha = jnp.linalg.solve(hmat, y)[..., 1:, 0]  # (*B, m)
         alpha = alpha * active
-        xnew = (jnp.einsum("...n,...nf->...f", alpha, fcol) * beta
-                + jnp.einsum("...n,...nf->...f", alpha, xcol) * (1 - beta))
+        xnew = (einsum_hi("...n,...nf->...f", alpha, fcol) * beta
+                + einsum_hi("...n,...nf->...f", alpha, xcol) * (1 - beta))
         fnew = _fcn(xnew)
         slot = k % msize
         xcol = xcol.at[..., slot, :].set(xnew)

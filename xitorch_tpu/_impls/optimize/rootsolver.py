@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from xitorch_tpu.utils.tensor import dot_hi
+
 __all__ = ["newton", "broyden1", "broyden2", "linearmixing", "TerminationCondition"]
 
 
@@ -116,16 +118,18 @@ def _line_search_armijo(func, x, y, dx, c1=1e-4, amin=1e-2, max_niter=20):
 # ------------------------------------------------------------------
 
 def _lowrank_mv(alpha, cns, dns, count, v):
-    # (alpha*I + sum_i cns[i] dns[i]^T) v  with only the first `count` pairs active
-    w = dns @ v  # (max_rank,)
+    # (alpha*I + sum_i cns[i] dns[i]^T) v  with only the first `count` pairs
+    # active.  HIGHEST precision: these produce quasi-Newton update
+    # directions — TPU bf16 multiplies stall the iteration (CLAUDE.md)
+    w = dot_hi(dns, v)  # (max_rank,)
     mask = (jnp.arange(w.shape[0]) < count).astype(w.dtype)
-    return alpha * v + (mask * w) @ cns
+    return alpha * v + dot_hi(mask * w, cns)
 
 
 def _lowrank_rmv(alpha, cns, dns, count, v):
-    w = cns @ v
+    w = dot_hi(cns, v)
     mask = (jnp.arange(w.shape[0]) < count).astype(w.dtype)
-    return alpha * v + (mask * w) @ dns
+    return alpha * v + dot_hi(mask * w, dns)
 
 
 # ------------------------------------------------------------------

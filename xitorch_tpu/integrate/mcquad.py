@@ -79,7 +79,8 @@ def mcquad(ffcn: Callable, log_pfcn: Callable, x0: jnp.ndarray,
 
     fs = jax.vmap(lambda x: ffcn(x, *fmerge(fdyn)))(xs)  # pytree, leading nsamples
     return jax.tree_util.tree_map(
-        lambda v: jnp.tensordot(wr, v, axes=(0, 0)) / denom, fs)
+        lambda v: jnp.tensordot(wr, v, axes=(0, 0),
+                        precision=jax.lax.Precision.HIGHEST) / denom, fs)
 
 
 # docstring completion

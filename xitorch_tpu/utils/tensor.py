@@ -13,10 +13,30 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "einsum_hi",
+    "dot_hi",
     "tallqr",
     "create_random_square_matrix",
     "create_random_ortho_matrix",
 ]
+
+
+def einsum_hi(spec: str, *args) -> jnp.ndarray:
+    """``jnp.einsum`` at HIGHEST matmul precision.
+
+    Solver-internal contractions (Gram matrices, orthogonalizations,
+    low-rank Jacobian applications, quadrature weights) must not run at
+    the TPU's default bf16 multiply precision: the ~8e-3 relative noise
+    floors residuals far above any useful tolerance (measured: chebfsi
+    stalling at 7e-3, see CLAUDE.md).  Model-layer matmuls, in contrast,
+    should stay at the fast default.
+    """
+    return jnp.einsum(spec, *args, precision=jax.lax.Precision.HIGHEST)
+
+
+def dot_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``a @ b`` at HIGHEST matmul precision (see :func:`einsum_hi`)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def tallqr(V: jnp.ndarray, MV: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
