@@ -61,8 +61,11 @@ def main():
     _maybe_force_cpu()
     platform = jax.devices()[0].platform
     key = jax.random.PRNGKey(0)
-    REPS = 32
     for K, n in [(2048, 256), (4096, 512), (8192, 1024)]:
+        # small problems need many reps for the marginal cost to rise above
+        # the ~30 ms tunnel round-trip noise (K=2048,n=256 measured 0.0s
+        # at 32 reps)
+        REPS = max(32, (16 * 1024 * 1024) // (K * n))
         dl, d, du, b = make_systems(K, n, key)
         f_pal = jax.jit(lambda dl, d, du, b: tridiag_solve_pallas(dl, d, du, b))
         f_xla = jax.jit(xla_solve)

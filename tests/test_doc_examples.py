@@ -149,6 +149,11 @@ def test_doc_debugging(rng):
     xt.set_debug_mode(False)
 
 
+def test_doc_tpu_kernels(rng):
+    ns = _base_ns(rng)
+    _run("getstart/tpu_kernels.md", ns)
+
+
 def test_doc_custom_method(rng):
     ns = _base_ns(rng)
     ns.update({

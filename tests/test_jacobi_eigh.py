@@ -1,0 +1,85 @@
+"""Pallas one-sided Jacobi eigh kernel (ops/jacobi_eigh.py), interpret mode.
+
+The kernel is TPU-only in compiled form; these tests run it through the
+Pallas interpreter so the exact kernel code path is exercised in CI.
+Contract under test: jnp.linalg.eigh parity (ascending eigenvalues, column
+eigenvectors) — the dense-decomposition semantics of the reference
+exacteig (/root/reference/xitorch/_impls/linalg/symeig.py:11-44).
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from xitorch_tpu.ops.jacobi_eigh import jacobi_eigh, use_jacobi_for
+
+
+def _sym(key, shape, dtype):
+    a = jax.random.normal(key, shape, dtype)
+    return (a + jnp.swapaxes(a, -1, -2)) / 2
+
+
+@pytest.mark.parametrize("dtype,rtol", [(jnp.float32, 2e-5),
+                                        (jnp.float64, 1e-12)])
+def test_jacobi_eigh_matches_eigh(dtype, rtol):
+    a = _sym(jax.random.PRNGKey(0), (3, 16, 16), dtype)
+    lam, V = jacobi_eigh(a, interpret=True)
+    lam0, _ = jnp.linalg.eigh(a)
+    scale = jnp.max(jnp.abs(lam0))
+    assert jnp.max(jnp.abs(lam - lam0)) / scale < rtol
+    # eigenpair residual + orthonormality (eigenvectors are only defined
+    # up to sign/degenerate rotation, so compare through the contract)
+    R = jnp.einsum("bij,bjk->bik", a, V) - V * lam[:, None, :]
+    assert jnp.max(jnp.abs(R)) / scale < 10 * rtol
+    VtV = jnp.einsum("bij,bik->bjk", V, V)
+    assert jnp.max(jnp.abs(VtV - jnp.eye(16, dtype=dtype))) < 10 * rtol
+
+
+def test_jacobi_eigh_padding_and_batch_dims():
+    # n=20 pads to 32 internally; leading batch (2, 2)
+    a = _sym(jax.random.PRNGKey(1), (2, 2, 20, 20), jnp.float64)
+    lam, V = jacobi_eigh(a, interpret=True)
+    assert lam.shape == (2, 2, 20)
+    assert V.shape == (2, 2, 20, 20)
+    lam0, _ = jnp.linalg.eigh(a)
+    assert jnp.max(jnp.abs(lam - lam0)) < 1e-11
+
+
+def test_jacobi_eigh_degenerate_and_indefinite():
+    # repeated eigenvalues + mixed signs (the Gershgorin PSD shift must
+    # resolve the +-lambda ambiguity of the implicit A^2 problem)
+    lam_true = jnp.array([-2.0, -2.0, -1.0, 1.0, 1.0, 1.0, 2.0, 3.0,
+                          -3.0, 0.5, 0.5, -0.5, 4.0, -4.0, 2.0, -2.0],
+                         jnp.float64)
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(2), (16, 16),
+                                           jnp.float64))
+    a = (q * lam_true) @ q.T
+    a = (a + a.T) / 2
+    lam, V = jacobi_eigh(a[None], interpret=True)
+    assert jnp.max(jnp.abs(lam[0] - jnp.sort(lam_true))) < 1e-11
+    R = a @ V[0] - V[0] * lam[0][None, :]
+    assert jnp.max(jnp.abs(R)) < 1e-10
+
+
+def test_jacobi_eigh_rejects_bad_input():
+    with pytest.raises(ValueError):
+        jacobi_eigh(jnp.zeros((4, 5)), interpret=True)
+    with pytest.raises(ValueError):
+        jacobi_eigh(jnp.zeros((4, 4), jnp.complex64), interpret=True)
+
+
+def test_use_jacobi_gate_off_tpu():
+    # CPU backend in tests -> the degen_eigh dispatch must stay on XLA
+    a = jnp.zeros((4, 128, 128), jnp.float32)
+    assert jax.default_backend() != "tpu"
+    assert not use_jacobi_for(a)
+
+
+def test_degen_eigh_unchanged_on_cpu():
+    # degen_eigh (the dispatch site) still matches eigh + gradients on CPU
+    from xitorch_tpu._impls.linalg.symeig import degen_eigh
+
+    a = _sym(jax.random.PRNGKey(3), (2, 8, 8), jnp.float64)
+    lam, V = degen_eigh(a)
+    lam0, V0 = jnp.linalg.eigh(a)
+    assert jnp.allclose(lam, lam0)
+    assert jnp.allclose(V, V0)

@@ -124,7 +124,7 @@ def test_equilibrium_grad():
                eps=1e-5)
 
 
-@pytest.mark.parametrize("method", ["broyden1", "gd", "adam"])
+@pytest.mark.parametrize("method", ["broyden1", "gd", "adam", "lbfgs"])
 def test_minimize(method):
     def fcn(y, A):
         Ay = A @ y
@@ -133,6 +133,8 @@ def test_minimize(method):
     opts = {"maxiter": 20000}
     if method in ("gd", "adam"):
         opts.update({"step": 2e-2, "f_rtol": 1e-14, "x_rtol": 1e-12})
+    elif method == "lbfgs":
+        opts.update({"f_rtol": 1e-15, "x_rtol": 1e-13, "gtol": 1e-10})
     else:
         opts.update({"f_tol": 1e-12})
     ymin = minimize(fcn, jnp.zeros((2, 1)), params=(A0,), method=method, **opts)
@@ -152,6 +154,35 @@ def test_minimize_grad():
         return jnp.sum((y - 1.0) ** 2)
 
     gradcheck2(loss, (A0,), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
+
+
+def test_minimize_lbfgs_rosenbrock_and_grads():
+    # curvature-exploiting method: Rosenbrock from the classic start in
+    # O(50) iterations (adam needs ~10k), plus 2nd-order implicit grads
+    def rosen(y, a, b):
+        return (a - y[0]) ** 2 + b * (y[1] - y[0] ** 2) ** 2
+
+    a, b = jnp.asarray(1.0), jnp.asarray(100.0)
+    y0 = jnp.asarray([-1.2, 1.0])
+    y, info = minimize(rosen, y0, params=(a, b), method="lbfgs",
+                       maxiter=200, return_info=True)
+    assert_allclose(y, jnp.ones(2), atol=1e-5)
+    assert float(info["converged"]) == 1.0
+    assert float(info["iterations"]) < 120
+
+    def quad(y, A, bb):
+        return 0.5 * jnp.sum(y * (A @ y)) - jnp.sum(bb * y)
+
+    M = jax.random.normal(jax.random.PRNGKey(0), (6, 6))
+    A = M @ M.T + 6 * jnp.eye(6)
+    bb = jax.random.normal(jax.random.PRNGKey(1), (6,))
+
+    def loss(bb):
+        y = minimize(quad, jnp.zeros(6), params=(A, bb), method="lbfgs",
+                     f_rtol=1e-15, x_rtol=1e-14, gtol=1e-12)
+        return jnp.sum((y - 0.3) ** 2)
+
+    gradcheck2(loss, (bb,), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
 
 
 def test_rootfinder_jit_vmap():

@@ -62,8 +62,18 @@ def degen_eigh(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     contribution of (near-)degenerate pairs is dropped (valid whenever the
     downstream loss is invariant under rotations within the degenerate
     subspace — the reference warns otherwise in debug mode).
+
+    On TPU with real f32 input and 64 <= n <= 512 the decomposition runs on
+    the Pallas one-sided Jacobi kernel (``ops/jacobi_eigh.py``) instead of
+    XLA's eigh — same contract, VMEM-resident, substantially faster on
+    batched mid-size matrices.  Set ``xitorch_tpu.ops.jacobi_eigh.ENABLED =
+    False`` to force the XLA path.
     """
-    evals, evecs = jnp.linalg.eigh(A)
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_eigh, use_jacobi_for
+    if use_jacobi_for(A):
+        evals, evecs = jacobi_eigh(A)
+    else:
+        evals, evecs = jnp.linalg.eigh(A)
     return evals, evecs
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xitorch_tpu._impls.optimize.equilibrium import anderson_acc
-from xitorch_tpu._impls.optimize.minimizer import adam, gd
+from xitorch_tpu._impls.optimize.minimizer import adam, gd, lbfgs
 from xitorch_tpu._impls.optimize.rootsolver import (
     broyden1, broyden2, linearmixing, newton,
 )
@@ -50,6 +50,7 @@ _EQUIL_METHODS = {
 _OPT_METHODS = {
     "gd": gd,
     "adam": adam,
+    "lbfgs": lbfgs,
 }
 
 
