@@ -15,6 +15,7 @@ Everything jits, vmaps, and shards (pjit/shard_map over a device mesh).
 """
 from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator, checklinop  # noqa: F401
 from xitorch_tpu._core.structured import BandedLowRankOperator, TridiagLowRankOperator  # noqa: F401
+from xitorch_tpu._core.kron import KronOperator, KronSumOperator  # noqa: F401
 from xitorch_tpu._core.editable_module import EditableModule  # noqa: F401
 from xitorch_tpu._core.packer import Packer  # noqa: F401
 from xitorch_tpu._core.pure import make_pure, make_sibling  # noqa: F401
