@@ -107,6 +107,50 @@ def test_kron_direct_falls_back_for_nonhermitian():
     assert_allclose(op.mm(x), B, atol=1e-5)
 
 
+@pytest.mark.parametrize("cls", [KronOperator, KronSumOperator])
+@pytest.mark.parametrize("mode", ["lowest", "uppest"])
+def test_kron_exact_symeig(cls, mode):
+    from xitorch_tpu.linalg import symeig
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    op = cls(_spd(k1, 6), _spd(k2, 5), is_hermitian=True)
+    ev, evec = symeig(op, 4, mode, method="kron_exact")
+    dense = op.fullmatrix()
+    ev0 = jnp.linalg.eigvalsh(dense)
+    want = ev0[:4] if mode == "lowest" else ev0[-4:]
+    assert_allclose(ev, want, atol=1e-10)
+    R = dense @ evec - evec * ev[None, :]
+    assert jnp.max(jnp.abs(R)) < 1e-9
+
+
+def test_kron_exact_symeig_grads():
+    from xitorch_tpu.linalg import symeig
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    A1 = _spd(k1, 5)
+    A2 = _spd(k2, 4)
+
+    def loss(A1m):
+        A1s = (A1m + A1m.T) / 2
+        op = KronSumOperator(A1s, A2, is_hermitian=True)
+        ev, evec = symeig(op, 3, "lowest", method="kron_exact")
+        return jnp.sum(ev ** 2) + jnp.sum(evec[..., 0] ** 4)
+
+    gradcheck2(loss, (A1,), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
+
+
+def test_kron_exact_rejects():
+    from xitorch_tpu.linalg import symeig
+
+    A1 = jnp.eye(4)
+    op = KronOperator(A1, A1)  # not declared hermitian
+    with pytest.raises(RuntimeError):
+        symeig(op, 2, "lowest", method="kron_exact")
+    Adense = xt.LinearOperator.m(jnp.eye(8), is_hermitian=True)
+    with pytest.raises(RuntimeError):
+        symeig(Adense, 2, "lowest", method="kron_exact")
+
+
 def test_kron_bad_factor_raises():
     with pytest.raises(RuntimeError):
         KronOperator(jnp.zeros((3, 4)), jnp.eye(3))

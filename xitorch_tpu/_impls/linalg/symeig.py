@@ -30,7 +30,7 @@ from xitorch_tpu._core.linop import LinearOperator
 from xitorch_tpu.utils.bcast import get_bcasted_dims
 from xitorch_tpu.utils.tensor import tallqr
 
-__all__ = ["exacteig", "degen_eigh", "davidson", "chebfsi", "take_eigpairs"]
+__all__ = ["exacteig", "degen_eigh", "davidson", "chebfsi", "kron_exacteig", "take_eigpairs"]
 
 
 def _dot_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -126,6 +126,67 @@ def exacteig(A: LinearOperator, neig: int, mode: str,
     evals, evecs = take_eigpairs(evals, evecs, neig, mode)
     evecs = _dot_hi(LinvT, evecs)  # M-orthonormal eigenvectors
     return evals, evecs
+
+
+def kron_exacteig(A, neig: int, mode: str,
+                  M: Optional[LinearOperator] = None,
+                  return_info: bool = False,
+                  **unused) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact eigenpairs of a hermitian Kronecker-structured operator from
+    its *factor* decompositions (no reference analog; see _core/kron.py).
+
+    For ``KronSumOperator``: eigenvalues are all pairwise sums
+    ``l1_i + l2_j`` with eigenvectors ``v1_i (x) v2_j``; for
+    ``KronOperator`` the pairwise products.  Two small eigh's (the Pallas
+    Jacobi kernel on TPU) + a top-k over the combined spectrum — O(n^3)
+    in the factor sizes instead of O((n1 n2)^3).  Natively differentiable
+    through ``degen_eigh`` (same contract as exacteig); mixed-index
+    eigenvalue crossings cost nothing because gradients flow through the
+    factor decompositions independently.
+    """
+    from xitorch_tpu._core.kron import KronOperator, KronSumOperator
+
+    if M is not None:
+        raise RuntimeError("kron_exact does not support a generalized "
+                           "(M != None) problem")
+    if not isinstance(A, (KronOperator, KronSumOperator)):
+        raise RuntimeError(
+            "kron_exact requires a KronOperator/KronSumOperator "
+            "(got %s)" % type(A).__name__)
+    if not A.is_hermitian:
+        raise RuntimeError("kron_exact requires hermitian factors "
+                           "(declare is_hermitian=True)")
+
+    sym = lambda m: (m + jnp.swapaxes(m, -2, -1).conj()) * 0.5
+    l1, V1 = degen_eigh(sym(A.A1))
+    l2, V2 = degen_eigh(sym(A.A2))
+    if isinstance(A, KronSumOperator):
+        comb = l1[..., :, None] + l2[..., None, :]       # (*B, n1, n2)
+    else:
+        comb = l1[..., :, None] * l2[..., None, :]
+    batch = comb.shape[:-2]
+    flat = comb.reshape(*batch, A.n1 * A.n2)
+    order = jnp.argsort(flat, axis=-1)
+    if mode == "lowest":
+        sel = order[..., :neig]
+    else:                                                # uppest, ascending
+        sel = order[..., -neig:]
+    lam = jnp.take_along_axis(flat, sel, axis=-1)        # (*B, neig)
+    i1 = sel // A.n2
+    i2 = sel % A.n2
+    V1b = jnp.broadcast_to(V1, (*batch, A.n1, A.n1))
+    V2b = jnp.broadcast_to(V2, (*batch, A.n2, A.n2))
+    V1g = jnp.take_along_axis(V1b, i1[..., None, :], axis=-1)  # (*B, n1, k)
+    V2g = jnp.take_along_axis(V2b, i2[..., None, :], axis=-1)  # (*B, n2, k)
+    evecs = (V1g[..., :, None, :] * V2g[..., None, :, :]).reshape(
+        *batch, A.n1 * A.n2, neig)
+    if return_info:
+        info = {"converged": jnp.asarray(1.0, jnp.float32),
+                "iterations": jnp.asarray(1.0, jnp.float32),
+                "resid": jnp.asarray(0.0, jnp.float32),
+                "resid_rel": jnp.asarray(0.0, jnp.float32)}
+        return lam, evecs, info
+    return lam, evecs
 
 
 # ------------------------------------------------------------------

@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from xitorch_tpu._core.linop import LinearOperator
-from xitorch_tpu._impls.linalg.symeig import chebfsi, davidson, exacteig
+from xitorch_tpu._impls.linalg.symeig import (
+    chebfsi, davidson, exacteig, kron_exacteig,
+)
 from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.linalg.solve import solve
 from xitorch_tpu.utils.misc import get_method
@@ -35,6 +37,7 @@ _SYMEIG_METHODS = {
     "chebfsi": chebfsi,
     "exacteig": exacteig,
     "custom_exacteig": exacteig,
+    "kron_exact": kron_exacteig,
 }
 
 
@@ -102,6 +105,9 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
 
     if method == "exacteig":
         return exacteig(A, neig, mode, M, return_info=return_info)
+    if method == "kron_exact":
+        # natively differentiable like exacteig (built on degen_eigh)
+        return kron_exacteig(A, neig, mode, M, return_info=return_info)
 
     method_fcn = get_method("symeig", _SYMEIG_METHODS, method)
     out = _symeig_implicit(A, M, neig, mode, method_fcn, dict(fwd_options),
