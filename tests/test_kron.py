@@ -151,6 +151,34 @@ def test_kron_exact_rejects():
         symeig(Adense, 2, "lowest", method="kron_exact")
 
 
+def test_kron_three_factors():
+    # N-factor form: 3-D separable problem, all paths vs the dense oracle
+    from xitorch_tpu.linalg import symeig
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    A1, A2, A3 = _spd(keys[0], 5), _spd(keys[1], 4), _spd(keys[2], 3)
+    k = np.kron
+    for cls in (KronSumOperator, KronOperator):
+        op = cls(A1, A2, A3, is_hermitian=True)
+        if cls is KronOperator:
+            ref = k(k(np.asarray(A1), np.asarray(A2)), np.asarray(A3))
+        else:
+            ref = (k(k(np.asarray(A1), np.eye(4)), np.eye(3))
+                   + k(k(np.eye(5), np.asarray(A2)), np.eye(3))
+                   + k(k(np.eye(5), np.eye(4)), np.asarray(A3)))
+        ref = jnp.asarray(ref)
+        assert_allclose(op.fullmatrix(), ref, atol=1e-10)
+        v = jax.random.normal(keys[0], (60, 2), jnp.float64)
+        assert_allclose(op.mm(v), ref @ v, atol=1e-9)
+        x = solve(op, v, method="kron_direct")
+        assert_allclose(ref @ x, v, atol=1e-8)
+        ev, evec = symeig(op, 5, "lowest", method="kron_exact")
+        assert_allclose(ev, jnp.linalg.eigvalsh(ref)[:5], atol=1e-9)
+        assert jnp.max(jnp.abs(ref @ evec - evec * ev[None, :])) < 1e-8
+
+
 def test_kron_bad_factor_raises():
     with pytest.raises(RuntimeError):
         KronOperator(jnp.zeros((3, 4)), jnp.eye(3))
+    with pytest.raises(RuntimeError):
+        KronSumOperator(jnp.eye(3))  # needs >= 2 factors

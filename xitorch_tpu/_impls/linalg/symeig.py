@@ -135,14 +135,14 @@ def kron_exacteig(A, neig: int, mode: str,
     """Exact eigenpairs of a hermitian Kronecker-structured operator from
     its *factor* decompositions (no reference analog; see _core/kron.py).
 
-    For ``KronSumOperator``: eigenvalues are all pairwise sums
-    ``l1_i + l2_j`` with eigenvectors ``v1_i (x) v2_j``; for
-    ``KronOperator`` the pairwise products.  Two small eigh's (the Pallas
-    Jacobi kernel on TPU) + a top-k over the combined spectrum — O(n^3)
-    in the factor sizes instead of O((n1 n2)^3).  Natively differentiable
-    through ``degen_eigh`` (same contract as exacteig); mixed-index
-    eigenvalue crossings cost nothing because gradients flow through the
-    factor decompositions independently.
+    For ``KronSumOperator``: eigenvalues are all sums
+    ``sum_i l_i[j_i]`` with eigenvectors ``v_1[j_1] (x) ... (x)
+    v_k[j_k]``; for ``KronOperator`` the products.  One small eigh per
+    factor (the Pallas Jacobi kernel on TPU) + a top-k over the combined
+    spectrum — O(sum n_i^3) instead of O((prod n_i)^3).  Natively
+    differentiable through ``degen_eigh`` (same contract as exacteig);
+    mixed-index eigenvalue crossings cost nothing because gradients flow
+    through the factor decompositions independently.
     """
     from xitorch_tpu._core.kron import KronOperator, KronSumOperator
 
@@ -157,29 +157,32 @@ def kron_exacteig(A, neig: int, mode: str,
         raise RuntimeError("kron_exact requires hermitian factors "
                            "(declare is_hermitian=True)")
 
-    sym = lambda m: (m + jnp.swapaxes(m, -2, -1).conj()) * 0.5
-    l1, V1 = degen_eigh(sym(A.A1))
-    l2, V2 = degen_eigh(sym(A.A2))
-    if isinstance(A, KronSumOperator):
-        comb = l1[..., :, None] + l2[..., None, :]       # (*B, n1, n2)
-    else:
-        comb = l1[..., :, None] * l2[..., None, :]
-    batch = comb.shape[:-2]
-    flat = comb.reshape(*batch, A.n1 * A.n2)
+    combine = ((lambda a, b: a + b) if isinstance(A, KronSumOperator)
+               else (lambda a, b: a * b))
+    comb, Vs = A.combined_eigendecomposition(combine)
+    batch = comb.shape[:-len(A.dims)]
+    N = A.shape[-1]
+    flat = comb.reshape(*batch, N)
     order = jnp.argsort(flat, axis=-1)
     if mode == "lowest":
         sel = order[..., :neig]
     else:                                                # uppest, ascending
         sel = order[..., -neig:]
     lam = jnp.take_along_axis(flat, sel, axis=-1)        # (*B, neig)
-    i1 = sel // A.n2
-    i2 = sel % A.n2
-    V1b = jnp.broadcast_to(V1, (*batch, A.n1, A.n1))
-    V2b = jnp.broadcast_to(V2, (*batch, A.n2, A.n2))
-    V1g = jnp.take_along_axis(V1b, i1[..., None, :], axis=-1)  # (*B, n1, k)
-    V2g = jnp.take_along_axis(V2b, i2[..., None, :], axis=-1)  # (*B, n2, k)
-    evecs = (V1g[..., :, None, :] * V2g[..., None, :, :]).reshape(
-        *batch, A.n1 * A.n2, neig)
+    # row-major multi-index of each selected flat position, last axis
+    # fastest; eigenvector = product of gathered factor columns
+    idx = sel
+    gathered = []
+    for d, V in zip(reversed(A.dims), reversed(Vs)):
+        ji = idx % d
+        idx = idx // d
+        Vb = jnp.broadcast_to(V, (*batch, d, d))
+        gathered.append(jnp.take_along_axis(Vb, ji[..., None, :], axis=-1))
+    evecs = None                                        # (*B, prod, neig)
+    for Vg in reversed(gathered):                       # factor order
+        evecs = Vg if evecs is None else (
+            evecs[..., :, None, :] * Vg[..., None, :, :]).reshape(
+                *batch, evecs.shape[-2] * Vg.shape[-2], neig)
     if return_info:
         info = {"converged": jnp.asarray(1.0, jnp.float32),
                 "iterations": jnp.asarray(1.0, jnp.float32),

@@ -134,7 +134,7 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
 
 
 def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
-                 **options):
+                 refine: int = 1, **options):
     """Direct eigenbasis solve for hermitian Kronecker-structured
     operators (:class:`KronSumOperator` / :class:`KronOperator`): eigh
     the two small factors (the Pallas Jacobi kernel on TPU), transform B
@@ -145,33 +145,63 @@ def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
     O((n1*n2)^3) dense.  M-generalized problems and non-hermitian
     factors fall back to cg."""
     from xitorch_tpu._core.kron import KronOperator, KronSumOperator
-    from xitorch_tpu._impls.linalg.symeig import degen_eigh
-    from xitorch_tpu.utils.tensor import einsum_hi
 
     if not (M is None and isinstance(A, (KronOperator, KronSumOperator))
             and A.is_hermitian):
         return cg(A, B, E, M, return_info=return_info, **options)
 
-    sym = lambda m: (m + jnp.swapaxes(m, -2, -1).conj()) * 0.5
-    l1, V1 = degen_eigh(sym(A.A1))
-    l2, V2 = degen_eigh(sym(A.A2))
+    combine = ((lambda a, b: a + b) if isinstance(A, KronSumOperator)
+               else (lambda a, b: a * b))
+    comb, Vs = A.combined_eigendecomposition(combine)
 
     ncols = B.shape[-1]
-    Bt = B.reshape(*B.shape[:-2], A.n1, A.n2, ncols)
-    # C = V1^H B V2 in the product eigenbasis (solver-internal
-    # contractions: HIGHEST precision, see CLAUDE.md)
-    C = einsum_hi("...ia,...ijc->...ajc", V1.conj(), Bt)
-    C = einsum_hi("...ajc,...jb->...abc", C, V2)
-    if isinstance(A, KronSumOperator):
-        denom = l1[..., :, None, None] + l2[..., None, :, None]
-    else:
-        denom = l1[..., :, None, None] * l2[..., None, :, None]
+    N = A.shape[-1]
+    denom = comb.reshape(*comb.shape[:-len(A.dims)], N, 1)
     if E is not None:
-        denom = denom - E[..., None, None, :]
-    Y = C / denom
-    X = einsum_hi("...ia,...abc->...ibc", V1, Y)
-    X = einsum_hi("...ibc,...jb->...ijc", X, V2.conj())
-    x = X.reshape(*X.shape[:-3], A.n1 * A.n2, ncols)
+        denom = denom - E[..., None, :]
+
+    def eig_solve(rhs):
+        # fold the rhs columns into the flattened vector (row-major:
+        # they ride along as trailing "extra" in every axis transform)
+        c = rhs.reshape(*rhs.shape[:-2], N * ncols)
+        for i, V in enumerate(Vs):  # into the product eigenbasis
+            VH = jnp.swapaxes(V, -2, -1).conj()
+            c = A._apply_axis(c, VH, i, extra=ncols, hi=True)
+        c = c.reshape(*c.shape[:-1], N, ncols) / denom
+        c = c.reshape(*c.shape[:-2], N * ncols)
+        for i, V in enumerate(Vs):  # and back
+            c = A._apply_axis(c, V, i, extra=ncols, hi=True)
+        return c.reshape(*c.shape[:-1], N, ncols)
+
+    def mv_hi(x):
+        # operator application at HIGHEST precision: the refinement
+        # residual must be more accurate than the error it corrects
+        # (the default matvec uses the fast bf16 MXU path on TPU)
+        c = x.reshape(*x.shape[:-2], N * ncols)
+        if isinstance(A, KronSumOperator):
+            acc = None
+            for i, m in enumerate(A.factors):
+                t = A._apply_axis(c, m, i, extra=ncols, hi=True)
+                acc = t if acc is None else acc + t
+        else:
+            acc = c
+            for i, m in enumerate(A.factors):
+                acc = A._apply_axis(acc, m, i, extra=ncols, hi=True)
+        return acc.reshape(*x.shape[:-2], N, ncols)
+
+    def residual(x):
+        r = B - mv_hi(x)
+        if E is not None:
+            r = r + x * E[..., None, :]
+        return r
+
+    x = eig_solve(B)
+    # iterative refinement: the factor eigh's are the accuracy bottleneck
+    # (f32 eigenvector error ~eps/gap on clustered spectra); each pass
+    # costs two transform sweeps + one (cheap) structured matvec and
+    # multiplies the residual by ~eps*kappa
+    for _ in range(max(int(refine), 0)):
+        x = x + eig_solve(residual(x))
     if return_info:
         info = {"converged": jnp.asarray(1.0, jnp.float32),
                 "iterations": jnp.asarray(1.0, jnp.float32),
