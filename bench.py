@@ -33,8 +33,8 @@ import sys
 import time
 
 BASELINE_SOLVES_PER_SEC = float(os.environ.get("XT_BASELINE", "1375.35"))
-PROBE_TIMEOUT = int(os.environ.get("XT_BENCH_PROBE_TIMEOUT", "150"))
-MEASURE_TIMEOUT = int(os.environ.get("XT_BENCH_MEASURE_TIMEOUT", "420"))
+PROBE_TIMEOUT = int(os.environ.get("XT_BENCH_PROBE_TIMEOUT", "240"))
+MEASURE_TIMEOUT = int(os.environ.get("XT_BENCH_MEASURE_TIMEOUT", "540"))
 
 
 def _fallback_line(note):

@@ -372,3 +372,58 @@ def test_ivp_return_info():
     with pytest.raises(RuntimeError, match="return_info"):
         solve_ivp(exp_fcn, ts, y0, params=(a,), adjoint="backsolve",
                   return_info=True)
+
+
+def test_ivp_implicit_stiff():
+    # stiff linear system: explicit rk4 at this step size diverges, the
+    # implicit methods stay stable; L-stable bwd_euler also damps the
+    # fast transient (A-stable trapezoidal rings on it, by design)
+    import scipy.linalg as sla
+
+    A = jnp.asarray([[-1000.0, 0.0], [1.0, -1.0]])
+    fcn = lambda t, y, A: A @ y
+    ts = jnp.linspace(0.0, 1.0, 101)
+    y0 = jnp.asarray([1.0, 1.0])
+    exact = jnp.stack([jnp.asarray(sla.expm(np.asarray(A) * float(t))) @ y0
+                       for t in ts])
+
+    y_be = solve_ivp(fcn, ts, y0, params=(A,), method="bwd_euler")
+    assert float(jnp.max(jnp.abs(y_be - exact)[5:])) < 5e-3
+    y_tr = solve_ivp(fcn, ts, y0, params=(A,), method="trapezoidal")
+    # after the transient decays, trapezoidal is accurate at order 2
+    assert float(jnp.max(jnp.abs(y_tr - exact)[30:])) < 1e-3
+    y_rk4 = solve_ivp(fcn, ts, y0, params=(A,), method="rk4")
+    assert float(jnp.max(jnp.abs(y_rk4))) > 1e3  # explicit blows up
+
+
+def test_ivp_implicit_order_and_grads():
+    # trapezoidal converges at order 2 on a smooth nonlinear problem
+    fnl = lambda t, y, a: -a * y + jnp.sin(t) * jnp.tanh(y)
+    y0 = jnp.asarray([0.7, -0.2])
+    a = jnp.asarray(1.3)
+
+    def err(nt):
+        ts = jnp.linspace(0.0, 2.0, nt)
+        ref = solve_ivp(fnl, ts, y0, params=(a,), method="rk45",
+                        rtol=1e-10, atol=1e-12)
+        yt = solve_ivp(fnl, ts, y0, params=(a,), method="trapezoidal")
+        return float(jnp.max(jnp.abs(yt - ref)))
+
+    e1, e2 = err(21), err(41)
+    assert e2 < e1 / 3.0  # ~4x per halving for order 2
+
+    def loss(a):
+        ts = jnp.linspace(0.0, 2.0, 21)
+        return jnp.sum(solve_ivp(fnl, ts, y0, params=(a,),
+                                 method="trapezoidal") ** 2)
+
+    gradcheck2(loss, (a,), order=2, atol=1e-5, rtol=1e-5)
+
+    # pytree state + vmap over initial conditions
+    fp = lambda t, y, k: {"a": -k * y["a"], "b": y["a"] - y["b"]}
+    ts = jnp.linspace(0.0, 1.0, 11)
+    y0s = {"a": jnp.ones((4, 3)), "b": jnp.zeros((4, 3))}
+    yt = jax.vmap(lambda yy: solve_ivp(fp, ts, yy, params=(jnp.asarray(5.0),),
+                                       method="bwd_euler"))(
+        y0s)
+    assert yt["a"].shape == (4, 11, 3)

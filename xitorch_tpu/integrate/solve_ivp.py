@@ -14,8 +14,9 @@ Gradient strategy differs from the reference by design:
   :76-93 is free here); adaptive methods flatten internally.
 
 Methods: "rk45" (default), "rk23" (adaptive, options atol/rtol/max_steps),
-"rk4", "rk38", "mid_point", "euler" (fixed-step), or a custom callable
-``(fcn, ts, y0, params, **cfg)``.
+"rk4", "rk38", "mid_point", "euler" (fixed-step explicit), "bwd_euler",
+"trapezoidal" (fixed-step implicit, A/L-stable for stiff systems —
+beyond-reference), or a custom callable ``(fcn, ts, y0, params, **cfg)``.
 """
 from __future__ import annotations
 
@@ -29,6 +30,9 @@ from xitorch_tpu._impls.integrate.adaptive_rk import rk23_adaptive, rk45_adaptiv
 from xitorch_tpu._impls.integrate.explicit_rk import (
     fwd_euler_ivp, mid_point_ivp, rk38_ivp, rk4_ivp,
 )
+from xitorch_tpu._impls.integrate.implicit_rk import (
+    bwd_euler_ivp, trapezoidal_ivp,
+)
 from xitorch_tpu.utils.misc import get_method
 
 __all__ = ["solve_ivp"]
@@ -40,6 +44,8 @@ _IVP_METHODS = {
     "rk38": rk38_ivp,
     "mid_point": mid_point_ivp,
     "euler": fwd_euler_ivp,
+    "bwd_euler": bwd_euler_ivp,
+    "trapezoidal": trapezoidal_ivp,
 }
 
 _ADAPTIVE = {"rk45", "rk23"}
