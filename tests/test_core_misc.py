@@ -193,6 +193,28 @@ def test_serving_export_roundtrip(rng):
     assert_allclose(compiled(mat, b), jnp.linalg.solve(mat, b), rtol=1e-6)
 
 
+def test_serving_export_kron_direct(rng):
+    """The Kronecker direct solve (degen_eigh + transforms) exports too."""
+    import xitorch_tpu.serving as serving
+    from xitorch_tpu import KronSumOperator
+    from xitorch_tpu.linalg import solve
+
+    a1 = rng.standard_normal((5, 5))
+    a2 = rng.standard_normal((4, 4))
+    A1 = jnp.asarray(a1 @ a1.T + 5 * np.eye(5))
+    A2 = jnp.asarray(a2 @ a2.T + 4 * np.eye(4))
+    b = jnp.asarray(rng.standard_normal((20, 2)))
+
+    def fn(A1, A2, b):
+        return solve(KronSumOperator(A1, A2, is_hermitian=True), b,
+                     method="kron_direct")
+
+    blob = serving.export_bytes(fn, (A1, A2, b))
+    served = serving.import_bytes(blob)
+    dense = KronSumOperator(A1, A2, is_hermitian=True).fullmatrix()
+    assert_allclose(dense @ served(A1, A2, b), b, atol=1e-8)
+
+
 def test_debug_assert_fcn_params():
     """Debug mode validates user callables with a framework message instead
     of a raw tracer error (reference assertfuncs.py:11-21 usage)."""
