@@ -11,6 +11,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 import xitorch_tpu as xt
@@ -117,6 +120,35 @@ def main():
     gok = all(bool(jnp.all(jnp.isfinite(g))) for g in grads)
     check("deq train grads", bool(jnp.isfinite(loss)) and gok,
           "loss=%.4f" % float(loss))
+
+    # 9. Pallas Jacobi eigh (degen_eigh dispatch) vs f64 oracle
+    import numpy as np
+    from xitorch_tpu.ops.jacobi_eigh import use_jacobi_for
+    sub = mats[:8]
+    check("jacobi gate", platform != "tpu" or use_jacobi_for(sub))
+    lam, V = jax.jit(lambda m: symeig(
+        xt.LinearOperator.m(m, is_hermitian=True), 8, "lowest",
+        method="exacteig"))(sub)
+    lam0 = np.linalg.eigvalsh(np.asarray(sub, np.float64))[:, :8]
+    errj = float(jnp.max(jnp.abs(lam - lam0)))
+    Rj = jnp.einsum("bij,bjk->bik", sub, V,
+                    precision=jax.lax.Precision.HIGHEST) \
+        - V * lam[:, None, :]
+    check("jacobi exacteig", errj < 5e-5
+          and float(jnp.max(jnp.abs(Rj))) < 5e-4,
+          "lam err=%.1e resid=%.1e" % (errj, float(jnp.max(jnp.abs(Rj)))))
+
+    # 10. Kronecker direct solve (factor eigh's on the Jacobi kernel)
+    nl = 128
+    L = (2.0 * jnp.eye(nl, dtype=jnp.float32)
+         - jnp.eye(nl, k=1, dtype=jnp.float32)
+         - jnp.eye(nl, k=-1, dtype=jnp.float32)
+         + 0.05 * jnp.eye(nl, dtype=jnp.float32))
+    lap = xt.KronSumOperator(L, L, is_hermitian=True)
+    bk = jnp.ones((nl * nl, 2), jnp.float32)
+    xk = jax.jit(lambda b: solve(lap, b, method="kron_direct"))(bk)
+    residk = float(jnp.max(jnp.abs(lap.mm(xk) - bk)))
+    check("kron_direct", residk < 5e-3, "resid=%.1e" % residk)
 
     print("ALL TPU SMOKE CHECKS PASSED")
 
