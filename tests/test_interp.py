@@ -143,3 +143,43 @@ def test_interp1d_pallas_tridiag_matches_default(rng):
         Interp1D(x, y, method="cspline", bc_type="natural",
                  use_pallas=True)(xq) ** 2))(y)
     assert_allclose(g_pal, g_def, rtol=1e-8, atol=1e-10)
+
+
+def test_pchip_matches_scipy_and_monotone():
+    from scipy.interpolate import PchipInterpolator
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(0, 10, 17)))
+    y = jnp.asarray(rng.standard_normal(17))
+    xq = jnp.linspace(float(x[0]), float(x[-1]), 301)
+    got = Interp1D(x, y, method="pchip")(xq)
+    want = PchipInterpolator(np.asarray(x), np.asarray(y))(np.asarray(xq))
+    assert_allclose(got, jnp.asarray(want), atol=1e-13)
+
+    # shape preservation: monotone data -> monotone interpolant (the
+    # cspline overshoots on this step-like data, pchip must not)
+    ystep = jnp.asarray([0.0, 0.0, 0.1, 0.2, 5.0, 5.1, 5.1, 5.2,
+                         9.0, 9.1, 9.2, 9.2, 9.3, 9.4, 9.5, 9.6, 9.7])
+    g = Interp1D(x, ystep, method="pchip")(xq)
+    assert bool(jnp.all(jnp.diff(g) >= -1e-12))
+    assert float(jnp.max(g)) <= float(jnp.max(ystep)) + 1e-12
+    assert float(jnp.min(g)) >= float(jnp.min(ystep)) - 1e-12
+
+
+def test_pchip_grad_batch_extrap():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(np.sort(rng.uniform(0, 5, 12)))
+    y = jnp.asarray(rng.standard_normal(12))
+    xq = jnp.linspace(float(x[0]) + 0.05, float(x[-1]) - 0.05, 40)
+
+    gradcheck2(lambda yy: jnp.sum(Interp1D(x, method="pchip")(xq, yy) ** 2),
+               (y,), order=2, atol=2e-4, rtol=2e-3, eps=1e-6)
+
+    # batched y, jit, and padded extrapolation
+    yb = jnp.stack([y, y * 2.0])
+    out = jax.jit(lambda yy: Interp1D(x, yy, method="pchip")(xq))(yb)
+    assert out.shape == (2, 40)
+    xq2 = jnp.asarray([-1.0, 2.0, 6.0])
+    out2 = Interp1D(x, y, method="pchip", extrap=-7.0)(xq2)
+    assert float(out2[0]) == -7.0 and float(out2[2]) == -7.0
+    assert bool(jnp.isfinite(out2[1]))

@@ -149,30 +149,93 @@ class CubicSpline1D(_BaseInterp1D):
             ks = self.ks
         else:
             ks = self._solve_ks(y)
+        return _hermite_interp(self.x, y, ks, xq)
 
-        x, xq_b = match_dim(self.x, xq)
-        nr = x.shape[-1]
-        idxr = jnp.clip(_searchsorted_batched(x, xq_b), 1, nr - 1)
-        idxl = idxr - 1
 
-        x_b, y_b, ks_b, idxl_b = match_dim(x, y, ks, idxl)
-        xl = jnp.take_along_axis(x_b, idxl_b, axis=-1)
-        xr = jnp.take_along_axis(x_b, idxl_b + 1, axis=-1)
-        yl = jnp.take_along_axis(y_b, idxl_b, axis=-1)
-        yr = jnp.take_along_axis(y_b, idxl_b + 1, axis=-1)
-        kl = jnp.take_along_axis(ks_b, idxl_b, axis=-1)
-        kr = jnp.take_along_axis(ks_b, idxl_b + 1, axis=-1)
+def _hermite_interp(x, y, ks, xq):
+    """Evaluate the cubic Hermite form with knot values y and knot slopes
+    ks at query points xq (shared by the cubic spline and pchip)."""
+    x, xq_b = match_dim(x, xq)
+    nr = x.shape[-1]
+    idxr = jnp.clip(_searchsorted_batched(x, xq_b), 1, nr - 1)
+    idxl = idxr - 1
 
-        dxrl = xr - xl
-        t = (xq_b - xl) / dxrl
-        tinv = 1 - t
-        tta = t * tinv * tinv
-        ttb = t * tinv * t
-        tyl = tinv + tta - ttb
-        tyr = t - tta + ttb
-        tkl = tta * dxrl
-        tkr = -ttb * dxrl
-        return yl * tyl + yr * tyr + kl * tkl + kr * tkr
+    x_b, y_b, ks_b, idxl_b = match_dim(x, y, ks, idxl)
+    xl = jnp.take_along_axis(x_b, idxl_b, axis=-1)
+    xr = jnp.take_along_axis(x_b, idxl_b + 1, axis=-1)
+    yl = jnp.take_along_axis(y_b, idxl_b, axis=-1)
+    yr = jnp.take_along_axis(y_b, idxl_b + 1, axis=-1)
+    kl = jnp.take_along_axis(ks_b, idxl_b, axis=-1)
+    kr = jnp.take_along_axis(ks_b, idxl_b + 1, axis=-1)
+
+    dxrl = xr - xl
+    t = (xq_b - xl) / dxrl
+    tinv = 1 - t
+    tta = t * tinv * tinv
+    ttb = t * tinv * t
+    tyl = tinv + tta - ttb
+    tyr = t - tta + ttb
+    tkl = tta * dxrl
+    tkr = -ttb * dxrl
+    return yl * tyl + yr * tyr + kl * tkl + kr * tkr
+
+
+class Pchip1D(_BaseInterp1D):
+    """Monotone cubic (PCHIP, Fritsch-Carlson) 1-D interpolation.
+
+    No reference analog (the reference ships cspline/linear only,
+    interp_1d.py:406-437): shape-preserving — no overshoot between knots,
+    monotone data gives a monotone interpolant.  Knot slopes follow
+    SciPy's PchipInterpolator: weighted harmonic means of neighbouring
+    secants, zeroed at local extrema, with the monotonicity-clamped
+    three-point end formula.
+
+    Keyword arguments
+    -----------------
+    extrap: same options as cspline (default "nan").
+    """
+
+    def __init__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+                 extrap=None, **unused):
+        super().__init__(x, y, extrap=extrap)
+        self.x = x
+        if self._y_is_given:
+            self.ks = self._slopes(y)
+
+    def _slopes(self, y):
+        x, y = match_dim(self.x, y)
+        h = x[..., 1:] - x[..., :-1]                     # (..., n-1)
+        delta = (y[..., 1:] - y[..., :-1]) / h
+
+        dl = delta[..., :-1]                             # (..., n-2)
+        dr = delta[..., 1:]
+        hl = h[..., :-1]
+        hr = h[..., 1:]
+        w1 = 2.0 * hr + hl
+        w2 = hr + 2.0 * hl
+        same_sign = (dl * dr) > 0
+        # weighted harmonic mean where the secants agree in sign, else 0
+        safe_dl = jnp.where(same_sign, dl, 1.0)
+        safe_dr = jnp.where(same_sign, dr, 1.0)
+        interior = jnp.where(
+            same_sign, (w1 + w2) / (w1 / safe_dl + w2 / safe_dr), 0.0)
+
+        def edge(h0, h1, d0, d1):
+            d = ((2.0 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+            d = jnp.where(d * d0 <= 0, 0.0,
+                          jnp.where((d0 * d1 < 0) & (jnp.abs(d)
+                                                     > 3.0 * jnp.abs(d0)),
+                                    3.0 * d0, d))
+            return d
+
+        k0 = edge(h[..., :1], h[..., 1:2], delta[..., :1], delta[..., 1:2])
+        kn = edge(h[..., -1:], h[..., -2:-1], delta[..., -1:],
+                  delta[..., -2:-1])
+        return jnp.concatenate([k0, interior, kn], axis=-1)
+
+    def _interp(self, xq, y):
+        ks = self.ks if self._y_is_given else self._slopes(y)
+        return _hermite_interp(self.x, y, ks, xq)
 
 
 class LinearInterp1D(_BaseInterp1D):

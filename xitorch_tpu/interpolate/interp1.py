@@ -12,13 +12,16 @@ from typing import Callable, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from xitorch_tpu._impls.interpolate.interp_1d import CubicSpline1D, LinearInterp1D
+from xitorch_tpu._impls.interpolate.interp_1d import (
+    CubicSpline1D, LinearInterp1D, Pchip1D,
+)
 from xitorch_tpu.utils.misc import get_method
 
 __all__ = ["Interp1D"]
 
 _INTERP1_METHODS = {
     "cspline": CubicSpline1D,
+    "pchip": Pchip1D,
     "linear": LinearInterp1D,
 }
 
@@ -30,7 +33,8 @@ class Interp1D:
     ---------
     x: (*BX, nr) positions (sorted along the last dim or sortable).
     y: (*BY, nr) values, or None to supply at call time.
-    method: "cspline" (default; options bc_type, extrap) or "linear"
+    method: "cspline" (default; options bc_type, extrap), "pchip"
+        (monotone cubic, beyond-reference), or "linear"
         (option extrap), or a custom class.
     """
 
