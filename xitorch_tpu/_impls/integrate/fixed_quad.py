@@ -41,3 +41,46 @@ def leggauss(fcn, xl, xu, params, n: int = 100, **unused):
     return jax.tree_util.tree_map(
         lambda y: jnp.tensordot(ws, y, axes=(0, 0),
                         precision=jax.lax.Precision.HIGHEST), ys)
+
+
+def tanhsinh(fcn, xl, xu, params, n: int = 121, **unused):
+    """n-point tanh-sinh (double-exponential) quadrature over [xl, xu].
+
+    Beyond-reference method (the reference ships leggauss only,
+    fixed_quad.py:6-25): the DE substitution x = mid + half*tanh(pi/2 *
+    sinh(t)) pushes the endpoints infinitely far away in t, so endpoint
+    singularities integrable in the Riemann sense (1/sqrt(x), log(x),
+    ...) converge exponentially where Gauss-Legendre creeps
+    polynomially.  Nodes/weights are static constants; the node nearest
+    an endpoint sits ~2e-14 (f64) / ~1e-7 (f32) away relative to the
+    interval, so fcn is never evaluated exactly at a finite singular
+    endpoint.
+
+    Keyword arguments
+    -----------------
+    n: int
+        The number of integration points (level h = 2*t_max/(n-1)).
+    """
+    dtype = jnp.result_type(xu, xl)
+    if not jnp.issubdtype(dtype, jnp.inexact):
+        dtype = jnp.result_type(float)
+    # t_max: where the DE weight underflows the dtype (and the node
+    # distance to the endpoint stays representable)
+    t_max = 3.0 if jnp.finfo(dtype).bits >= 64 else 2.3
+    t = np.linspace(-t_max, t_max, n)
+    h = t[1] - t[0]
+    st = np.pi / 2.0 * np.sinh(t)
+    xs01 = np.tanh(st)                                   # in (-1, 1)
+    wts = h * (np.pi / 2.0) * np.cosh(t) / np.cosh(st) ** 2
+
+    xl = jnp.asarray(xl, dtype=dtype)
+    xu = jnp.asarray(xu, dtype=dtype)
+    half = 0.5 * (xu - xl)
+    mid = 0.5 * (xu + xl)
+    xs = jnp.asarray(xs01, dtype=dtype) * half + mid
+    ws = jnp.asarray(wts, dtype=dtype) * half
+
+    ys = jax.vmap(lambda x: fcn(x, *params))(xs)
+    return jax.tree_util.tree_map(
+        lambda y: jnp.tensordot(ws, y, axes=(0, 0),
+                        precision=jax.lax.Precision.HIGHEST), ys)

@@ -15,13 +15,14 @@ from typing import Any, Callable, Mapping, Sequence, Union
 import jax
 import jax.numpy as jnp
 
-from xitorch_tpu._impls.integrate.fixed_quad import leggauss
+from xitorch_tpu._impls.integrate.fixed_quad import leggauss, tanhsinh
 from xitorch_tpu.utils.misc import get_method
 
 __all__ = ["quad"]
 
 _QUAD_METHODS = {
     "leggauss": leggauss,
+    "tanhsinh": tanhsinh,
 }
 
 
@@ -35,7 +36,8 @@ def quad(fcn: Callable, xl, xu,
     fcn's output may be an array of any shape or a pytree.  Infinite bounds
     are handled with the tan substitution (reference _TanInfTransform
     :223-232).  Gradients flow to xl, xu, and params (1st and 2nd order).
-    Methods: "leggauss" (default; option ``n`` = number of nodes) or a
+    Methods: "leggauss" (default; option ``n`` = number of nodes),
+    "tanhsinh" (double-exponential; handles endpoint singularities), or a
     custom callable ``(fcn, xl, xu, params, **cfg)``.
     """
     if hasattr(xl, "size") and jnp.size(xl) != 1:
