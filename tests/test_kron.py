@@ -182,3 +182,26 @@ def test_kron_bad_factor_raises():
         KronOperator(jnp.zeros((3, 4)), jnp.eye(3))
     with pytest.raises(RuntimeError):
         KronSumOperator(jnp.eye(3))  # needs >= 2 factors
+
+
+def test_kron_complex_hermitian_factors():
+    # complex hermitian factors: conjugations in the eigenbasis
+    # transforms and the kron eigenvector products must line up (CPU-only
+    # dtype; the TPU has no c64)
+    rng = np.random.default_rng(8)
+
+    def herm(n):
+        a = jnp.asarray(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+        return a @ a.conj().T + n * jnp.eye(n)
+
+    from xitorch_tpu.linalg import symeig
+
+    op = KronSumOperator(herm(5), herm(4), is_hermitian=True)
+    dense = op.fullmatrix()
+    B = jnp.asarray(rng.standard_normal((20, 2))
+                    + 1j * rng.standard_normal((20, 2)))
+    x = solve(op, B, method="kron_direct")
+    assert jnp.max(jnp.abs(dense @ x - B)) < 1e-12
+    ev, evec = symeig(op, 3, "lowest", method="kron_exact")
+    assert jnp.max(jnp.abs(dense @ evec - evec * ev[None, :])) < 1e-12
