@@ -352,3 +352,55 @@ def test_linop_dense_folding_and_heuristic(rng):
     assert_allclose(x, jnp.linalg.solve(FullOp(a).dense(), b), rtol=1e-8)
     assert FullOp(a).is_fullmatrix_implemented
     assert not SPDOp(a).is_fullmatrix_implemented
+
+
+def test_minres_indefinite():
+    # symmetric indefinite spectrum: cg must fall back to the normal
+    # equations (squared conditioning); minres solves it directly
+    rng = np.random.default_rng(11)
+    n = 80
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    ev = np.concatenate([np.linspace(-1, -0.1, n // 2),
+                         np.linspace(0.1, 1, n - n // 2)])
+    mat = jnp.asarray((q * ev) @ q.T)
+    A = LinearOperator.m(mat, is_hermitian=True)
+    B = jnp.asarray(rng.standard_normal((n, 4)))
+
+    x, info = solve(A, B, method="minres", rtol=1e-9, atol=1e-11,
+                    return_info=True)
+    assert float(info["converged"]) == 1.0
+    assert jnp.max(jnp.abs(A.mm(x) - B)) < 1e-7
+
+    # per-column shifts (the symeig implicit-gradient shape)
+    E = jnp.asarray([0.05, -0.03])
+    Bs = jnp.asarray(rng.standard_normal((n, 2)))
+    xs = solve(A, Bs, E=E, method="minres", rtol=1e-9, atol=1e-11)
+    assert jnp.max(jnp.abs(A.mm(xs) - xs * E[None, :] - Bs)) < 1e-7
+
+    # batched + jit
+    mats = jnp.stack([mat, mat + 0.05 * jnp.eye(n)])
+    xb = jax.jit(lambda m, b: solve(LinearOperator.m(m, is_hermitian=True),
+                                    b, method="minres", rtol=1e-9,
+                                    atol=1e-11))(mats, B)
+    assert xb.shape == (2, n, 4)
+    Ab = LinearOperator.m(mats, is_hermitian=True)
+    assert jnp.max(jnp.abs(Ab.mm(xb) - B)) < 1e-7
+
+    # non-hermitian operators are rejected with a clear message
+    with pytest.raises(RuntimeError):
+        solve(LinearOperator.m(jnp.asarray(rng.standard_normal((5, 5)))),
+              jnp.ones((5, 1)), method="minres")
+
+
+def test_minres_grads():
+    rng = np.random.default_rng(12)
+    n = 12
+    mat = jnp.asarray(rng.standard_normal((n, n)))
+    B = jnp.asarray(rng.standard_normal((n, 2)))
+
+    def loss(matm, Bm):
+        m2 = (matm + matm.T) / 2 - 0.3 * jnp.eye(n)  # indefinite
+        return jnp.sum(solve(LinearOperator.m(m2, is_hermitian=True), Bm,
+                             method="minres", rtol=1e-11, atol=1e-13) ** 2)
+
+    gradcheck2(loss, (mat, B), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)

@@ -33,7 +33,7 @@ from jax import lax
 from xitorch_tpu._core.linop import LinearOperator
 from xitorch_tpu.utils.bcast import get_bcasted_dims, normalize_bcast_dims
 
-__all__ = ["cg", "bicgstab", "gmres", "exactsolve", "solve_ABE", "scipy_gmres"]
+__all__ = ["cg", "minres", "bicgstab", "gmres", "exactsolve", "solve_ABE", "scipy_gmres"]
 
 
 # ------------------------------------------------------------------
@@ -325,6 +325,99 @@ def _cg_lean(A_fcn, precond_fcn, B2, rtol, atol, eps, max_niter,
 # ------------------------------------------------------------------
 # BiCGSTAB
 # ------------------------------------------------------------------
+
+def minres(A: LinearOperator, B: jnp.ndarray,
+           E: Optional[jnp.ndarray] = None,
+           M: Optional[LinearOperator] = None,
+           max_niter: Optional[int] = None,
+           rtol: float = 1e-6,
+           atol: float = 1e-8,
+           eps: float = 1e-12,
+           verbose: bool = False,
+           return_info: bool = False,
+           **unused) -> jnp.ndarray:
+    """Batched MINRES (Paige-Saunders) for hermitian, possibly *indefinite*
+    systems — beyond-reference method (the reference's hermitian path is cg,
+    which on indefinite operators falls back to the normal equations and
+    squares the conditioning; _impls/linalg/solve.py:69-109).  The shifted
+    systems of symeig's implicit gradients (A - lambda*I) are exactly this
+    shape.
+
+    Lanczos three-term recurrence + Givens QR, one matvec per iteration,
+    all state elementwise over the (*B, na, ncols) columns.  The residual
+    norm of MINRES is monotonically non-increasing, so the final iterate
+    is the best iterate (reference robustness semantics hold without extra
+    tracking).
+
+    Keyword arguments: max_niter (default 1.5*na), rtol/atol (per-column
+    stopping on the recurrence residual estimate), eps.
+    """
+    nr = A.shape[-1]
+    if max_niter is None:
+        max_niter = int(1.5 * nr)
+    if not (A.is_hermitian and (M is None or M.is_hermitian)):
+        raise RuntimeError(
+            "minres requires a hermitian operator (and hermitian M); "
+            "use bicgstab/gmres for non-hermitian systems")
+
+    A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True, need_hermit=True)
+    dt = B2.dtype
+
+    B_norm = _colnorm(B2)
+    stop_matrix = jnp.maximum(rtol * B_norm, atol)
+
+    beta1 = _colnorm(B2)
+    q = B2 / _safedenom(beta1, eps)
+    zeros = jnp.zeros_like(B2)
+    one = jnp.ones_like(beta1)
+    zero = jnp.zeros_like(beta1)
+
+    # carry: x, q_{k-1}, q_k, beta_k, (c,s) of the last two Givens
+    # rotations, direction vectors d_{k-1}, d_{k-2}, and eta (the signed
+    # residual-norm estimate, starts at beta1)
+    def cond_fun(state):
+        k = state[0]
+        resid_rel = state[-1]
+        return jnp.logical_and(k < max_niter, resid_rel >= 1.0)
+
+    def body_fun(state):
+        (k, x, q_old, q, beta, c1, c0, s1, s0, d1, d2, eta, _) = state
+        p = A_fcn(q)
+        alpha = _dot(q, p)
+        p = p - alpha * q - beta * q_old
+        beta_new = _colnorm(p)
+        q_new = p / _safedenom(beta_new, eps)
+
+        # apply the two previous rotations to the new tridiagonal column
+        delta = c1 * alpha - c0 * s1 * beta
+        rho2 = s1 * alpha + c0 * c1 * beta
+        rho3 = s0 * beta
+        rho1 = jnp.sqrt(delta * delta + beta_new * beta_new)
+        c_new = delta / _safedenom(rho1, eps)
+        s_new = beta_new / _safedenom(rho1, eps)
+
+        d_new = (q - rho3 * d2 - rho2 * d1) / _safedenom(rho1, eps)
+        x = x + (c_new * eta) * d_new
+        eta = -s_new * eta
+
+        resid = jnp.abs(eta)
+        if verbose:
+            jax.debug.print("{k:4d}: |r|={r:.3e}", k=k + 1,
+                            r=jnp.max(resid))
+        resid_rel = jnp.max(resid / stop_matrix)
+        return (k + 1, x, q, q_new, beta_new, c_new, c1, s_new, s1,
+                d_new, d1, eta, resid_rel)
+
+    init = (jnp.array(0), zeros, zeros, q, zero, one, one, zero, zero,
+            zeros, zeros, beta1, jnp.asarray(jnp.inf, B2.real.dtype))
+    state = lax.while_loop(cond_fun, body_fun, init)
+    x = state[1]
+    if return_info:
+        true_resid = _colnorm(B2 - A_fcn(x))
+        rel = jnp.max(true_resid / stop_matrix)
+        return x, _make_info(rel < 10.0, state[0], jnp.max(true_resid), rel)
+    return x
+
 
 def bicgstab(A: LinearOperator, B: jnp.ndarray,
              E: Optional[jnp.ndarray] = None,

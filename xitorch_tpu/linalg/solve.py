@@ -23,7 +23,7 @@ from jax import lax
 from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator
 from xitorch_tpu._impls.linalg.solve import (
     bicgstab, broyden1_solve, cg, cg_ir, exactsolve, get_batchdims, gmres,
-    scipy_gmres,
+    minres, scipy_gmres,
 )
 from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.utils.exceptions import ConvergenceWarning
@@ -217,6 +217,7 @@ _SOLVE_METHODS = {
     "fused_cg": _fused_cg,
     "structured_cg": _structured_cg,
     "kron_direct": _kron_direct,
+    "minres": minres,
     "bicgstab": bicgstab,
     "gmres": gmres,
     "exactsolve": exactsolve,
@@ -226,7 +227,7 @@ _SOLVE_METHODS = {
 }
 
 # methods whose impl supports the (x, info) return convention
-_INFO_METHODS = {"cg", "cg_ir", "bicgstab", "gmres", "exactsolve",
+_INFO_METHODS = {"cg", "cg_ir", "minres", "bicgstab", "gmres", "exactsolve",
                  "custom_exactsolve", "structured_cg", "kron_direct"}
 
 
