@@ -55,8 +55,6 @@ def timeit_amortized(make_scalar_fn, args, k=8, rep=3):
             return s
         return jax.jit(g)
 
-    f1, fk = repn(1), repn(k)
-
     def t(f):
         float(f(*args))
         ts = []
@@ -66,7 +64,15 @@ def timeit_amortized(make_scalar_fn, args, k=8, rep=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max((t(fk) - t(f1)) / (k - 1), 1e-9)
+    t1 = t(repn(1))
+    dk = t(repn(k)) - t1
+    # fast points: k-1 extra reps can sit below the tunnel's timing
+    # jitter (measured 0.0 s marginal at k=8 on 7-iteration solves) —
+    # escalate to enough reps that the marginal rises above ~5 ms
+    if dk < 5e-3:
+        k = max(32 * k, 256)
+        dk = t(repn(k)) - t1
+    return max(dk / (k - 1), 1e-9)
 
 
 def _load_reference():

@@ -301,7 +301,16 @@ def solve(A: LinearOperator, B: jnp.ndarray,
             method = "exactsolve"
         else:
             is_hermit = A.is_hermitian and (M is None or M.is_hermitian)
-            method = "cg" if is_hermit else "bicgstab"
+            if is_hermit:
+                # E-shifted hermitian pencils (A - ME) — symeig's
+                # implicit-gradient solves — are indefinite by
+                # construction (the shifts sit inside the spectrum):
+                # minres handles them directly, where cg would run the
+                # posdef probe and fall back to the squared-conditioning
+                # normal equations
+                method = "cg" if E is None else "minres"
+            else:
+                method = "bicgstab"
 
     if method == "exactsolve":
         # dense path: differentiable natively (incl. higher order)
