@@ -64,8 +64,8 @@ def main():
     for K, n in [(2048, 256), (4096, 512), (8192, 1024)]:
         # small problems need many reps for the marginal cost to rise above
         # the ~30 ms tunnel round-trip noise (K=2048,n=256 measured 0.0s
-        # at 32 reps)
-        REPS = max(32, (16 * 1024 * 1024) // (K * n))
+        # at 32 reps -> target ~256 reps there)
+        REPS = max(32, (128 * 1024 * 1024) // (K * n))
         dl, d, du, b = make_systems(K, n, key)
         f_pal = jax.jit(lambda dl, d, du, b: tridiag_solve_pallas(dl, d, du, b))
         f_xla = jax.jit(xla_solve)

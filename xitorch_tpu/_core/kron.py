@@ -64,7 +64,9 @@ class _KronBase(LinearOperator):
             m, h = _prep_factor(f, i)
             mats.append(m)
             herms.append(h)
-        dtype = mats[0].dtype
+        # promote, never truncate: casting to the first factor's dtype
+        # would silently drop imaginary parts / downcast f64
+        dtype = jnp.result_type(*mats)
         mats = [m.astype(dtype) for m in mats]
         if is_hermitian is None:
             is_hermitian = all(herms)
@@ -98,12 +100,21 @@ class _KronBase(LinearOperator):
         yr = jnp.einsum("...ij,...pjq->...piq", mat, xr, precision=prec)
         return yr.reshape(*x.shape[:-1], pre * ni * post)
 
-    def combined_eigendecomposition(self, combine):
+    @staticmethod
+    def _combine(a, b):
+        """How per-factor eigenvalues merge into the full spectrum (sum
+        for Kronecker sums, product for Kronecker products) — intrinsic
+        to the operator class, used by kron_direct/kron_exact."""
+        raise NotImplementedError
+
+    def combined_eigendecomposition(self, combine=None):
         """eigh every factor (degeneracy-safe) and return
         ``(eigenvalue grid (*B, n1, ..., nk), [V_i factor eigvecs])``
-        where the grid entries are ``combine``-reduced over axes
-        (sum for Kronecker sums, product for Kronecker products)."""
+        where the grid entries are ``self._combine``-reduced over axes."""
         from xitorch_tpu._impls.linalg.symeig import degen_eigh
+
+        if combine is None:
+            combine = self._combine
 
         sym = lambda m: (m + jnp.swapaxes(m, -2, -1).conj()) * 0.5
         ls, Vs = [], []
@@ -131,6 +142,10 @@ class KronOperator(_KronBase):
     applies one MXU matmul per factor on the tensor-reshaped input.
     """
 
+    @staticmethod
+    def _combine(a, b):
+        return a * b
+
     def _mv(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, m in enumerate(self.factors):
             x = self._apply_axis(x, m, i)
@@ -154,6 +169,10 @@ class KronSumOperator(_KronBase):
     method="kron_direct")`` and ``symeig(..., method="kron_exact")``
     exploit this for hermitian factors.
     """
+
+    @staticmethod
+    def _combine(a, b):
+        return a + b
 
     def _mv(self, x: jnp.ndarray) -> jnp.ndarray:
         y = None

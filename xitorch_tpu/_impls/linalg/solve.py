@@ -363,10 +363,8 @@ def minres(A: LinearOperator, B: jnp.ndarray,
     A_fcn, _, B2 = setup_linear_problem(A, B, E, M, True, need_hermit=True)
     dt = B2.dtype
 
-    B_norm = _colnorm(B2)
-    stop_matrix = jnp.maximum(rtol * B_norm, atol)
-
     beta1 = _colnorm(B2)
+    stop_matrix = jnp.maximum(rtol * beta1, atol)
     q = B2 / _safedenom(beta1, eps)
     zeros = jnp.zeros_like(B2)
     one = jnp.ones_like(beta1)

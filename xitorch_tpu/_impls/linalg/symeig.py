@@ -157,9 +157,7 @@ def kron_exacteig(A, neig: int, mode: str,
         raise RuntimeError("kron_exact requires hermitian factors "
                            "(declare is_hermitian=True)")
 
-    combine = ((lambda a, b: a + b) if isinstance(A, KronSumOperator)
-               else (lambda a, b: a * b))
-    comb, Vs = A.combined_eigendecomposition(combine)
+    comb, Vs = A.combined_eigendecomposition()
     batch = comb.shape[:-len(A.dims)]
     N = A.shape[-1]
     flat = comb.reshape(*batch, N)

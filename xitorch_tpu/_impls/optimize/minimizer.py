@@ -154,22 +154,27 @@ def lbfgs(fcn: Callable, x0: jnp.ndarray, params=(), *,
                                    1.0 / jnp.maximum(gnorm, 1e-30)),
                        jnp.asarray(1.0, dtype))
 
+        # carry both the next trial step and the step the current
+        # (ft, gt) were evaluated at — on max_ls exhaustion the returned
+        # point must be one that was actually evaluated, or the (s, y)
+        # curvature pair and convergence tests use a stale gradient
         def ls_cond(c):
-            j, t, ft, gt, done = c
+            j, t_next, t_eval, ft, gt, done = c
             return (~done) & (j < max_ls)
 
         def ls_body(c):
-            j, t, _, _, _ = c
-            ft, gt = eval_fg(x + t * d)
-            ok = ft <= f + c1 * t * gd_
-            t_next = jnp.where(ok, t, t * tau)
-            return j + 1, t_next, ft, gt, ok
+            j, t_next, _, _, _, _ = c
+            ft, gt = eval_fg(x + t_next * d)
+            ok = ft <= f + c1 * t_next * gd_
+            return (j + 1, jnp.where(ok, t_next, t_next * tau), t_next,
+                    ft, gt, ok)
 
         f0t, g0t = eval_fg(x + t0 * d)
         ok0 = f0t <= f + c1 * t0 * gd_
-        _, t, f_new, g_new, _ = lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(1), jnp.where(ok0, t0, t0 * tau),
-                               f0t, g0t, ok0))
+        _, _, t, f_new, g_new, _ = lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(1), jnp.where(ok0, t0, t0 * tau), t0,
+             f0t, g0t, ok0))
         x_new = x + t * d
 
         # curvature-guarded ring update

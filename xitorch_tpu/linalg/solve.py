@@ -150,15 +150,22 @@ def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
             and A.is_hermitian):
         return cg(A, B, E, M, return_info=return_info, **options)
 
-    combine = ((lambda a, b: a + b) if isinstance(A, KronSumOperator)
-               else (lambda a, b: a * b))
-    comb, Vs = A.combined_eigendecomposition(combine)
+    comb, Vs = A.combined_eigendecomposition()
 
     ncols = B.shape[-1]
     N = A.shape[-1]
     denom = comb.reshape(*comb.shape[:-len(A.dims)], N, 1)
     if E is not None:
         denom = denom - E[..., None, :]
+    # singular pencils (an E shift hitting an eigenvalue sum exactly)
+    # must not emit Inf/NaN: floor the denominator at eps * spectral
+    # scale (keeping x bounded by ~1/eps) and remember which entries
+    # saturated — info reports converged=0 for them, since the residual
+    # of an ~1/eps-sized x is numerically meaningless
+    eps_c = float(jnp.finfo(comb.real.dtype).eps)
+    floor = eps_c * (jnp.max(jnp.abs(comb)) + 1e-300)
+    singular = jnp.abs(denom) < floor
+    denom = jnp.where(singular, jnp.where(denom < 0, -floor, floor), denom)
 
     def eig_solve(rhs):
         # fold the rhs columns into the flattened vector (row-major:
@@ -203,10 +210,20 @@ def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
     for _ in range(max(int(refine), 0)):
         x = x + eig_solve(residual(x))
     if return_info:
-        info = {"converged": jnp.asarray(1.0, jnp.float32),
-                "iterations": jnp.asarray(1.0, jnp.float32),
-                "resid": jnp.asarray(0.0, jnp.float32),
-                "resid_rel": jnp.asarray(0.0, jnp.float32)}
+        # honest residual (one extra HIGHEST-precision matvec): a
+        # singular pencil — an E shift at an eigenvalue sum — must
+        # surface as converged=0, not a hardcoded success
+        r = jnp.linalg.norm(residual(x), axis=-2)
+        bn = jnp.linalg.norm(B, axis=-2)
+        eps_d = float(jnp.finfo(x.real.dtype).eps)
+        stop = jnp.maximum(100 * eps_d * (bn + jnp.linalg.norm(
+            mv_hi(x), axis=-2)), jnp.asarray(1e-30, r.dtype))
+        rel = jnp.max(r / stop)
+        ok = (rel < 10.0) & jnp.logical_not(jnp.any(singular))
+        info = {"converged": ok.astype(jnp.float32),
+                "iterations": jnp.asarray(1.0 + refine, jnp.float32),
+                "resid": jnp.max(r).astype(jnp.float32),
+                "resid_rel": rel.astype(jnp.float32)}
         return x, info
     return x
 
@@ -290,11 +307,18 @@ def solve(A: LinearOperator, B: jnp.ndarray,
             M.check()
 
     if method is None:
+        from xitorch_tpu._core.kron import KronOperator, KronSumOperator
+
         # reference heuristic (solve.py:96-104): exactsolve when the
         # operator(s) can materialize cheaply — keyed on the capability
         # flag, not the concrete type, so custom subclasses implementing
-        # _fullmatrix get the dense path too
-        if A.is_fullmatrix_implemented and \
+        # _fullmatrix get the dense path too.  Kronecker-structured
+        # hermitian operators route to their factor-eigenbasis direct
+        # solve first: materializing them is O((prod n_i)^2) memory.
+        if (M is None and A.is_hermitian
+                and isinstance(A, (KronOperator, KronSumOperator))):
+            method = "kron_direct"
+        elif A.is_fullmatrix_implemented and \
            (M is None or M.is_fullmatrix_implemented):
             method = "exactsolve"
         elif A.shape[-1] <= 5:
@@ -374,7 +398,10 @@ def solve(A: LinearOperator, B: jnp.ndarray,
     if not isinstance(x, jax.core.Tracer):
         rtol = fwd_options.get("rtol", 1e-6)
         atol = fwd_options.get("atol", 1e-8)
-        Ax = matvec(x)
+        # verification matvec at full precision: the TPU default (bf16
+        # multiplies) would measure ~1e-3 noise, not the solve
+        with jax.default_matmul_precision("highest"):
+            Ax = matvec(x)
         resid = jnp.linalg.norm(Ax - B2, axis=-2)
         stop = jnp.maximum(rtol * jnp.linalg.norm(B2, axis=-2), atol)
         if isinstance(method, str) and method in (

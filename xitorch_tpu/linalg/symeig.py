@@ -94,7 +94,16 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
     if mode not in ("lowest", "uppest"):
         raise RuntimeError("mode must be 'lowest' or 'uppest'/'uppermost'")
     if method is None:
-        method = "exacteig"
+        from xitorch_tpu._core.kron import KronOperator, KronSumOperator
+
+        # Kronecker-structured hermitian operators: exact eigenpairs
+        # from the factor decompositions — exacteig would materialize
+        # the O((prod n_i)^2) dense matrix
+        if M is None and A.is_hermitian and isinstance(
+                A, (KronOperator, KronSumOperator)):
+            method = "kron_exact"
+        else:
+            method = "exacteig"
     if neig is None:
         neig = A.shape[-1]
 

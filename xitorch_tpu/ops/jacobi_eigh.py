@@ -52,7 +52,8 @@ __all__ = ["jacobi_eigh", "use_jacobi_for"]
 ENABLED = True
 
 
-_UNROLL = 3  # tournament rounds fused per fori_loop iteration
+_UNROLL = 6  # tournament rounds fused per fori_loop iteration
+# (measured on v5e, B=64 n=256: 1 -> 706.5, 3 -> 736.3, 6 -> 749.0 decomps/s)
 
 
 def _jacobi_kernel(a_ref, w_ref, *, n: int, max_sweeps: int, tol2: float):
