@@ -453,3 +453,35 @@ def test_quad_tanhsinh_singular_endpoints():
     f = lambda w: quad(lambda x, ww: jnp.exp(-ww * x * x), 0.0, 3.0,
                        params=(w,), method="tanhsinh")
     gradcheck2(f, (jnp.asarray(1.3),), order=2, atol=1e-6, rtol=1e-6)
+
+
+def test_ivp_sdirk2_stiff_and_order():
+    # L-stable AND order 2: damps the stiff transient (trapezoidal rings
+    # there) while converging at order 2 on smooth problems
+    import scipy.linalg as sla
+
+    A = jnp.asarray([[-1000.0, 0.0], [1.0, -1.0]])
+    fcn = lambda t, y, A: A @ y
+    ts = jnp.linspace(0.0, 1.0, 101)
+    y0 = jnp.asarray([1.0, 1.0])
+    exact = jnp.stack([jnp.asarray(sla.expm(np.asarray(A) * float(t))) @ y0
+                       for t in ts])
+    y_s = solve_ivp(fcn, ts, y0, params=(A,), method="sdirk2")
+    assert float(jnp.max(jnp.abs(y_s - exact)[5:])) < 1e-3
+
+    fnl = lambda t, y, a: -a * y + jnp.sin(t) * jnp.tanh(y)
+    y0b = jnp.asarray([0.7, -0.2])
+    a = jnp.asarray(1.3)
+
+    def err(nt):
+        tg = jnp.linspace(0.0, 2.0, nt)
+        ref = solve_ivp(fnl, tg, y0b, params=(a,), method="rk45",
+                        rtol=1e-10, atol=1e-12)
+        return float(jnp.max(jnp.abs(
+            solve_ivp(fnl, tg, y0b, params=(a,), method="sdirk2") - ref)))
+
+    assert err(41) < err(21) / 3.0
+
+    gradcheck2(lambda aa: jnp.sum(solve_ivp(
+        fnl, jnp.linspace(0.0, 2.0, 21), y0b, params=(aa,),
+        method="sdirk2") ** 2), (a,), order=2, atol=1e-5, rtol=1e-5)

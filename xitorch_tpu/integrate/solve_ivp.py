@@ -15,8 +15,8 @@ Gradient strategy differs from the reference by design:
 
 Methods: "rk45" (default), "rk23" (adaptive, options atol/rtol/max_steps),
 "rk4", "rk38", "mid_point", "euler" (fixed-step explicit), "bwd_euler",
-"trapezoidal" (fixed-step implicit, A/L-stable for stiff systems —
-beyond-reference), or a custom callable ``(fcn, ts, y0, params, **cfg)``.
+"trapezoidal", "sdirk2" (fixed-step implicit, A/L-stable for stiff
+systems — beyond-reference), or a custom callable ``(fcn, ts, y0, params, **cfg)``.
 """
 from __future__ import annotations
 
@@ -31,7 +31,7 @@ from xitorch_tpu._impls.integrate.explicit_rk import (
     fwd_euler_ivp, mid_point_ivp, rk38_ivp, rk4_ivp,
 )
 from xitorch_tpu._impls.integrate.implicit_rk import (
-    bwd_euler_ivp, trapezoidal_ivp,
+    bwd_euler_ivp, sdirk2_ivp, trapezoidal_ivp,
 )
 from xitorch_tpu.utils.misc import get_method
 
@@ -46,6 +46,7 @@ _IVP_METHODS = {
     "euler": fwd_euler_ivp,
     "bwd_euler": bwd_euler_ivp,
     "trapezoidal": trapezoidal_ivp,
+    "sdirk2": sdirk2_ivp,
 }
 
 _ADAPTIVE = {"rk45", "rk23"}
