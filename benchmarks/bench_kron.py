@@ -78,7 +78,8 @@ def main():
         t1, tK = timed(f1, (B,)), timed(fK, (B,))
         per = max((tK - t1) / (K - 1), 1e-9)
         x = solve(op, B, method=method, **opts)
-        resid = float(jnp.max(jnp.abs(op.mm(x) - B)))
+        with jax.default_matmul_precision("highest"):
+            resid = float(jnp.max(jnp.abs(op.mm(x) - B)))
         out[method + "_solves_per_sec"] = round(1.0 / per, 2)
         out[method + "_max_resid"] = resid
 

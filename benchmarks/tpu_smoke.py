@@ -147,7 +147,10 @@ def main():
     lap = xt.KronSumOperator(L, L, is_hermitian=True)
     bk = jnp.ones((nl * nl, 2), jnp.float32)
     xk = jax.jit(lambda b: solve(lap, b, method="kron_direct"))(bk)
-    residk = float(jnp.max(jnp.abs(lap.mm(xk) - bk)))
+    # residual check at full precision: the default bf16 matvec measures
+    # ~0.2 of its own noise on this operator, not the solve
+    with jax.default_matmul_precision("highest"):
+        residk = float(jnp.max(jnp.abs(lap.mm(xk) - bk)))
     check("kron_direct", residk < 5e-3, "resid=%.1e" % residk)
 
     print("ALL TPU SMOKE CHECKS PASSED")

@@ -404,3 +404,22 @@ def test_minres_grads():
                              method="minres", rtol=1e-11, atol=1e-13) ** 2)
 
     gradcheck2(loss, (mat, B), order=2, atol=2e-4, rtol=2e-3, eps=1e-5)
+
+
+def test_minres_complex_hermitian():
+    # complex hermitian input: the Lanczos diagonal and Givens state must
+    # stay real-typed (regression: complex davidson grads route here via
+    # the E-shifted default)
+    rng = np.random.default_rng(13)
+    n = 24
+    a = jnp.asarray(rng.standard_normal((n, n))
+                    + 1j * rng.standard_normal((n, n)))
+    mat = (a + a.conj().T) / 2
+    A = LinearOperator.m(mat, is_hermitian=True)
+    B = jnp.asarray(rng.standard_normal((n, 2))
+                    + 1j * rng.standard_normal((n, 2)))
+    x = solve(A, B, method="minres", rtol=1e-10, atol=1e-12)
+    assert jnp.max(jnp.abs(A.mm(x) - B)) < 1e-7
+    E = jnp.asarray([0.1, -0.2])
+    xs = solve(A, B, E=E, method="minres", rtol=1e-10, atol=1e-12)
+    assert jnp.max(jnp.abs(A.mm(xs) - xs * E[None, :] - B)) < 1e-7

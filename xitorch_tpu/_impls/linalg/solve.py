@@ -381,7 +381,10 @@ def minres(A: LinearOperator, B: jnp.ndarray,
     def body_fun(state):
         (k, x, q_old, q, beta, c1, c0, s1, s0, d1, d2, eta, _) = state
         p = A_fcn(q)
-        alpha = _dot(q, p)
+        # hermitian operator: the Lanczos diagonal is mathematically
+        # real — keep it (and all Givens state) real-typed so complex
+        # inputs do not promote the carry dtypes
+        alpha = jnp.real(_dot(q, p))
         p = p - alpha * q - beta * q_old
         beta_new = _colnorm(p)
         q_new = p / _safedenom(beta_new, eps)
