@@ -9,6 +9,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _common import maybe_force_cpu as _maybe_force_cpu  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -21,13 +24,6 @@ BATCH = int(os.environ.get("XT_DEQ_BATCH", "256"))
 HIDDEN = int(os.environ.get("XT_DEQ_HIDDEN", "256"))
 K = 8
 
-
-def _maybe_force_cpu():
-    """--cpu / XT_CPU=1: force the CPU backend (the default backend in this
-    image is a TPU tunnel that hangs when down)."""
-    import sys
-    if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -17,6 +17,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _common import maybe_force_cpu as _maybe_force_cpu  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +30,6 @@ M = int(os.environ.get("XT_IVP_MASSES", "32"))  # oscillators per chain
 NT = 64
 K = 8
 
-
-def _maybe_force_cpu():
-    if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
 
 
 def f_osc(t, y, w):

@@ -17,6 +17,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _common import maybe_force_cpu as _maybe_force_cpu  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -26,10 +29,6 @@ N1 = N2 = 128
 NCOLS = 4
 K = 8
 
-
-def _maybe_force_cpu():
-    if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
 
 
 def lap1d(n, dtype):

@@ -12,6 +12,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _common import maybe_force_cpu as _maybe_force_cpu  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -22,13 +25,6 @@ from xitorch_tpu.linalg import symeig
 
 B, N, NEIG, K = 64, 256, 8, 8
 
-
-def _maybe_force_cpu():
-    """--cpu / XT_CPU=1: force the CPU backend (the default backend in this
-    image is a TPU tunnel that hangs when down)."""
-    import sys
-    if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
 
 
 def main():

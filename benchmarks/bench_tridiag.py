@@ -17,16 +17,15 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _common import maybe_force_cpu as _maybe_force_cpu  # noqa: E402
 
 import jax
 import jax.numpy as jnp
 
 from xitorch_tpu.ops.tridiag import tridiag_solve_pallas
 
-
-def _maybe_force_cpu():
-    if "--cpu" in sys.argv or os.environ.get("XT_CPU") == "1":
-        jax.config.update("jax_platforms", "cpu")
 
 
 def make_systems(K, n, key):

@@ -232,3 +232,46 @@ def test_banded_bad_offsets_raise():
         xt.BandedLowRankOperator(d, {0: jnp.ones((8,))})
     with pytest.raises(RuntimeError):
         xt.BandedLowRankOperator(d, {2: jnp.ones((3,))})
+
+
+def test_structured_thomas_singular_shift_reports_failure():
+    # regression: the direct Thomas path hardcoded converged=1/resid=0,
+    # hiding garbage from (near-)singular E-shifted systems
+    import warnings
+
+    from xitorch_tpu import TridiagLowRankOperator
+    from xitorch_tpu.linalg import solve
+
+    n = 16
+    d = jnp.full((n,), 2.0, jnp.float32)
+    c = jnp.full((n - 1,), -1.0, jnp.float32)
+    A = TridiagLowRankOperator(d, c)
+    lam0 = float(jnp.linalg.eigvalsh(A.fullmatrix())[0])
+    b = jnp.ones((n, 1), jnp.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x, info = solve(A, b, E=jnp.asarray([lam0], jnp.float32),
+                        method="structured_cg", return_info=True,
+                        interpret=True)
+    assert float(info["converged"]) == 0.0
+    # a regular shift still reports success
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x2, info2 = solve(A, b, E=jnp.asarray([0.11], jnp.float32),
+                          method="structured_cg", return_info=True,
+                          interpret=True)
+    assert float(info2["converged"]) == 1.0
+
+
+def test_structured_default_method_stays_matrix_free():
+    # regression: method=None routed structured operators to dense
+    # exactsolve via the fullmatrix capability flag
+    from xitorch_tpu import TridiagLowRankOperator
+    from xitorch_tpu.linalg import solve
+
+    n = 64
+    d = jnp.full((n,), 4.0)
+    A = TridiagLowRankOperator(d, jnp.full((n - 1,), 1.0))
+    b = jnp.ones((n, 2))
+    x = solve(A, b)  # must pick structured_cg (cg fallback on CPU)
+    assert jnp.max(jnp.abs(A.mm(x) - b)) < 1e-5

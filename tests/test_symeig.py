@@ -413,3 +413,21 @@ def test_degen_requirement_mathwarning(rng, recwarn):
             jax.grad(loss_invariant)(Am)
         assert not any(issubclass(x.category, MathWarning) for x in w), \
             [str(x.message)[:120] for x in w]
+
+
+def test_exacteig_batched_M_unbatched_A():
+    # regression: the triangular-solve rewrite broadcast only to A's
+    # batch, crashing when M carries batch dims A lacks
+    rng = np.random.default_rng(21)
+    n = 6
+    a = rng.standard_normal((n, n))
+    Am = jnp.asarray(a @ a.T + n * np.eye(n))
+    ms = rng.standard_normal((3, n, n))
+    Mm = jnp.asarray(ms @ np.swapaxes(ms, -1, -2) + n * np.eye(n))
+    A = LinearOperator.m(Am, is_hermitian=True)
+    M = LinearOperator.m(Mm, is_hermitian=True)
+    ev, evec = symeig(A, 3, "lowest", M=M, method="exacteig")
+    assert ev.shape == (3, 3)
+    R = jnp.einsum("ij,bjk->bik", Am, evec) \
+        - jnp.einsum("bij,bjk->bik", Mm, evec) * ev[:, None, :]
+    assert jnp.max(jnp.abs(R)) < 1e-8

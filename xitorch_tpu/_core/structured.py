@@ -15,6 +15,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 
 from xitorch_tpu._core.linop import LinearOperator
+from xitorch_tpu.utils.tensor import einsum_hi
 
 __all__ = ["TridiagLowRankOperator", "BandedLowRankOperator"]
 
@@ -81,8 +82,10 @@ class BandedLowRankOperator(LinearOperator):
             y = y + jnp.pad(c * x[..., o:], pad + [(0, o)])
             y = y + jnp.pad(c * x[..., :-o], pad + [(o, 0)])
         if self.V is not None:
-            vtx = jnp.einsum("...nk,...n->...k", self.V, x)
-            y = y + jnp.einsum("...nk,...k->...n", self.V, vtx)
+            # HIGHEST: this matvec feeds the fallback CG's residuals
+            # (CLAUDE.md precision rule for solver-internal contractions)
+            vtx = einsum_hi("...nk,...n->...k", self.V, x)
+            y = y + einsum_hi("...nk,...k->...n", self.V, vtx)
         return y
 
     def _fullmatrix(self) -> jnp.ndarray:
@@ -170,8 +173,10 @@ class TridiagLowRankOperator(LinearOperator):
             y = y + jnp.pad(c * x[..., 1:], pad + [(0, 1)])
             y = y + jnp.pad(c * x[..., :-1], pad + [(1, 0)])
         if self.V is not None:
-            vtx = jnp.einsum("...nk,...n->...k", self.V, x)
-            y = y + jnp.einsum("...nk,...k->...n", self.V, vtx)
+            # HIGHEST: this matvec feeds the fallback CG's residuals
+            # (CLAUDE.md precision rule for solver-internal contractions)
+            vtx = einsum_hi("...nk,...n->...k", self.V, x)
+            y = y + einsum_hi("...nk,...k->...n", self.V, vtx)
         return y
 
     def _fullmatrix(self) -> jnp.ndarray:
@@ -180,8 +185,7 @@ class TridiagLowRankOperator(LinearOperator):
         out = jnp.zeros((*batch, n, n), self.dtype) \
             + self.d[..., :, None] * jnp.eye(n, dtype=self.dtype)
         if self.has_coupling:
-            c = jnp.broadcast_to(self.c, (*batch, n - 1)) if self.c.ndim > 0 \
-                else jnp.broadcast_to(self.c, (*batch, n - 1))
+            c = jnp.broadcast_to(self.c, (*batch, n - 1))
             idx = jnp.arange(n - 1)
             out = out.at[..., idx, idx + 1].add(c)
             out = out.at[..., idx + 1, idx].add(c)

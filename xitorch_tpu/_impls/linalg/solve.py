@@ -264,8 +264,12 @@ def cg(A: LinearOperator, B: jnp.ndarray,
     init = (jnp.array(0), xk, rk, zk, pk, rkzk, xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
     state = lax.while_loop(cond_fun, body_fun, init)
     if return_info:
-        return state[6], _make_info(state[-1] < 1.0, state[0],
-                                    state[7], state[-1])
+        # info must describe the iterate actually returned (the best one),
+        # not the final loop iterate — one extra matvec buys consistency
+        best_x = state[6]
+        rc = _colnorm(B2 - A_fcn(best_x))
+        rel = jnp.max(rc / stop_matrix)
+        return best_x, _make_info(rel < 1.0, state[0], jnp.max(rc), rel)
     return state[6]  # best_x
 
 
@@ -499,8 +503,11 @@ def bicgstab(A: LinearOperator, B: jnp.ndarray,
             xk, best_resid, jnp.array(jnp.inf, B2.real.dtype))
     state = lax.while_loop(cond_fun, body_fun, init)
     if return_info:
-        return state[8], _make_info(state[-1] < 1.0, state[0],
-                                    state[9], state[-1])
+        # describe the returned best iterate, not the final loop iterate
+        best_x = state[8]
+        rc = _colnorm(B2 - A_fcn(best_x))
+        rel = jnp.max(rc / stop_matrix)
+        return best_x, _make_info(rel < 1.0, state[0], jnp.max(rc), rel)
     return state[8]
 
 

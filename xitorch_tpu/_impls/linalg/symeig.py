@@ -28,16 +28,9 @@ from jax import lax
 
 from xitorch_tpu._core.linop import LinearOperator
 from xitorch_tpu.utils.bcast import get_bcasted_dims
-from xitorch_tpu.utils.tensor import tallqr
+from xitorch_tpu.utils.tensor import dot_hi as _dot_hi, tallqr
 
 __all__ = ["exacteig", "degen_eigh", "davidson", "chebfsi", "kron_exacteig", "take_eigpairs"]
-
-
-def _dot_hi(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Matmul at HIGHEST precision: TPU's default bf16 multiplies cap
-    residuals of the Rayleigh-Ritz / projection algebra at ~8e-3, above
-    any useful min_eps (see CLAUDE.md precision note)."""
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def take_eigpairs(eival: jnp.ndarray, eivec: jnp.ndarray, neig: int, mode: str):
@@ -119,8 +112,11 @@ def exacteig(A: LinearOperator, neig: int, mode: str,
     eye = jnp.broadcast_to(jnp.eye(L.shape[-1], dtype=L.dtype), L.shape)
     Linv = tri(L, eye, lower=True)
     LinvT = jnp.swapaxes(Linv, -2, -1).conj()
-    A2 = tri(jnp.broadcast_to(L, (*Amatrix.shape[:-2], *L.shape[-2:])),
-             _dot_hi(Amatrix, LinvT), lower=True)
+    # batch = broadcast of BOTH operands (M may carry batch dims A lacks)
+    bcast = jnp.broadcast_shapes(Amatrix.shape[:-2], L.shape[:-2])
+    A2 = tri(jnp.broadcast_to(L, (*bcast, *L.shape[-2:])),
+             jnp.broadcast_to(_dot_hi(Amatrix, LinvT),
+                              (*bcast, *Amatrix.shape[-2:])), lower=True)
     A2 = (A2 + jnp.swapaxes(A2, -2, -1).conj()) * 0.5
     evals, evecs = degen_eigh(A2)
     evals, evecs = take_eigpairs(evals, evecs, neig, mode)

@@ -95,16 +95,27 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
         dcol = dcol - E[..., :, None]
 
     if pure_tridiag:
-        from xitorch_tpu.ops.tridiag import tridiag_solve_pallas
-        x = tridiag_solve_pallas(bl[..., 0, :][..., None, :], dcol,
-                                 bu[..., 0, :][..., None, :], bT,
-                                 interpret=interpret)
-        x = jnp.swapaxes(x, -1, -2)
+        from xitorch_tpu.ops.tridiag import tridiag_matvec, tridiag_solve_pallas
+        xT = tridiag_solve_pallas(bl[..., 0, :][..., None, :], dcol,
+                                  bu[..., 0, :][..., None, :], bT,
+                                  interpret=interpret)
+        x = jnp.swapaxes(xT, -1, -2)
         if return_info:
-            info = {"converged": jnp.asarray(1.0, jnp.float32),
+            # honest residual: the non-pivoting Thomas sweep silently
+            # returns garbage on (near-)singular shifted systems (e.g. an
+            # E at an eigenvalue) — a hardcoded success would blind
+            # assert_converged on exactly the failure it exists to catch
+            r = jnp.linalg.norm(
+                tridiag_matvec(bl[..., 0, :][..., None, :], dcol,
+                               bu[..., 0, :][..., None, :], xT) - bT,
+                axis=-1)
+            bn = jnp.linalg.norm(bT, axis=-1)
+            stop = jnp.maximum(rtol * bn, atol)
+            rel = jnp.max(r / stop)
+            info = {"converged": (rel < 10.0).astype(jnp.float32),
                     "iterations": jnp.asarray(1.0, jnp.float32),
-                    "resid": jnp.asarray(0.0, jnp.float32),
-                    "resid_rel": jnp.asarray(0.0, jnp.float32)}
+                    "resid": jnp.max(r).astype(jnp.float32),
+                    "resid_rel": rel.astype(jnp.float32)}
             return x, info
         return x
 
@@ -315,9 +326,19 @@ def solve(A: LinearOperator, B: jnp.ndarray,
         # _fullmatrix get the dense path too.  Kronecker-structured
         # hermitian operators route to their factor-eigenbasis direct
         # solve first: materializing them is O((prod n_i)^2) memory.
+        from xitorch_tpu._core.structured import (
+            BandedLowRankOperator, TridiagLowRankOperator,
+        )
+
         if (M is None and A.is_hermitian
                 and isinstance(A, (KronOperator, KronSumOperator))):
             method = "kron_direct"
+        elif isinstance(A, (TridiagLowRankOperator, BandedLowRankOperator)):
+            # structured operators implement _fullmatrix for testing, but
+            # materializing them defeats their purpose (B=512, n=1024 is
+            # ~2 GB dense); structured_cg falls back to matrix-free cg
+            # off-TPU or for M-generalized shifts
+            method = "structured_cg"
         elif A.is_fullmatrix_implemented and \
            (M is None or M.is_fullmatrix_implemented):
             method = "exactsolve"

@@ -40,9 +40,9 @@ def _tile_batch(n: int, nb: int, r: int, itemsize: int) -> int:
 
     Planes of (Kt, n): inputs d, b double-buffered (4), band planes
     double-buffered (4*nb: lower+upper), V planes double-buffered (2r),
-    output x double-buffered (2), scratch r/p/Ap (3).
+    output x double-buffered (2), scratch r/p (2).
     """
-    planes = 4 + 4 * nb + 2 * r + 2 + 3
+    planes = 4 + 4 * nb + 2 * r + 2 + 2
     kt = _VMEM_BUDGET // (planes * n * itemsize)
     return max(8, (kt // 8) * 8)
 
@@ -51,12 +51,12 @@ def fits_structured_cg(n: int, r: int, dtype, nb: int = 1) -> bool:
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),):
         return False
     # one batch element must fit with the minimum tile of 8
-    planes = 4 + 4 * nb + 2 * r + 2 + 3
+    planes = 4 + 4 * nb + 2 * r + 2 + 2
     return planes * n * 8 * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET
 
 
 def _cg_kernel(d_ref, bl_ref, bu_ref, V_ref, b_ref, x_ref, it_ref, res_ref,
-               r_scr, p_scr, ap_scr, *, offsets, max_niter: int, rtol: float,
+               r_scr, p_scr, *, offsets, max_niter: int, rtol: float,
                atol: float, eps: float, interpret: bool):
     d = d_ref[:]          # (Kt, n)
     b = b_ref[:]
@@ -173,10 +173,10 @@ def structured_cg_pallas(d: jnp.ndarray, bl: jnp.ndarray, bu: jnp.ndarray,
     try:
         from jax.experimental.pallas import tpu as pltpu
         memspace = pltpu.VMEM
-        scratch = [pltpu.VMEM((kt, n), bf.dtype) for _ in range(3)]
+        scratch = [pltpu.VMEM((kt, n), bf.dtype) for _ in range(2)]
     except ImportError:  # pragma: no cover
         memspace = None
-        scratch = [jax.ShapeDtypeStruct((kt, n), bf.dtype)] * 3
+        scratch = [jax.ShapeDtypeStruct((kt, n), bf.dtype)] * 2
 
     def spec2(block):
         kwargs = {"index_map": (lambda i: (i, 0)) if len(block) == 2
