@@ -182,29 +182,60 @@ def _extract_json(stdout):
     return None
 
 
+def _probe_said_tpu(out):
+    """Parse the PROBE_OK line itself (not the last stdout token — other
+    libraries may print after it)."""
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("PROBE_OK"):
+            return "cpu" not in line
+    return False
+
+
 def orchestrate():
+    # total budget: always leave room to emit a line before any external
+    # driver watchdog fires (round-1 failure mode: rc=124, no output)
+    t_start = time.time()
+    total_budget = int(os.environ.get("XT_BENCH_TOTAL_BUDGET", "1500"))
+    cpu_reserve = 320  # CPU fallback (~60 s healthy) + teardown margin
+
+    def remaining():
+        return total_budget - (time.time() - t_start)
+
     # 1. probe the default (TPU tunnel) backend; one retry — transient
     # tunnel latency spikes (or host load) can push the first probe past
     # its budget while the chip itself is healthy
     tpu_ok = False
     for _ in range(2):
-        rc, out = _run_child(["--probe"], PROBE_TIMEOUT)
-        tpu_ok = rc == 0 and "PROBE_OK" in out and "cpu" not in out.split()[-1:]
+        if remaining() < cpu_reserve + 30:
+            break
+        budget = min(PROBE_TIMEOUT, remaining() - cpu_reserve)
+        rc, out = _run_child(["--probe"], budget)
+        tpu_ok = rc == 0 and _probe_said_tpu(out)
         if tpu_ok:
             break
 
     result = None
     if tpu_ok:
         for _ in range(2):  # retry TPU measurement once
-            rc, out = _run_child(["--measure", "default"], MEASURE_TIMEOUT)
-            result = _extract_json(out) if rc == 0 else None
+            if remaining() < cpu_reserve + 30:
+                break
+            budget = min(MEASURE_TIMEOUT, remaining() - cpu_reserve)
+            rc, out = _run_child(["--measure", "default"], budget)
+            # accept a completed JSON line even from a child that printed
+            # it and then hung in teardown (the tunnel's signature move)
+            result = _extract_json(out)
             if result is not None:
                 break
     if result is None:
-        # the CPU fallback is small/fast — cap it tighter so the whole
-        # orchestration stays bounded even when every TPU stage times out
-        rc, out = _run_child(["--measure", "cpu"], min(MEASURE_TIMEOUT, 300))
-        result = _extract_json(out) if rc == 0 else None
+        rc, out = _run_child(["--measure", "cpu"],
+                             max(60, min(300, remaining() - 20)))
+        result = _extract_json(out)
+        if result is not None:
+            # the CPU fallback runs a smaller config (batch 64 vs 512) —
+            # flag it so cross-round vs_baseline comparisons don't
+            # silently mix incomparable measurements
+            result["fallback"] = "cpu"
     if result is None:
         result = _fallback_line("TPU tunnel and CPU fallback both failed")
     print(json.dumps(result), flush=True)
