@@ -183,3 +183,20 @@ def test_pchip_grad_batch_extrap():
     out2 = Interp1D(x, y, method="pchip", extrap=-7.0)(xq2)
     assert float(out2[0]) == -7.0 and float(out2[2]) == -7.0
     assert bool(jnp.isfinite(out2[1]))
+
+
+def test_interp_unsorted_x_call_time_y():
+    # regression: the auto-sort permutation was dropped for call-time y,
+    # silently pairing values with the wrong knots
+    x = jnp.array([3.0, 1.0, 2.0])
+    y = jnp.array([30.0, 10.0, 20.0])
+    for method in ("linear", "cspline", "pchip"):
+        out_call = Interp1D(x, method=method)(jnp.array([1.5]), y=y)
+        out_init = Interp1D(x, y, method=method)(jnp.array([1.5]))
+        assert_allclose(out_call, out_init, atol=1e-12)
+    assert abs(float(Interp1D(x, method="linear")(jnp.array([1.5]), y=y)[0])
+               - 15.0) < 1e-12
+    # and through jit (the permutation must survive the pytree round trip)
+    f = jax.jit(lambda yy: Interp1D(x, method="linear")(jnp.array([1.5]),
+                                                        y=yy))
+    assert abs(float(f(y)[0]) - 15.0) < 1e-12

@@ -336,3 +336,11 @@ def test_equilibrium_bck_cg_ir_falls_back(rng):
     g1 = jax.grad(loss)(W, {})
     g2 = jax.grad(loss)(W, {"method": "cg_ir"})
     assert_allclose(g2, g1, rtol=1e-4, atol=1e-6)
+
+
+def test_minimize_rejects_nonscalar_objective():
+    # parity with the reference: a vector-valued objective must error,
+    # not be silently summed
+    with pytest.raises(RuntimeError):
+        minimize(lambda y: y ** 2, jnp.asarray([1.0, 2.0]), method="gd",
+                 maxiter=3)

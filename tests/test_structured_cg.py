@@ -275,3 +275,20 @@ def test_structured_default_method_stays_matrix_free():
     b = jnp.ones((n, 2))
     x = solve(A, b)  # must pick structured_cg (cg fallback on CPU)
     assert jnp.max(jnp.abs(A.mm(x) - b)) < 1e-5
+
+
+def test_banded_diag_low_rank_default_solve():
+    # regression: empty band set crashed full_bands() through the new
+    # structured default route
+    from xitorch_tpu import BandedLowRankOperator
+    from xitorch_tpu.linalg import solve
+
+    n = 32
+    d = jnp.full((n,), 4.0)
+    V = 0.1 * jnp.ones((n, 2))
+    A = BandedLowRankOperator(d, bands=None, V=V)
+    b = jnp.ones((n, 1))
+    x = solve(A, b)
+    assert jnp.max(jnp.abs(A.mm(x) - b)) < 1e-5
+    x2 = solve(A, b, method="structured_cg", interpret=True)
+    assert jnp.max(jnp.abs(A.mm(x2) - b)) < 1e-4

@@ -92,9 +92,10 @@ class EditableModule:
         return list(seen.values())
 
     def assertparams(self, method: Callable, *args, **kwargs) -> None:
-        """Verify getparamnames(method) by tracing: every declared array must
-        influence the output, and every array that influences the output must
-        be declared.
+        """Verify getparamnames(method) by tracing: every array that
+        influences the output must be declared.  (The reverse check — a
+        declared array that does NOT influence the output — is not
+        performed; JAX pytrees make over-declaration harmless.)
 
         JAX-native version of the reference's autograd probe
         (editable_module.py:177-241): we compare the declared leaves against
@@ -102,7 +103,16 @@ class EditableModule:
         """
         methodname = method.__name__
         declared = self.getparams(methodname)
-        declared_ids = {id(p) for p in declared}
+
+        def _matches(c, d):
+            if c is d:
+                return True
+            # closure_convert may hand back value-equal copies (device
+            # puts during tracing) — fall back to a value comparison
+            return (hasattr(d, "shape") and getattr(d, "shape", None)
+                    == getattr(c, "shape", None)
+                    and getattr(d, "dtype", None) == getattr(c, "dtype", None)
+                    and bool(jnp.all(jnp.asarray(c) == jnp.asarray(d))))
 
         _, consts = jax.closure_convert(lambda *a: method(*a), *args)
         # each const that is a float array should be declared
@@ -110,9 +120,8 @@ class EditableModule:
         for c in consts:
             if not jnp.issubdtype(jnp.asarray(c).dtype, jnp.inexact):
                 continue
-            if not any(c is d or (hasattr(c, "shape") and d is c) for d in declared):
-                if id(c) not in declared_ids:
-                    missing.append(c)
+            if not any(_matches(c, d) for d in declared):
+                missing.append(c)
         if missing:
             raise GetSetParamsError(
                 "getparamnames for method %r of %s is missing %d array(s) that "

@@ -86,10 +86,12 @@ class _KronBase(LinearOperator):
     # --- tensor plumbing: apply a matrix along grid axis i of the
     # row-major flattened input; pre/post dims are flattened so one
     # einsum form serves every axis and any factor batch dims ---
-    def _apply_axis(self, x, mat, i, extra=1, hi=False):
+    def _apply_axis(self, x, mat, i, extra=1, hi=True):
         """x: (*Bx, N*extra) with N = prod(dims) and ``extra`` trailing
-        columns folded in; applies ``mat`` along grid axis i.  ``hi``
-        forces HIGHEST matmul precision (solver-internal transforms)."""
+        columns folded in; applies ``mat`` along grid axis i.  HIGHEST
+        precision by default: these matvecs feed iterative solvers'
+        residuals (CLAUDE.md precision rule; MatrixLinearOperator makes
+        the same choice)."""
         import jax
 
         pre = math.prod(self.dims[:i])

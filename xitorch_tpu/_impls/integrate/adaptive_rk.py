@@ -125,7 +125,12 @@ def _rk_adaptive(fcn: Callable, ts: jnp.ndarray, y0: jnp.ndarray,
         t_target = ts_n[jnp.minimum(i + 1, nt - 1)]
         reach = t + h >= t_target
         hstep = jnp.where(reach, t_target - t, h)
-        hstep = jnp.where(done, jnp.asarray(1.0, dtype=hstep.dtype), hstep)
+        # finished trajectories: zero-length dummy steps keep every fcn
+        # evaluation at t_final (inside the integration window) — a fixed
+        # hstep=1.0 evaluated fcn beyond ts[-1], and any NaN there (e.g.
+        # an interpolated drive with extrap="nan") poisons reverse-mode
+        # gradients through the where-mask even though the primal is fine
+        hstep = jnp.where(done, jnp.asarray(0.0, dtype=hstep.dtype), hstep)
 
         ynew, fnew, errnorm = rk_step(t, y, f, hstep)
         scale = lax.stop_gradient(

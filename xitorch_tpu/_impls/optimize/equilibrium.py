@@ -100,22 +100,30 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
         return xnew, fnew, xcol, fcol
 
     def cond_fun(state):
-        k, xn, xcol, fcol, stop = state
+        k, xn, xcol, fcol, stop, best_x, best_dev = state
         return (~stop) & (k < maxiter)
 
     def body_fun(state):
-        k, xn, xcol, fcol, _ = state
+        k, xn, xcol, fcol, _, best_x, best_dev = state
         xnew, fnew, xcol, fcol = step(k, xn, xcol, fcol)
         stop = stop_cond.check(xnew, fnew - xnew, xnew - xn)
-        return (k + 1, xnew, xcol, fcol, stop)
+        # best-iterate tracking (repo solver invariant): aggressive mixing
+        # can diverge after passing near the fixed point — return the
+        # best deviation seen, never a diverged final iterate
+        dev = _norm(fnew - xnew)
+        better = dev < best_dev
+        best_x = jnp.where(better, xnew, best_x)
+        best_dev = jnp.where(better, dev, best_dev)
+        return (k + 1, xnew, xcol, fcol, stop, best_x, best_dev)
 
-    state0 = (jnp.asarray(2), xn1, xcol, fcol, devnorm == 0)
-    kfin, xfin, xcolf, fcolf, stop = lax.while_loop(cond_fun, body_fun, state0)
+    state0 = (jnp.asarray(2), xn1, xcol, fcol, devnorm == 0, xn1, devnorm)
+    out = lax.while_loop(cond_fun, body_fun, state0)
+    kfin, stop, best_x, best_dev = out[0], out[4], out[5], out[6]
     if return_info:
         info = {
             "converged": stop.astype(jnp.float32),
             "iterations": kfin.astype(jnp.float32),
-            "best_fnorm": _norm(_fcn(xfin) - xfin).astype(jnp.float32),
+            "best_fnorm": best_dev.astype(jnp.float32),
         }
-        return _unravel(xfin), info
-    return _unravel(xfin)
+        return _unravel(best_x), info
+    return _unravel(best_x)

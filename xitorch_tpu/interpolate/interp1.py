@@ -50,18 +50,28 @@ class Interp1D:
             is_sorted = bool(jnp.all(x[..., 1:] >= x[..., :-1]))
         except jax.errors.TracerBoolConversionError:
             is_sorted = False
+        self._sort_idx = None
         if not is_sorted:
             idx = jnp.argsort(x, axis=-1)
             x = jnp.take_along_axis(x, idx, axis=-1)
+            # keep the permutation: call-time y must be gathered the same
+            # way (reference interp1.py stores self.idx for __call__)
+            self._sort_idx = idx
             if y is not None:
-                yb = jnp.broadcast_to(y, jnp.broadcast_shapes(y.shape, idx.shape))
-                idxb = jnp.broadcast_to(idx, yb.shape)
-                y = jnp.take_along_axis(yb, idxb, axis=-1)
+                y = self._permute_y(y)
 
         self.obj = clss(x, y, **fwd_options)
 
+    def _permute_y(self, y):
+        idx = self._sort_idx
+        yb = jnp.broadcast_to(y, jnp.broadcast_shapes(y.shape, idx.shape))
+        idxb = jnp.broadcast_to(idx, yb.shape)
+        return jnp.take_along_axis(yb, idxb, axis=-1)
+
     def __call__(self, xq: jnp.ndarray, y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Interpolate at query points xq (*BX, nrq) -> (*BXY, nrq)."""
+        if y is not None and self._sort_idx is not None:
+            y = self._permute_y(y)
         return self.obj(xq, y)
 
 
@@ -71,7 +81,10 @@ def _interp_flatten(s):
                             if isinstance(v, jax.Array) or hasattr(v, "aval")))
     static = tuple(sorted((k, v) for k, v in d.items() if k not in dyn_keys
                           and not isinstance(v, jax.Array)))
-    return tuple(d[k] for k in dyn_keys), (type(s.obj), dyn_keys, static)
+    # the wrapper's sort permutation (for call-time y) rides as an extra
+    # child so it survives jit/vmap boundaries
+    children = tuple(d[k] for k in dyn_keys) + (s._sort_idx,)
+    return children, (type(s.obj), dyn_keys, static)
 
 
 def _interp_unflatten(aux, children):
@@ -79,10 +92,11 @@ def _interp_unflatten(aux, children):
     obj = object.__new__(objcls)
     for k, v in static:
         setattr(obj, k, v)
-    for k, v in zip(dyn_keys, children):
+    for k, v in zip(dyn_keys, children[:-1]):
         setattr(obj, k, v)
     s = object.__new__(Interp1D)
     s.obj = obj
+    s._sort_idx = children[-1]
     return s
 
 

@@ -79,12 +79,14 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
         offsets = (1,)
         pure_tridiag = A.V is None
     else:
-        bl, bu = A.full_bands()
         offsets = A.offsets
         if not offsets:  # diagonal-only: give it one zero band for layout
+            # (checked BEFORE full_bands(), which cannot stack zero bands)
             bl = jnp.zeros((*A.shape[:-2], 1, A.shape[-1]), A.dtype)
             bu = bl
             offsets = (1,)
+        else:
+            bl, bu = A.full_bands()
         pure_tridiag = A.V is None and offsets == (1,)
 
     bT = jnp.swapaxes(B, -1, -2)  # (*B, ncols, n): columns into batch

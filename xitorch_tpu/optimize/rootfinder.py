@@ -228,6 +228,13 @@ def minimize(fcn: Callable, y0: jnp.ndarray,
 
     def scalar_fcn(y, *ps):
         out = pfcn(y, *ps)
+        if hasattr(out, "size") and out.size != 1:
+            # parity with the reference: autograd.grad there errors on
+            # non-scalar objectives — silently summing would optimize an
+            # unintended total
+            raise RuntimeError(
+                "minimize fcn must return a scalar (got shape %s)"
+                % (out.shape,))
         return out.sum()
 
     def grad_fcn(y, *ps):
