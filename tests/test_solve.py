@@ -423,3 +423,79 @@ def test_minres_complex_hermitian():
     E = jnp.asarray([0.1, -0.2])
     xs = solve(A, B, E=E, method="minres", rtol=1e-10, atol=1e-12)
     assert jnp.max(jnp.abs(A.mm(xs) - xs * E[None, :] - B)) < 1e-7
+
+
+def test_info_honesty_no_slack():
+    """Library-wide rule (_make_info): converged = resid_rel < 1.0 at every
+    call site, with resid the MEASURED residual of the returned iterate —
+    a solve a few x over tolerance must report converged=0 on every method
+    (regression: minres / tridiag-Thomas / kron_direct carried a 10x slack
+    that blinded assert_converged on exactly the paths it guards)."""
+    import warnings as _warnings
+
+    from xitorch_tpu import KronSumOperator, TridiagLowRankOperator
+
+    # --- minres: cap iterations, then re-run with rtol placing the
+    # measured residual a few x over tolerance (rel in (1, 10))
+    rng = np.random.default_rng(21)
+    n = 60
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    ev = np.concatenate([np.linspace(-1, -0.1, n // 2),
+                         np.linspace(0.1, 1, n - n // 2)])
+    A = LinearOperator.m(jnp.asarray((q * ev) @ q.T), is_hermitian=True)
+    B = jnp.asarray(rng.standard_normal((n, 2)))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        _, info0 = solve(A, B, method="minres", rtol=1e-30, atol=1e-30,
+                         max_niter=10, return_info=True)
+        resid = float(info0["resid"])
+        bnorm = float(jnp.max(jnp.linalg.norm(B, axis=-2)))
+        # same iteration budget, tolerance set 5x below the residual
+        _, info = solve(A, B, method="minres", rtol=resid / (5 * bnorm),
+                        atol=0.0, max_niter=10, return_info=True)
+    rel = float(info["resid_rel"])
+    assert 1.0 < rel < 10.0
+    assert float(info["converged"]) == 0.0
+
+    # --- tridiag Thomas direct path: a near-singular shifted system whose
+    # measured residual sits over tolerance must not report success
+    n = 16
+    d = jnp.full((n,), 2.0, jnp.float32)
+    c = jnp.full((n - 1,), -1.0, jnp.float32)
+    At = TridiagLowRankOperator(d, c)
+    lam0 = float(jnp.linalg.eigvalsh(At.fullmatrix())[0])
+    b = jnp.ones((n, 1), jnp.float32)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        _, info_t = solve(At, b, E=jnp.asarray([lam0], jnp.float32),
+                          method="structured_cg", return_info=True,
+                          interpret=True)
+    assert float(info_t["resid_rel"]) > 1.0
+    assert float(info_t["converged"]) == 0.0
+
+    # --- kron_direct is normwise backward-stable (its info documents the
+    # ||A||*||x|| backward-error scale), so its failure mode is the
+    # singular pencil — an E shift AT an eigenvalue sum must be flagged
+    # converged=0 by the explicit singularity detector, never excused
+    n1 = n2 = 8
+    h1 = jnp.asarray(make_spd(rng, (), n1), jnp.float64)
+    h2 = jnp.asarray(make_spd(rng, (), n2), jnp.float64)
+    Ak = KronSumOperator(h1, h2, is_hermitian=True)
+    comb, _ = Ak.combined_eigendecomposition()
+    lam_exact = jnp.min(comb)
+    Bk = jnp.ones((n1 * n2, 1), jnp.float64)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        _, info_k = solve(Ak, Bk, E=lam_exact[None],
+                          method="kron_direct", return_info=True)
+    assert float(info_k["converged"]) == 0.0
+    # a regular solve on the same operator reports success
+    _, info_k2 = solve(Ak, Bk, method="kron_direct", return_info=True)
+    assert float(info_k2["converged"]) == 1.0
+
+    # consistency across the info-reporting methods: converged must equal
+    # (resid_rel < 1) — no per-method slack (kron_direct's singularity
+    # flag is additionally allowed to force 0)
+    for info_i in (info0, info, info_t, info_k2):
+        assert float(info_i["converged"]) == float(
+            float(info_i["resid_rel"]) < 1.0)

@@ -192,7 +192,10 @@ def test_banded_operator_matvec_and_solve():
     assert jnp.max(jnp.abs(A.mv(x0) - ref_mv)) < 1e-5
     xt.checklinop(A)
 
-    x, info = solve(A, b, method="structured_cg", rtol=1e-7, atol=1e-9,
+    # rtol 1e-6: the honest measured-residual info reports converged
+    # against the REQUESTED tolerance, and 1e-7 sits below the f32
+    # achievable floor eps*||A||*||x|| for this system
+    x, info = solve(A, b, method="structured_cg", rtol=1e-6, atol=1e-8,
                     interpret=True, return_info=True)
     ref = jnp.linalg.solve(dense, b)
     assert jnp.max(jnp.abs(x - ref)) < 2e-4

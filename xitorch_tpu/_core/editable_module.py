@@ -104,9 +104,7 @@ class EditableModule:
         methodname = method.__name__
         declared = self.getparams(methodname)
 
-        def _matches(c, d):
-            if c is d:
-                return True
+        def _value_eq(c, d):
             # closure_convert may hand back value-equal copies (device
             # puts during tracing) — fall back to a value comparison
             return (hasattr(d, "shape") and getattr(d, "shape", None)
@@ -115,13 +113,26 @@ class EditableModule:
                     and bool(jnp.all(jnp.asarray(c) == jnp.asarray(d))))
 
         _, consts = jax.closure_convert(lambda *a: method(*a), *args)
-        # each const that is a float array should be declared
+        # each const that is a float array should be declared.  Identity
+        # matching is primary; value-equality only stands in for
+        # closure_convert's device-put copies, and each declared array may
+        # back at most ONE such copy — otherwise an undeclared parameter
+        # that merely duplicates a declared one's values (common with
+        # identically initialized weights) would silently pass the check
+        # this method exists to perform.
         missing = []
+        claimed: set = set()
         for c in consts:
             if not jnp.issubdtype(jnp.asarray(c).dtype, jnp.inexact):
                 continue
-            if not any(_matches(c, d) for d in declared):
+            if any(c is d for d in declared):
+                continue
+            idx = next((i for i, d in enumerate(declared)
+                        if i not in claimed and _value_eq(c, d)), None)
+            if idx is None:
                 missing.append(c)
+            else:
+                claimed.add(idx)
         if missing:
             raise GetSetParamsError(
                 "getparamnames for method %r of %s is missing %d array(s) that "

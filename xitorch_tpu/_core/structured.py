@@ -20,6 +20,18 @@ from xitorch_tpu.utils.tensor import einsum_hi
 __all__ = ["TridiagLowRankOperator", "BandedLowRankOperator"]
 
 
+def _reject_complex(d: jnp.ndarray, name: str) -> None:
+    # the declared structure mirrors bands unconjugated and applies
+    # V V^T (not V V^H), which is complex-*symmetric*, not hermitian —
+    # cg/minres would silently treat it as hermitian and return wrong
+    # results (the fused Pallas kernel is f32-only anyway)
+    if jnp.issubdtype(d.dtype, jnp.complexfloating):
+        raise RuntimeError(
+            "%s requires a real dtype (got %s): the structure applies "
+            "V V^T and mirrors bands unconjugated, which is not hermitian "
+            "for complex data" % (name, d.dtype))
+
+
 class BandedLowRankOperator(LinearOperator):
     r"""Hermitian operator :math:`A = \mathrm{diag}(d) + \sum_k B_{o_k}(c_k)
     + V V^T` with symmetric bands at arbitrary offsets.
@@ -36,6 +48,7 @@ class BandedLowRankOperator(LinearOperator):
     def __init__(self, d: jnp.ndarray, bands=None,
                  V: Optional[jnp.ndarray] = None):
         d = jnp.asarray(d)
+        _reject_complex(d, "BandedLowRankOperator")
         n = d.shape[-1]
         bands = dict(bands or {})
         offsets = tuple(sorted(int(o) for o in bands))
@@ -131,6 +144,7 @@ class TridiagLowRankOperator(LinearOperator):
 
     def __init__(self, d: jnp.ndarray, c=None, V: Optional[jnp.ndarray] = None):
         d = jnp.asarray(d)
+        _reject_complex(d, "TridiagLowRankOperator")
         n = d.shape[-1]
         if c is None:
             c = jnp.zeros((0,), d.dtype)  # sentinel: no coupling

@@ -107,14 +107,23 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
             # returns garbage on (near-)singular shifted systems (e.g. an
             # E at an eigenvalue) — a hardcoded success would blind
             # assert_converged on exactly the failure it exists to catch
-            r = jnp.linalg.norm(
-                tridiag_matvec(bl[..., 0, :][..., None, :], dcol,
-                               bu[..., 0, :][..., None, :], xT) - bT,
-                axis=-1)
+            ax = tridiag_matvec(bl[..., 0, :][..., None, :], dcol,
+                                bu[..., 0, :][..., None, :], xT)
+            r = jnp.linalg.norm(ax - bT, axis=-1)
             bn = jnp.linalg.norm(bT, axis=-1)
-            stop = jnp.maximum(rtol * bn, atol)
+            # deliberately FORWARD semantics (residual vs ||B||, floored
+            # only at 100*eps*(||Ax||+||B||)) — NOT the ||A||*||x||
+            # backward-error scale that kron_direct/exactsolve use: the
+            # non-pivoting Thomas sweep is unstable off diagonal
+            # dominance, and on a singular shifted system its huge-||x||
+            # output can look backward-small while being forward garbage;
+            # converged still follows the ``rel < 1.0`` rule (_make_info)
+            eps_d = float(jnp.finfo(x.real.dtype).eps)
+            scale = jnp.linalg.norm(ax, axis=-1) + bn
+            stop = jnp.maximum(jnp.maximum(rtol * bn, atol),
+                               100 * eps_d * scale)
             rel = jnp.max(r / stop)
-            info = {"converged": (rel < 10.0).astype(jnp.float32),
+            info = {"converged": (rel < 1.0).astype(jnp.float32),
                     "iterations": jnp.asarray(1.0, jnp.float32),
                     "resid": jnp.max(r).astype(jnp.float32),
                     "resid_rel": rel.astype(jnp.float32)}
@@ -134,13 +143,22 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
         max_niter=max_niter, interpret=interpret)
     x = jnp.swapaxes(x, -1, -2)
     if return_info:
+        # measured residual of the returned iterate (the kernel's ``res``
+        # is the CG *recurrence* estimate, which rounding lets drift) —
+        # one extra XLA matvec, only on the return_info path
+        ax = A.mm(x)
+        if E is not None:
+            ax = ax - x * E[..., None, :]
+        rT = jnp.swapaxes(ax, -1, -2) - bT
+        rc = jnp.linalg.norm(rT, axis=-1)
         bnorm = jnp.linalg.norm(bT, axis=-1)
         stop = jnp.maximum(rtol * bnorm, atol)
+        rel = jnp.max(rc / stop)
         info = {
-            "converged": jnp.all(res <= stop).astype(jnp.float32),
+            "converged": (rel < 1.0).astype(jnp.float32),
             "iterations": jnp.max(it),
-            "resid": jnp.max(res),
-            "resid_rel": jnp.max(res / stop),
+            "resid": jnp.max(rc).astype(jnp.float32),
+            "resid_rel": rel.astype(jnp.float32),
         }
         return x, info
     return x
@@ -228,11 +246,21 @@ def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
         # surface as converged=0, not a hardcoded success
         r = jnp.linalg.norm(residual(x), axis=-2)
         bn = jnp.linalg.norm(B, axis=-2)
+        # direct solve: converged follows the library-wide ``rel < 1.0``
+        # rule (see _make_info) against the normwise backward-error floor
+        # 100*eps*(||A||*||x|| + ||B||) of the working dtype (a direct
+        # method has no iteration tolerance to compare against; ||A||*||x||
+        # — not ||Ax|| — is the standard scale, which matters exactly on
+        # the ill-conditioned systems where x has large null-ish modes)
         eps_d = float(jnp.finfo(x.real.dtype).eps)
-        stop = jnp.maximum(100 * eps_d * (bn + jnp.linalg.norm(
-            mv_hi(x), axis=-2)), jnp.asarray(1e-30, r.dtype))
+        anorm = jnp.max(jnp.abs(comb))  # spectral norm, exact for Kron
+        if E is not None:  # per-column pencil norm ||A - e_j||
+            anorm = anorm + jnp.abs(E)
+        xn = jnp.linalg.norm(x, axis=-2)
+        stop = jnp.maximum(100 * eps_d * (bn + anorm * xn),
+                           jnp.asarray(1e-30, r.dtype))
         rel = jnp.max(r / stop)
-        ok = (rel < 10.0) & jnp.logical_not(jnp.any(singular))
+        ok = (rel < 1.0) & jnp.logical_not(jnp.any(singular))
         info = {"converged": ok.astype(jnp.float32),
                 "iterations": jnp.asarray(1.0 + refine, jnp.float32),
                 "resid": jnp.max(r).astype(jnp.float32),
@@ -283,7 +311,16 @@ def solve(A: LinearOperator, B: jnp.ndarray,
 
     With ``return_info=True``, returns ``(X, info)`` where ``info`` is a
     jit-safe pytree ``{"converged", "iterations", "resid", "resid_rel"}``
-    (f32 scalars; gradients of info are zero).  In eager mode a
+    (f32 scalars; gradients of info are zero).  One rule across every
+    method: ``resid`` is the MEASURED residual norm of the returned
+    iterate and ``converged = resid_rel < 1.0`` with
+    ``resid_rel = resid / stop``, where ``stop = max(rtol*|B|, atol)``
+    for iterative methods and the normwise backward-error floor
+    ``100*eps*(|A|*|X| + |B|)`` for the stable direct methods
+    (exactsolve, kron_direct — which additionally flags singular
+    pencils); the non-pivoting tridiagonal Thomas path keeps the forward
+    ``max(rtol*|B|, atol)`` scale (floored at ``100*eps*(|AX|+|B|)``) so
+    singular-shift garbage is flagged.  In eager mode a
     :class:`ConvergenceWarning` is emitted when the solve did not converge
     (the reference warns from inside its solvers, e.g.
     _impls/linalg/solve.py:156-160).
@@ -293,6 +330,20 @@ def solve(A: LinearOperator, B: jnp.ndarray,
     power-iteration probe plus *both* the plain and normal-equation
     branches under ``lax.cond`` — roughly double the compile time and one
     probe per solve.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import xitorch_tpu as xt
+    >>> A = xt.LinearOperator.m(jnp.array([[3.0, 1.0], [1.0, 2.0]]),
+    ...                         is_hermitian=True)
+    >>> B = jnp.array([[4.0], [3.0]])
+    >>> X = xt.linalg.solve(A, B, method="cg")
+    >>> bool(jnp.max(jnp.abs(A.mm(X) - B)) < 1e-6)
+    True
+    >>> X, info = xt.linalg.solve(A, B, return_info=True)
+    >>> float(info["converged"])
+    1.0
     """
     if A.shape[-1] != A.shape[-2]:
         raise RuntimeError("The linear operator A must have a square shape")
@@ -332,15 +383,40 @@ def solve(A: LinearOperator, B: jnp.ndarray,
             BandedLowRankOperator, TridiagLowRankOperator,
         )
 
+        kron_like = isinstance(A, (KronOperator, KronSumOperator)) or (
+            M is not None and isinstance(M, (KronOperator, KronSumOperator)))
+
         if (M is None and A.is_hermitian
                 and isinstance(A, (KronOperator, KronSumOperator))):
             method = "kron_direct"
+        elif kron_like:
+            # Kron operators outside the kron_direct guard (M-generalized
+            # or non-hermitian factors) must NOT hit the fullmatrix branch
+            # below: materializing a Kronecker structure is O(N^2) memory
+            # (a 3-factor 64^3 KronSum is ~275 GB dense).  Stay matrix-free.
+            is_hermit = A.is_hermitian and (M is None or M.is_hermitian)
+            method = ("cg" if E is None else "minres") if is_hermit \
+                else "bicgstab"
         elif isinstance(A, (TridiagLowRankOperator, BandedLowRankOperator)):
             # structured operators implement _fullmatrix for testing, but
             # materializing them defeats their purpose (B=512, n=1024 is
             # ~2 GB dense); structured_cg falls back to matrix-free cg
             # off-TPU or for M-generalized shifts
-            method = "structured_cg"
+            pure_tridiag = A.V is None and (
+                isinstance(A, TridiagLowRankOperator)
+                or A.offsets in ((), (1,)))
+            if E is not None and not pure_tridiag:
+                # symeig's implicit-gradient shifts sit inside the
+                # spectrum, so A - eI is indefinite; the fused Pallas CG
+                # kernel has no posdef probe or best-iterate tracking and
+                # would silently return an inaccurate last iterate under
+                # jit.  minres handles indefinite hermitian systems
+                # directly (still matrix-free via _mv).  Pure tridiagonal
+                # shifts keep the direct Thomas path, whose info reports
+                # an honest measured residual.
+                method = "minres"
+            else:
+                method = "structured_cg"
         elif A.is_fullmatrix_implemented and \
            (M is None or M.is_fullmatrix_implemented):
             method = "exactsolve"

@@ -79,6 +79,17 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
     ``info`` is a jit-safe pytree ``{"converged", "iterations", "resid",
     "resid_rel"}`` (f32 scalars, zero gradients); in eager mode a
     :class:`ConvergenceWarning` is emitted on non-convergence.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import xitorch_tpu as xt
+    >>> A = xt.LinearOperator.m(jnp.array([[2.0, 1.0], [1.0, 4.0]]),
+    ...                         is_hermitian=True)
+    >>> evals, evecs = xt.linalg.symeig(A, 1, "lowest")
+    >>> resid = A.mm(evecs) - evecs * evals[..., None, :]
+    >>> bool(jnp.max(jnp.abs(resid)) < 1e-6)
+    True
     """
     if not A.is_hermitian:
         raise RuntimeError("The linear operator A must be Hermitian")
@@ -102,6 +113,14 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
         if M is None and A.is_hermitian and isinstance(
                 A, (KronOperator, KronSumOperator)):
             method = "kron_exact"
+        elif isinstance(A, (KronOperator, KronSumOperator)) or (
+                M is not None
+                and isinstance(M, (KronOperator, KronSumOperator))):
+            # Kron operators outside the kron_exact guard (M-generalized
+            # pencils) must NOT hit exacteig: materializing a Kronecker
+            # structure is O(N^2) memory (a 3-factor 64^3 KronSum is
+            # ~275 GB dense).  davidson stays matrix-free.
+            method = "davidson"
         else:
             method = "exacteig"
     if neig is None:

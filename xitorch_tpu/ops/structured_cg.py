@@ -91,7 +91,12 @@ def _cg_kernel(d_ref, bl_ref, bu_ref, V_ref, b_ref, x_ref, it_ref, res_ref,
 
     def cond(state):
         k, rr = state
-        return jnp.logical_and(k < max_niter, jnp.max(rr / stop2) >= 1.0)
+        # iterate to HALF the tolerance (0.25 on the squared norms): the
+        # loop stops on the CG *recurrence* residual, which rounding lets
+        # drift above the measured residual; the margin keeps the honest
+        # measured-residual info check (linalg/solve.py) from flagging a
+        # solve the recurrence believed had just converged
+        return jnp.logical_and(k < max_niter, jnp.max(rr / stop2) >= 0.25)
 
     def body(state):
         k, rr = state
