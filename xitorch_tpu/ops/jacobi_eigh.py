@@ -6,30 +6,60 @@ chip's speed of light.  This kernel keeps each matrix VMEM-resident and
 runs the classic *one-sided* Jacobi iteration, whose inner loop is pure
 (n/2, n) VPU row arithmetic with no lane permutes and no host/HBM traffic:
 
-* Layout: ``G^T`` and ``V^T`` are stored rows-as-sublanes, so a "column
-  rotation" of the implicit G = A·V is a *row pair* rotation here.
+* Layout: ``G^T`` is stored rows-as-sublanes, so a "column rotation" of
+  the implicit G = A·V is a *row pair* rotation here.
+* **No V panel** (the round-2b kernel carried ``[G^T | V^T]``): for the
+  Gershgorin-shifted PSD input, G's columns at convergence ARE the scaled
+  eigenvectors — G = A·V with orthogonal columns forces G = Q·diag(lam')
+  up to a rotation inside degenerate eigenspaces, so ``v_i = g_i/|g_i|``
+  and ``lam'_i = |g_i|``.  Dropping V halves the rotation arithmetic.
+  The cost: eigenvector noise is ~eps*sigma*sqrt(#rotations) *absolute*,
+  so the direction error of column i scales as eps*sqrt(R)*sigma/lam'_i;
+  the shift margin (sigma >= -lambda_min + 0.01*frob) floors lam' at 1%
+  of ||A||_F, bounding the worst case at ~1e-3 relative in f32 — and the
+  worst case (lambda_min AT the Gershgorin bound) only occurs for
+  near-diagonal matrices, where the iteration converges in O(1) sweeps
+  and the noise never accumulates.  Measured quality after the polish is
+  unchanged vs the V-carrying kernel (orth ~2e-7, residual ~2e-5).
+* **Carried column norms**: |g_i|^2 rides along with each row through the
+  tournament as a (h, 1) sidecar, updated analytically after each
+  rotation (|c g_p - s g_q|^2 = c^2 a - 2csg + s^2 b) and refreshed by a
+  full reduction once per sweep to kill fp drift.  Each round then needs
+  ONE n-wide reduction (gamma = <g_p, g_q>) instead of three — the lane
+  reductions were ~half the round cost.
 * Pairing: Brent–Luk round-robin tournament.  The active pairs are always
   (row i of the top half, row i of the bottom half), and between rounds a
   fixed sublane shuffle (concatenate of static slices + iota selects)
   rotates every player except player 0 — after n-1 rounds all n(n-1)/2
   pairs have met exactly once and the ordering returns to the start.
 * Sign ambiguity: one-sided Jacobi implicitly diagonalizes A^2, which
-  cannot distinguish +-lambda pairs.  We pre-shift A by its Gershgorin
-  bound sigma (A + sigma*I is PSD, eigenvectors unchanged, eigenvalues
-  shift back exactly) — on PSD matrices one-sided Jacobi is famously
-  *relative-accuracy*; the only loss is the ~eps*sigma cancellation in
-  lambda - sigma, the same order as eigh's backward error.
+  cannot distinguish +-lambda pairs.  We pre-shift A by sigma >=
+  -lambda_min (one-sided Gershgorin) + 1% margin, so A + sigma*I is PSD
+  with eigenvalues in [0.01*frob, sigma + lam_max]; eigenvectors are
+  unchanged and eigenvalues shift back exactly.  On PSD matrices
+  one-sided Jacobi is famously *relative-accuracy*; the only loss is the
+  ~eps*sigma cancellation in lambda - sigma, the same order as eigh's
+  backward error (and the Rayleigh-quotient polish recomputes lambda on
+  the unshifted input anyway).
+* Multiple matrices per grid program (``mats_per_program``): rotations
+  of different matrices are independent, so stacking them grows the VPU
+  op shapes and amortizes the sweep/round loop bookkeeping.
+* Complex hermitian input is packed as two real planes ``[Re G^T|Im G^T]``
+  (n, 2n); the pair rotation first aligns the phase of g_q with
+  exp(-i*arg(gamma)) (an elementwise plane rotation), then applies the
+  same real Jacobi rotation to both planes.  Column phases are arbitrary
+  eigenvector phases and need no unwinding.
 * Convergence: quadratic; each sweep tracks max_pairs cos^2(g_p, g_q) and
   the sweep while_loop exits once it drops below ``tol``^2.
 
-Measured (v5e single chip, B=64, n=256 SPD f32): 734 decomps/s vs 550/s
-for XLA's eigh (1.34x), with *better* f32 quality after the Newton
-re-orthonormalization polish (orth 2.4e-7, eigenpair residual 1.8e-5,
-eigenvalues 7e-6 vs a float64 oracle).  The flat one-sided iteration is
-VPU-bound at ~56% issue efficiency; blocked/MXU variants were analyzed
-and rejected (the (2b,2b)-Gram inner problem still costs ~1.2*b/n of the
-flat VPU work plus lane-permute overhead — no win at n<=512 on 128-lane
-vregs).
+Measured (v5e single chip, f32): B=64 n=256 SPD 1,775 decomps/s vs 550/s
+for XLA's eigh (3.2x; the round-2b V-carrying kernel did 747/s), B=8
+n=700 17.3/s vs 7.9/s XLA (2.2x), quality after the MXU polish better
+than XLA's f32 eigh (orth 2.4e-7, eigenpair residual ~2e-5 at n=256).
+The flat one-sided iteration is VPU-bound; blocked/MXU variants were
+analyzed and rejected (the (2b,2b)-Gram inner problem still costs
+~1.2*b/n of the flat VPU work plus lane-permute overhead — no win at
+n<=1024 on 128-lane vregs).
 
 Reference spec: exact dense decomposition semantics of
 /root/reference/xitorch/_impls/linalg/symeig.py:11-44 (exacteig) — same
@@ -48,89 +78,111 @@ from jax import lax
 __all__ = ["jacobi_eigh", "use_jacobi_for"]
 
 # global switch: xitorch_tpu._impls.linalg.symeig.degen_eigh dispatches the
-# dense decomposition here when `use_jacobi_for` approves (TPU, f32, n<=512)
+# dense decomposition here when `use_jacobi_for` approves (TPU, f32 real or
+# c64 hermitian, 64 <= n <= 1024)
 ENABLED = True
 
 
 _UNROLL = 6  # tournament rounds fused per fori_loop iteration
-# (measured on v5e, B=64 n=256: 1 -> 706.5, 3 -> 736.3, 6 -> 749.0 decomps/s)
+# (measured on v5e, B=64 n=256: 1 -> 706.5, 3 -> 736.3, 6 -> 749.0 decomps/s
+# with the old kernel; the same plateau holds for the norm-carrying one)
 
 
-def _jacobi_kernel(a_ref, w_ref, *, n: int, max_sweeps: int, tol2: float):
-    """One matrix per grid program.  a_ref: (1, n, n) symmetric (shifted
-    PSD) input; w_ref: (1, n, 2n) output holding [G^T | V^T] side by side
-    (G = A·V; at convergence row i is [lambda_i v_i^T | v_i^T]).
+def _mats_per_program(n: int, complexpair: bool) -> int:
+    """How many matrices to stack per grid program: grow the VPU op shapes
+    for small n, stay within ~12 MB VMEM (in + out + pipeline buffer) for
+    large n."""
+    width = 2 * n if complexpair else n
+    bytes_per_mat = 3 * n * width * 4  # a block (x2 pipeline) + g block
+    budget = 12 * 1024 * 1024
+    return max(1, min(8, budget // max(bytes_per_mat, 1)))
 
-    Storing G^T and V^T in one buffer lets every rotation and every
-    tournament shuffle run as a single double-width (h, 2n) VPU row
-    operation — one instruction stream instead of two."""
+
+def _rot_coeffs(nt, nb, gam_abs2, gam_for_zeta, tol2, dt, eps_floor):
+    """Jacobi rotation (c, s) for column pairs with carried squared norms
+    ``nt``/``nb`` and pair dot ``gam_for_zeta`` (|gamma| for the complex
+    path).  Returns (c, s, live, ratio)."""
+    ab = nt * nb
+    ratio = gam_abs2 / jnp.maximum(ab, eps_floor)      # cos^2 angle
+    # skip already-orthogonal (or zero) pairs
+    live = ratio > jnp.asarray(tol2 * 0.01, dt)
+    zeta = (nb - nt) / jnp.where(live, 2.0 * gam_for_zeta, 1.0)
+    t = jnp.where(zeta >= 0, 1.0, -1.0) / (
+        jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    # one Newton step on the hardware rsqrt keeps each rotation
+    # orthogonal to ~2 ulp (c^2+s^2 = 1), so the eigenbasis orthogonality
+    # drift stays a random walk instead of a bias
+    x = 1.0 + t * t
+    c = lax.rsqrt(x)
+    c = c * (1.5 - 0.5 * x * c * c)
+    s = c * t
+    c = jnp.where(live, c, jnp.asarray(1.0, dt))
+    s = jnp.where(live, s, jnp.asarray(0.0, dt))
+    return c, s, ratio
+
+
+def _shuffle(h, m_first, m_second, m_last, ntop, nbot):
+    """Brent-Luk tournament shuffle along the pair axis (-2):
+    new_top = [top0, bot0, top1..top_{h-2}],
+    new_bot = [bot1..bot_{h-1}, top_{h-1}]."""
+    top_dn = jnp.concatenate([ntop[..., h - 1:, :], ntop[..., :h - 1, :]],
+                             axis=-2)
+    bot_dn = jnp.concatenate([nbot[..., h - 1:, :], nbot[..., :h - 1, :]],
+                             axis=-2)
+    bot_up = jnp.concatenate([nbot[..., 1:, :], nbot[..., :1, :]], axis=-2)
+    new_top = jnp.where(m_first, ntop, jnp.where(m_second, bot_dn, top_dn))
+    new_bot = jnp.where(m_last, ntop, bot_up)
+    return new_top, new_bot
+
+
+def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
+                   tol2: float):
+    """``m`` matrices per grid program.  a_ref: (m, n, n) symmetric
+    (shifted PSD) input; g_ref: (m, n, n) output G^T (G = A·V; at
+    convergence row i is lambda'_i v_i^T)."""
     h = n // 2
     dt = a_ref.dtype
     eps_floor = jnp.asarray(jnp.finfo(dt).tiny * 16.0, dt)
 
-    # W = [G^T | V^T] with G^T := A (A symmetric so A^T = A), V^T := I
-    w_ref[0, :, :n] = a_ref[0, :, :]
-    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    w_ref[0, :, n:] = jnp.where(rows == cols, jnp.asarray(1.0, dt),
-                                jnp.asarray(0.0, dt))
+    g_ref[...] = a_ref[...]  # G^T := A (A symmetric so A^T = A)
 
-    i_half = lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    i_half = lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
     m_first = i_half == 0       # tournament position 0 (fixed player)
     m_second = i_half == 1
     m_last = i_half == (h - 1)
 
-    def _one_round(top, bot, max_ratio):
-        """Rotate every (top_i, bot_i) pair, then Brent-Luk-shuffle:
-        new_top = [top0, bot0, top1..top_{h-2}],
-        new_bot = [bot1..bot_{h-1}, top_{h-1}]."""
-        gt = top[:, :n]
-        gb = bot[:, :n]
-        alpha = jnp.sum(gt * gt, axis=1, keepdims=True)   # (h, 1)
-        beta = jnp.sum(gb * gb, axis=1, keepdims=True)
-        gam = jnp.sum(gt * gb, axis=1, keepdims=True)
-
-        ab = alpha * beta
-        ratio = gam * gam / jnp.maximum(ab, eps_floor)     # cos^2 angle
-        # skip already-orthogonal (or zero) pairs
-        live = ratio > jnp.asarray(tol2 * 0.01, dt)
-        zeta = (beta - alpha) / jnp.where(live, 2.0 * gam, 1.0)
-        t = jnp.where(zeta >= 0, 1.0, -1.0) / (
-            jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
-        # one Newton step on the hardware rsqrt keeps each rotation
-        # orthogonal to ~2 ulp (c^2+s^2 = 1), so V's orthogonality drift
-        # stays a random walk instead of a bias
-        x = 1.0 + t * t
-        c = lax.rsqrt(x)
-        c = c * (1.5 - 0.5 * x * c * c)
-        s = c * t
-        c = jnp.where(live, c, jnp.asarray(1.0, dt))
-        s = jnp.where(live, s, jnp.asarray(0.0, dt))
-
-        ntop = c * top - s * bot        # (h, 2n): rotates G and V together
+    def _one_round(top, bot, nt, nb, max_ratio):
+        gam = jnp.sum(top * bot, axis=-1, keepdims=True)   # (m, h, 1)
+        c, s, ratio = _rot_coeffs(nt, nb, gam * gam, gam, tol2, dt,
+                                  eps_floor)
+        ntop = c * top - s * bot
         nbot = s * top + c * bot
-
-        top_dn = jnp.concatenate([ntop[h - 1:, :], ntop[:h - 1, :]], axis=0)
-        bot_dn = jnp.concatenate([nbot[h - 1:, :], nbot[:h - 1, :]], axis=0)
-        bot_up = jnp.concatenate([nbot[1:, :], nbot[:1, :]], axis=0)
-        new_top = jnp.where(m_first, ntop,
-                            jnp.where(m_second, bot_dn, top_dn))
-        new_bot = jnp.where(m_last, ntop, bot_up)
-        return new_top, new_bot, jnp.maximum(max_ratio, jnp.max(ratio))
+        # norms follow analytically (the rotation orthogonalizes the pair,
+        # |c g_p - s g_q|^2 = c^2 a - 2csg + s^2 b); refreshed per sweep
+        cs2 = 2.0 * c * s * gam
+        nt_new = c * c * nt + s * s * nb - cs2
+        nb_new = s * s * nt + c * c * nb + cs2
+        new_top, new_bot = _shuffle(h, m_first, m_second, m_last, ntop, nbot)
+        new_nt, new_nb = _shuffle(h, m_first, m_second, m_last, nt_new,
+                                  nb_new)
+        return (new_top, new_bot, new_nt, new_nb,
+                jnp.maximum(max_ratio, jnp.max(ratio)))
 
     # a "sweep" is ceil((n-1)/U)*U rounds: >= n-1 consecutive rounds visit
     # every pair at least once (the tournament has period n-1); the <=U-1
     # overshoot rounds are harmless extra rotations
     n_iters = -(-(n - 1) // _UNROLL)
 
-    def round_block(r, max_ratio):
-        top = w_ref[0, :h, :]
-        bot = w_ref[0, h:, :]
+    def round_block(r, carry):
+        nt, nb, max_ratio = carry
+        top = g_ref[:, :h, :]
+        bot = g_ref[:, h:, :]
         for _ in range(_UNROLL):
-            top, bot, max_ratio = _one_round(top, bot, max_ratio)
-        w_ref[0, :h, :] = top
-        w_ref[0, h:, :] = bot
-        return max_ratio
+            top, bot, nt, nb, max_ratio = _one_round(top, bot, nt, nb,
+                                                     max_ratio)
+        g_ref[:, :h, :] = top
+        g_ref[:, h:, :] = bot
+        return nt, nb, max_ratio
 
     def sweep_cond(carry):
         sweep, ratio = carry
@@ -139,111 +191,231 @@ def _jacobi_kernel(a_ref, w_ref, *, n: int, max_sweeps: int, tol2: float):
 
     def sweep_body(carry):
         sweep, _ = carry
-        ratio = lax.fori_loop(0, n_iters, round_block, jnp.asarray(0.0, dt))
+        # fresh norms once per sweep: kills the analytic-update fp drift
+        nt = jnp.sum(g_ref[:, :h, :] * g_ref[:, :h, :], axis=-1,
+                     keepdims=True)
+        nb = jnp.sum(g_ref[:, h:, :] * g_ref[:, h:, :], axis=-1,
+                     keepdims=True)
+        _, _, ratio = lax.fori_loop(0, n_iters, round_block,
+                                    (nt, nb, jnp.asarray(0.0, dt)))
         return sweep + 1, ratio
 
     lax.while_loop(sweep_cond, sweep_body,
                    (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt)))
 
 
-def _pallas_eigh_panels(a: jnp.ndarray, max_sweeps: int, tol: float,
-                        interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the kernel on (B, n, n) PSD input; returns (vt, gt) panels."""
+def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
+                           tol2: float):
+    """Complex-hermitian variant: a_ref/g_ref are (m, n, 2n) real planes
+    ``[Re G^T | Im G^T]`` (row i holds g_i = column i of G).  Each pair
+    rotation phase-aligns g_q by exp(-i arg(gamma)) so the Jacobi rotation
+    itself stays real and applies to both planes at once."""
+    h = n // 2
+    dt = a_ref.dtype
+    eps_floor = jnp.asarray(jnp.finfo(dt).tiny * 16.0, dt)
+
+    g_ref[...] = a_ref[...]
+
+    i_half = lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+    m_first = i_half == 0
+    m_second = i_half == 1
+    m_last = i_half == (h - 1)
+
+    def _one_round(top, bot, nt, nb, max_ratio):
+        rt, it = top[..., :n], top[..., n:]
+        rb, ib = bot[..., :n], bot[..., n:]
+        # gamma = <g_p, g_q> (hermitian inner product), two reductions
+        g_re = jnp.sum(rt * rb + it * ib, axis=-1, keepdims=True)
+        g_im = jnp.sum(rt * ib - it * rb, axis=-1, keepdims=True)
+        gam2 = g_re * g_re + g_im * g_im
+        gam_abs = jnp.sqrt(gam2)
+        c, s, ratio = _rot_coeffs(nt, nb, gam2, gam_abs, tol2, dt, eps_floor)
+        # phase-align g_q: q ~= exp(-i*theta) g_q with theta = arg(gamma);
+        # gamma == 0 (already-orthogonal pair) must fall back to the
+        # IDENTITY phase — dividing 0/eps_floor would zero the factor and
+        # annihilate the whole bottom row
+        safe = gam_abs > eps_floor
+        denom = jnp.maximum(gam_abs, eps_floor)
+        ph_c = jnp.where(safe, g_re / denom, jnp.asarray(1.0, dt))
+        ph_s = jnp.where(safe, g_im / denom, jnp.asarray(0.0, dt))
+        qr = ph_c * rb + ph_s * ib
+        qi = ph_c * ib - ph_s * rb
+        nrt = c * rt - s * qr
+        nit = c * it - s * qi
+        nqr = s * rt + c * qr
+        nqi = s * it + c * qi
+        ntop = jnp.concatenate([nrt, nit], axis=-1)
+        nbot = jnp.concatenate([nqr, nqi], axis=-1)
+        cs2 = 2.0 * c * s * gam_abs
+        nt_new = c * c * nt + s * s * nb - cs2
+        nb_new = s * s * nt + c * c * nb + cs2
+        new_top, new_bot = _shuffle(h, m_first, m_second, m_last, ntop, nbot)
+        new_nt, new_nb = _shuffle(h, m_first, m_second, m_last, nt_new,
+                                  nb_new)
+        return (new_top, new_bot, new_nt, new_nb,
+                jnp.maximum(max_ratio, jnp.max(ratio)))
+
+    n_iters = -(-(n - 1) // _UNROLL)
+
+    def round_block(r, carry):
+        nt, nb, max_ratio = carry
+        top = g_ref[:, :h, :]
+        bot = g_ref[:, h:, :]
+        for _ in range(_UNROLL):
+            top, bot, nt, nb, max_ratio = _one_round(top, bot, nt, nb,
+                                                     max_ratio)
+        g_ref[:, :h, :] = top
+        g_ref[:, h:, :] = bot
+        return nt, nb, max_ratio
+
+    def sweep_cond(carry):
+        sweep, ratio = carry
+        return jnp.logical_and(sweep < max_sweeps,
+                               ratio > jnp.asarray(tol2, dt))
+
+    def sweep_body(carry):
+        sweep, _ = carry
+        g = g_ref[...]
+        nt = jnp.sum(g[:, :h, :] * g[:, :h, :], axis=-1, keepdims=True)
+        nb = jnp.sum(g[:, h:, :] * g[:, h:, :], axis=-1, keepdims=True)
+        _, _, ratio = lax.fori_loop(0, n_iters, round_block,
+                                    (nt, nb, jnp.asarray(0.0, dt)))
+        return sweep + 1, ratio
+
+    lax.while_loop(sweep_cond, sweep_body,
+                   (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt)))
+
+
+def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
+                    interpret: bool, complexpair: bool) -> jnp.ndarray:
+    """Run the kernel on (B, n, width) input; returns the G^T panel."""
     from jax.experimental import pallas as pl
 
-    B, n, _ = a.shape
+    B, n, width = a.shape
+    m = _mats_per_program(n, complexpair)
+    if B % m:
+        # pad the batch with identity-like matrices (diag already set by
+        # the caller's shift; zeros converge instantly and are sliced off)
+        a = jnp.concatenate(
+            [a, jnp.zeros((m - B % m, n, width), a.dtype)], axis=0)
+    Bpad = a.shape[0]
+
     try:
         from jax.experimental.pallas import tpu as pltpu
         memspace = pltpu.VMEM
     except ImportError:  # pragma: no cover
         memspace = None
 
-    def spec(width):
+    def spec():
         kwargs = {"index_map": lambda b: (b, 0, 0)}
         if memspace is not None:
             kwargs["memory_space"] = memspace
-        return pl.BlockSpec((1, n, width), **kwargs)
+        return pl.BlockSpec((m, n, width), **kwargs)
 
-    kernel = functools.partial(_jacobi_kernel, n=n, max_sweeps=max_sweeps,
+    kfn = _jacobi_kernel_complex if complexpair else _jacobi_kernel
+    kernel = functools.partial(kfn, n=n, m=m, max_sweeps=max_sweeps,
                                tol2=tol * tol)
-    w = pl.pallas_call(
+    g = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[spec(n)],
-        out_specs=spec(2 * n),
-        out_shape=jax.ShapeDtypeStruct((B, n, 2 * n), a.dtype),
+        grid=(Bpad // m,),
+        in_specs=[spec()],
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((Bpad, n, width), a.dtype),
         interpret=interpret,
     )(a)
-    return w[:, :, n:], w[:, :, :n]  # (vt, gt)
+    return g[:B]
 
 
 def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
                 tol: Optional[float] = None, interpret: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched symmetric eigendecomposition, ``jnp.linalg.eigh`` contract.
+    """Batched symmetric/hermitian eigendecomposition, ``jnp.linalg.eigh``
+    contract.
 
-    ``A``: (*B, n, n) real symmetric.  Returns ascending eigenvalues
-    (*B, n) and column eigenvectors (*B, n, n).  Raw kernel entry — no
-    custom derivatives here; ``degen_eigh`` wraps it with the
-    degeneracy-safe JVP.  Pads n to a multiple of 16 internally (padding
-    eigenvalues are placed above the Gershgorin range and sliced off).
+    ``A``: (*B, n, n) real symmetric or complex hermitian.  Returns
+    ascending (real) eigenvalues (*B, n) and column eigenvectors
+    (*B, n, n).  Raw kernel entry — no custom derivatives here;
+    ``degen_eigh`` wraps it with the degeneracy-safe JVP.  Pads n to a
+    multiple of 16 internally (padding eigenvalues are placed above the
+    Gershgorin range and sliced off).
     """
     interpret = interpret or jax.default_backend() != "tpu"
     if A.ndim < 2 or A.shape[-1] != A.shape[-2]:
         raise ValueError("jacobi_eigh expects (*B, n, n), got %s"
                          % (A.shape,))
-    if jnp.iscomplexobj(A):
-        raise ValueError("jacobi_eigh supports real symmetric input only")
+    iscomplex = jnp.iscomplexobj(A)
     batch = A.shape[:-2]
     n = A.shape[-1]
-    dt = A.dtype
+    dt = A.real.dtype if iscomplex else A.dtype
     if tol is None:
         tol = float(jnp.finfo(dt).eps) * 4.0
     Bflat = math.prod(batch) if batch else 1
     a = A.reshape(Bflat, n, n)
 
-    # Spectral-bound shift: sigma >= max|lambda|, so a + sigma*I is PSD
-    # (removes the +-lambda ambiguity of the implicit A^2 problem).  The
-    # rounding error of the whole iteration scales with sigma, so take the
-    # tighter of the Gershgorin and Frobenius bounds per matrix.
-    gersh = jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)      # (B,)
-    frob = jnp.sqrt(jnp.sum(a * a, axis=(-2, -1)))
-    sigma = jnp.minimum(gersh, frob) + jnp.asarray(1e-3, dt) * frob + 1e-30
+    # PSD shift: sigma >= -lambda_min via the one-sided Gershgorin bound
+    # min_i (a_ii - sum_{j!=i} |a_ij|), plus a 1% ||A||_F margin that
+    # floors the smallest shifted eigenvalue (the G-only eigenvector
+    # extraction divides by lambda'_i = |g_i|; see module docstring).
+    absa = jnp.abs(a)
+    diag = jnp.real(jnp.diagonal(a, axis1=-2, axis2=-1))
+    offsum = jnp.sum(absa, axis=-1) - jnp.diagonal(absa, axis1=-2, axis2=-1)
+    lower = jnp.min(diag - offsum, axis=-1)                      # (B,)
+    frob = jnp.sqrt(jnp.sum(absa * absa, axis=(-2, -1)))
+    sigma = (jnp.maximum(-lower, 0.0) + jnp.asarray(0.01, dt) * frob
+             + jnp.asarray(1e-30, dt)).astype(dt)
+    # upper spectral bound of the shifted matrix, for the padding diagonal
+    upper = jnp.max(diag + offsum, axis=-1)
+    top = (jnp.maximum(upper, 0.0) + sigma).astype(dt)
 
     npad = max(16, -(-n // 16) * 16)
     if npad != n:
         pad = npad - n
         a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
-        # padding block: diag at 3*sigma -> sorts above every true
-        # (shifted) eigenvalue, which lives in [0, 2*sigma]
+        # padding block: diag above every true (shifted) eigenvalue
         prows = lax.broadcasted_iota(jnp.int32, (npad, npad), 0)
         pcols = lax.broadcasted_iota(jnp.int32, (npad, npad), 1)
         pmask = (prows == pcols) & (prows >= n)
-        a = a + jnp.where(pmask, 2.0, 0.0)[None] * sigma[:, None, None]
+        a = a + (jnp.where(pmask, 2.0, 0.0)[None]
+                 * top[:, None, None]).astype(a.dtype)
     eye = jnp.eye(npad, dtype=dt)
     a = a + sigma[:, None, None] * eye
 
-    vt, gt = _pallas_eigh_panels(a, max_sweeps, tol, interpret)
+    if iscomplex:
+        # G^T rows must hold g_i = column i of G = A; A hermitian means
+        # column i = conj(row i), so the planes are (Re A, -Im A)
+        planes = jnp.concatenate([jnp.real(a), -jnp.imag(a)], axis=-1)
+        gt2 = _pallas_g_panel(planes.astype(dt), max_sweeps, tol, interpret,
+                              complexpair=True)
+        gt = lax.complex(gt2[..., :npad], gt2[..., npad:])
+    else:
+        gt = _pallas_g_panel(a, max_sweeps, tol, interpret,
+                             complexpair=False)
 
-    lam = jnp.sum(vt * gt, axis=-1) - sigma[:, None]        # (B, npad)
+    # row i of G^T is lambda'_i * v_i: norms are the shifted eigenvalues,
+    # directions the eigenvectors
+    lam = jnp.sqrt(jnp.sum(jnp.abs(gt) ** 2, axis=-1))          # (B, npad)
+    vt = gt / jnp.maximum(lam, jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
+                          )[..., None]
     order = jnp.argsort(lam, axis=-1)
-    lam = jnp.take_along_axis(lam, order, axis=-1)[:, :n]
     vt = jnp.take_along_axis(vt, order[..., None], axis=-2)[:, :n, :n]
+    # row i of the panel holds g_i itself, so a plain transpose puts the
+    # eigenvectors in columns (no conjugation, also for complex input)
     V = jnp.swapaxes(vt, -2, -1)
 
     # polish (2 batched matmuls on the MXU, trivially cheap next to the
-    # sweeps): one Newton orthonormalization V <- V(3I - V^T V)/2 squares
+    # sweeps): one Newton orthonormalization V <- V(3I - V^H V)/2 squares
     # away the ~sqrt(#rotations)*eps orthogonality drift, then Rayleigh
     # quotients on the *unshifted* input recover the eps*|A| (instead of
     # eps*sigma) eigenvalue accuracy.  HIGHEST precision: these are
     # solver-internal contractions (see CLAUDE.md precision note).
     hi = jax.lax.Precision.HIGHEST
     a0 = A.reshape(Bflat, n, n)
-    VtV = jnp.matmul(jnp.swapaxes(V, -2, -1), V, precision=hi)
-    eye_n = jnp.eye(n, dtype=dt)
+    VH = jnp.swapaxes(V, -2, -1).conj()
+    VtV = jnp.matmul(VH, V, precision=hi)
+    eye_n = jnp.eye(n, dtype=V.dtype)
     V = jnp.matmul(V, 1.5 * eye_n - 0.5 * VtV, precision=hi)
     AV = jnp.matmul(a0, V, precision=hi)
-    lam = jnp.sum(V * AV, axis=-2)
+    lam = jnp.real(jnp.sum(V.conj() * AV, axis=-2))
     order = jnp.argsort(lam, axis=-1)
     lam = jnp.take_along_axis(lam, order, axis=-1)
     V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
@@ -251,12 +423,18 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
 
 
 def use_jacobi_for(A: jnp.ndarray) -> bool:
-    """Dispatch gate used by ``degen_eigh``: real f32, on a TPU backend,
-    n small enough that G^T + V^T + pipeline buffers fit VMEM."""
-    return (ENABLED
+    """Dispatch gate used by ``degen_eigh``: f32-precision input (real
+    symmetric or complex64 hermitian) on a TPU backend, n small enough
+    that the G^T panel + pipeline buffers fit VMEM."""
+    if not (ENABLED
             and jax.default_backend() == "tpu"
-            and not jnp.iscomplexobj(A)
-            and A.dtype == jnp.float32
             and A.ndim >= 2
-            and A.shape[-1] == A.shape[-2]
-            and 64 <= A.shape[-1] <= 512)
+            and A.shape[-1] == A.shape[-2]):
+        return False
+    if jnp.iscomplexobj(A):
+        ok_dtype = A.dtype == jnp.complex64
+        nmax = 512  # two planes: half the real budget
+    else:
+        ok_dtype = A.dtype == jnp.float32
+        nmax = 1024
+    return bool(ok_dtype and 64 <= A.shape[-1] <= nmax)
