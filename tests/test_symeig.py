@@ -364,14 +364,83 @@ def test_chebfsi_f32_dense_bulk_spectrum(rng):
     assert_allclose(evals, dv, atol=1e-4)
 
 
-def test_chebfsi_rejects_generalized(rng):
-    n = 10
+@pytest.mark.parametrize("mode", ["lowest", "uppest"])
+def test_chebfsi_generalized_matches_exacteig(mode, rng):
+    """Generalized AX = MXE chebfsi (VERDICT round-1 item 3): filter in
+    M^{-1}A with a Cholesky M-solve (dense M), M-inner-product RR."""
+    n, neig = 36, 4
     Am = make_sym(rng, (), n)
     A = LinearOperator.m(Am, is_hermitian=True)
     Mm = make_sym(rng, (), n) + n * jnp.eye(n)
     M = LinearOperator.m(Mm, is_hermitian=True)
-    with pytest.raises(RuntimeError, match="chebfsi"):
-        symeig(A, 2, "lowest", M=M, method="chebfsi")
+    evals, evecs, info = symeig(A, neig, mode, M=M, method="chebfsi",
+                                min_eps=1e-10, return_info=True)
+    assert float(info["converged"]) == 1.0
+    ev_exact, _ = symeig(A, neig, mode, M=M, method="exacteig")
+    assert_allclose(evals, ev_exact, atol=1e-8)
+    # pencil residual + M-orthonormality
+    R = Am @ evecs - (Mm @ evecs) * evals[..., None, :]
+    assert jnp.max(jnp.abs(R)) < 1e-7
+    G = evecs.T @ (Mm @ evecs)
+    assert_allclose(G, jnp.eye(neig), atol=1e-8)
+
+
+def test_chebfsi_generalized_matrixfree_M(rng):
+    """Matrix-free M exercises the fixed-iteration CG M-solve inside the
+    filter (the inexact M-solve only shapes the filter; Ritz pairs come
+    from the exact M-inner-product Rayleigh-Ritz)."""
+    from xitorch_tpu import LinearOperator as LO
+
+    n, neig = 30, 3
+    Am = make_sym(rng, (), n)
+    A = LinearOperator.m(Am, is_hermitian=True)
+    d = jnp.asarray(1.0 + rng.random(n))
+
+    class DiagM(LO):
+        def __init__(self, d):
+            super().__init__(shape=(d.shape[-1], d.shape[-1]),
+                             dtype=d.dtype, is_hermitian=True)
+            self.d = d
+
+        def _mv(self, x):
+            return self.d * x
+
+        def _getparamnames(self, prefix=""):
+            return [prefix + "d"]
+
+    M = DiagM(d)
+    evals, evecs, info = symeig(A, neig, "lowest", M=M, method="chebfsi",
+                                min_eps=1e-9, return_info=True)
+    assert float(info["converged"]) == 1.0
+    ev_exact = jnp.linalg.eigvalsh(
+        Am / jnp.sqrt(d)[:, None] / jnp.sqrt(d)[None, :])[:neig]
+    assert_allclose(evals, ev_exact, atol=1e-7)
+    R = Am @ evecs - d[:, None] * evecs * evals[None, :]
+    assert jnp.max(jnp.abs(R)) < 1e-6
+
+
+def test_chebfsi_generalized_grads_match_exacteig(rng):
+    n, neig = 16, 2
+    Am = make_sym(rng, (), n)
+    Mm = make_sym(rng, (), n) + n * jnp.eye(n)
+
+    def loss(Am, method):
+        A = LinearOperator.m(Am, is_hermitian=True)
+        M = LinearOperator.m(Mm, is_hermitian=True)
+        kw = {} if method == "exacteig" else {
+            "min_eps": 1e-12,
+            "bck_options": {"rtol": 1e-12, "atol": 1e-14}}
+        ev, X = symeig(A, neig, "lowest", M=M, method=method, **kw)
+        return jnp.sum(ev ** 2) + jnp.sum(X ** 4)
+
+    g1 = jax.grad(loss)(Am, "chebfsi")
+    g2 = jax.grad(loss)(Am, "exacteig")
+    # compare the SYMMETRIC parts: A is declared hermitian, so only
+    # symmetric perturbations are meaningful and the two paths may differ
+    # by a pure gauge antisymmetric component (the implicit rule
+    # symmetrizes through A^H = A; exacteig's native autodiff does not) —
+    # verified against central differences along symmetric directions
+    assert_allclose((g1 + g1.T) / 2, (g2 + g2.T) / 2, rtol=1e-6, atol=1e-9)
 
 
 def test_degen_requirement_mathwarning(rng, recwarn):

@@ -377,19 +377,71 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     decomps/s for the full-precision filter that converges in 4 rounds.
     Chip-level matmul rate is not wall-clock rate when it costs accuracy.
 
-    Generalized (M != None) problems are not supported — use davidson.
+    Generalized problems (``M != None``, the reference davidson's AX=MXE
+    contract, _impls/linalg/symeig.py:100-227): the filter runs in
+    ``p(M^{-1}A)`` — whose eigenvectors ARE the pencil eigenvectors — with
+    M-orthonormal bases (``tallqr(.., MV=M V)``) and Rayleigh-Ritz in the
+    M-inner product.  The M-solve inside the filter is a precomputed
+    Cholesky (two triangular solves) when ``M`` can be materialized, else
+    a fixed-iteration CG; an *approximate* M-solve only perturbs the
+    filter's amplification profile, never the Ritz pairs, which come from
+    the exact M-inner-product RR.
     """
-    if M is not None:
-        raise RuntimeError(
-            "chebfsi does not support a generalized (M != None) problem; "
-            "use method='davidson' instead")
     if nguess is None:
         nguess = max(2 * neig, neig + 6)
     na = A.shape[-1]
     block = min(max(nguess, neig), na)
     dtype = A.dtype
-    bcast_dims = tuple(A.shape[:-2])
+    if M is None:
+        bcast_dims = tuple(A.shape[:-2])
+    else:
+        bcast_dims = get_bcasted_dims(A.shape[:-2], M.shape[:-2])
     sign = 1.0 if mode == "lowest" else -1.0
+
+    def mmM(X):
+        return M.mm(X) if M is not None else X
+
+    # M^{-1} application for the filter (see docstring)
+    if M is None:
+        def minv(X):
+            return X
+    elif M.is_fullmatrix_implemented:
+        Mmat = M.fullmatrix()
+        Lm = jnp.linalg.cholesky(Mmat)
+        _tri = jax.scipy.linalg.solve_triangular
+
+        def minv(X):
+            LmB = jnp.broadcast_to(Lm, (*jnp.broadcast_shapes(
+                Lm.shape[:-2], X.shape[:-2]), *Lm.shape[-2:]))
+            y = _tri(LmB, jnp.broadcast_to(X, LmB.shape[:-2] + X.shape[-2:]),
+                     lower=True)
+            return _tri(LmB, y, lower=True,
+                        trans="C" if jnp.iscomplexobj(LmB) else "T")
+    else:
+        def minv(X, _k: int = 12):
+            # fixed-k CG on SPD M (static shapes; no convergence check —
+            # the filter tolerates an inexact M-solve)
+            def dot(P, Q):
+                return jnp.sum(P.conj() * Q, axis=-2, keepdims=True)
+
+            x = X
+            r = X - M.mm(x)
+            p = r
+            rs = dot(r, r)
+
+            def body(i, carry):
+                x, r, p, rs = carry
+                Mp = M.mm(p)
+                denom = dot(p, Mp)
+                alpha = rs / jnp.where(jnp.abs(denom) == 0, 1.0, denom)
+                x = x + alpha * p
+                r = r - alpha * Mp
+                rs_new = dot(r, r)
+                beta = rs_new / jnp.where(jnp.abs(rs) == 0, 1.0, rs)
+                return (x, r, r + beta * p, rs_new)
+
+            x, _, _, _ = lax.fori_loop(0, _k, body, (x, r, p, rs))
+            return x
 
     # accurate operator application (RR / residuals / bounds)
     def mm_hi(X):
@@ -408,9 +460,15 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     else:
         mm_lo = mm_hi
 
-    V0 = _set_initial_v(v_init.lower(), dtype, bcast_dims, na, block, M=None)
+    V0 = _set_initial_v(v_init.lower(), dtype, bcast_dims, na, block, M=M)
+
+    def filt_op(X):
+        # the filter's operator: A for the standard problem, M^{-1}A for
+        # the pencil (its eigenvectors are the pencil eigenvectors)
+        return minv(mm_lo(X))
 
     def rayleigh_ritz(V):
+        # V is M-orthonormal, so T = V^H A V gives pencil Ritz pairs
         AV = mm_hi(V)
         T = jnp.einsum("...rs,...rc->...sc", V.conj(), AV,
                        precision=jax.lax.Precision.HIGHEST)
@@ -428,17 +486,25 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     bkey = jax.random.PRNGKey(2310)
     pv = jax.random.normal(bkey, (*bcast_dims, na, 1),
                            dtype=jnp.float32).astype(dtype)
-    pv = pv / _colnorm(pv)
+    def _mnorm(W):
+        # M-norm per column (2-norm for the standard problem)
+        return jnp.sqrt(jnp.abs(jnp.sum(W.conj() * mmM(W), axis=-2,
+                                        keepdims=True)))
+
+    pv = pv / _mnorm(pv)
 
     def _pow_body(i, v):
-        w = mm_hi(v)
-        return w / jnp.where(_colnorm(w) == 0, 1.0, _colnorm(w))
+        # power iteration on M^{-1}A (self-adjoint in the M-inner product)
+        w = minv(mm_hi(v))
+        nw = _mnorm(w)
+        return w / jnp.where(nw == 0, 1.0, nw)
 
     pv = lax.fori_loop(0, 12, _pow_body, pv)
     Apv = mm_hi(pv)
+    # pencil Rayleigh quotient (pv is M-normalized) + M-norm slack:
+    # |lam_est| + ||M^{-1}A v - lam v||_M bounds max |lambda| of the pencil
     lam_est = jnp.sum(pv.conj() * Apv, axis=-2, keepdims=True).real
-    # ||Av - lam v|| bounds the distance to the spectrum; per-batch (*B,1,1)
-    slack = _colnorm(Apv - lam_est.astype(dtype) * pv)
+    slack = _mnorm(minv(Apv) - lam_est.astype(dtype) * pv)
     b_up = (jnp.abs(lam_est) + slack) * 1.01  # (*B,1,1) >= max |lambda|
 
     def cheb_filter(X, a, b, a0):
@@ -450,12 +516,12 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
         e = jnp.where(e <= 0, 1.0, e)
         sigma = e / (a0 - c)
         sigma1 = sigma
-        Y = (mm_lo(X) - c * X) * (sigma1 / e)
+        Y = (filt_op(X) - c * X) * (sigma1 / e)
 
         def body(i, carry):
             Xp, Yp, sig = carry
             sig2 = 1.0 / (2.0 / sigma1 - sig)
-            Yn = 2.0 * (mm_lo(Yp) - c * Yp) * (sig2 / e) - (sig * sig2) * Xp
+            Yn = 2.0 * (filt_op(Yp) - c * Yp) * (sig2 / e) - (sig * sig2) * Xp
             return (Yp, Yn, sig2)
 
         _, Y, _ = lax.fori_loop(1, degree, body, (X, Y, sigma))
@@ -464,7 +530,7 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     # initial RR on the random block to seed the cutoff.  Bounds are
     # per-batch (*B,1,1) so each batch element gets its own filter window.
     X0, AX0, ritz0 = rayleigh_ritz(V0)
-    R0 = AX0 - X0 * ritz0[..., None, :]
+    R0 = AX0 - mmM(X0) * ritz0[..., None, :]
     resid0 = jnp.max(_colnorm(R0[..., :neig]))
     a_cut0 = ritz0[..., -1][..., None, None]
     a0_low0 = ritz0[..., 0][..., None, None]
@@ -480,8 +546,8 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
         # then Cholesky-QR twice (CholQR2) — a single CholQR at f32 loses
         # orthogonality once cond(Y) > ~1/sqrt(eps) and stalls the iteration
         Y = Y / jnp.where(_colnorm(Y) == 0, 1.0, _colnorm(Y))
-        V, _ = tallqr(Y)
-        V, _ = tallqr(V)
+        V, _ = tallqr(Y, MV=mmM(Y) if M is not None else None)
+        V, _ = tallqr(V, MV=mmM(V) if M is not None else None)
         return V
 
     def body_fun(state):
@@ -489,7 +555,7 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
         Y = cheb_filter(X, a_cut, b_up, a0_low)
         V = _orthonormalize(Y)
         Xn, AXn, ritzn = rayleigh_ritz(V)
-        Rn = AXn - Xn * ritzn[..., None, :]
+        Rn = AXn - mmM(Xn) * ritzn[..., None, :]
         resid = jnp.max(_colnorm(Rn[..., :neig]))
         # guard against a degenerate filter output (QR of a rank-deficient
         # block): fall back to the previous iterate for invalid rounds
@@ -523,14 +589,14 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     def polish_body(carry):
         i, X, ritz, resid = carry
         AX = mm_hi(X)
-        R = AX - X * ritz[..., None, :]
+        R = AX - mmM(X) * ritz[..., None, :]
         Rn = R / jnp.where(_colnorm(R) == 0, 1.0, _colnorm(R))
         W = jnp.concatenate([X, Rn], axis=-1)[..., :na]
         V = _orthonormalize(W)
         Xn, AXn, ritzn = rayleigh_ritz(V)
         Xn = Xn[..., :block]
         ritzn = ritzn[..., :block]
-        Rn2 = AXn[..., :block] - Xn * ritzn[..., None, :]
+        Rn2 = AXn[..., :block] - mmM(Xn) * ritzn[..., None, :]
         residn = jnp.max(_colnorm(Rn2[..., :neig]))
         valid = (jnp.all(jnp.isfinite(ritzn)) & jnp.all(jnp.isfinite(Xn))
                  & (residn < resid))
