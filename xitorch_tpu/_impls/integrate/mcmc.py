@@ -1,12 +1,14 @@
 """Monte-Carlo samplers for mcquad.
 
 Parity with /root/reference/xitorch/_impls/integrate/mcsamples/mcmc.py:
-Metropolis-Hastings (:5-54) as one ``lax.scan`` chain under explicit
-``jax.random`` keys (pass ``seed=`` or ``key=`` in fwd_options; deterministic
-by default like the reference's seeded torch RNG), a custom-stepper variant
-(:56-97, the stepper receives a PRNG key: ``custom_step(key, x, *pparams)``),
-and the deterministic 1-D Gauss-Legendre "sampler" used by exact tests
-(:100-124).
+Metropolis-Hastings (:5-54) as ``nchains`` *vmapped parallel chains* (the
+TPU-native shape — the reference's single sequential chain is
+latency-bound; here every VPU lane advances its own chain) under explicit
+``jax.random`` keys (pass ``seed=`` or ``key=`` in fwd_options;
+deterministic by default like the reference's seeded torch RNG), a
+custom-stepper variant (:56-97, the stepper receives a PRNG key:
+``custom_step(key, x, *pparams)``), and the deterministic 1-D
+Gauss-Legendre "sampler" used by exact tests (:100-124).
 """
 from __future__ import annotations
 
@@ -29,17 +31,31 @@ def _resolve_key(key, seed):
 
 def mh(logpfcn: Callable, x0: jnp.ndarray, pparams=(),
        nsamples: int = 10000, nburnout: int = 5000, step_size: float = 1.0,
-       seed: int = 721, key=None, **unused):
-    """Metropolis-Hastings with Gaussian proposals.
+       nchains: int = 64, seed: int = 721, key=None, **unused):
+    """Metropolis-Hastings with Gaussian proposals, run as ``nchains``
+    vmapped parallel chains.
+
+    The reference walks ONE sequential chain
+    (mcsamples/mcmc.py:23-54) — a latency-bound shape no accelerator can
+    help with.  Here the chain axis is vmapped: every VPU lane advances its
+    own chain per step, so wall-clock scales with ``nsamples/nchains``
+    steps instead of ``nsamples``, and the overdispersed starts decorrelate
+    the estimate faster than one long chain (between-chain variance is
+    averaged out instead of waiting for mixing).
 
     Keyword arguments
     -----------------
-    nsamples: number of collected samples.
-    nburnout: number of burn-in steps.
+    nsamples: total number of collected samples (split across chains;
+        rounded up to a multiple of ``nchains``).
+    nburnout: number of burn-in steps *per chain*.
     step_size: proposal standard deviation.
+    nchains: number of parallel chains (1 reproduces the reference's
+        sequential shape).
     seed / key: PRNG seed or explicit jax.random key.
     """
     key = _resolve_key(key, seed)
+    nchains = max(1, int(nchains))
+    spc = -(-int(nsamples) // nchains)  # samples per chain
 
     def chain_step(carry, k):
         x, logpx = carry
@@ -53,11 +69,26 @@ def mh(logpfcn: Callable, x0: jnp.ndarray, pparams=(),
         logpx = jnp.where(accept, logpnext, logpx)
         return (x, logpx), x
 
-    logpx0 = logpfcn(x0, *pparams)
-    keys = jax.random.split(key, nburnout + nsamples)
-    (xb, logpb), _ = lax.scan(chain_step, (x0, logpx0), keys[:nburnout])
-    _, samples = lax.scan(chain_step, (xb, logpb), keys[nburnout:])
-    weights = jnp.full((nsamples,), 1.0 / nsamples, dtype=samples.dtype)
+    def run_chain(x0c, keys):
+        logpx0 = logpfcn(x0c, *pparams)
+        (xb, logpb), _ = lax.scan(chain_step, (x0c, logpx0), keys[:nburnout])
+        _, samples = lax.scan(chain_step, (xb, logpb), keys[nburnout:])
+        return samples  # (spc, *x0.shape)
+
+    kinit, krun = jax.random.split(key)
+    ckeys = jax.random.split(krun, nchains * (nburnout + spc)).reshape(
+        nchains, nburnout + spc, 2)
+    # overdispersed starts: chain 0 anchors at x0 exactly, the rest start
+    # from x0 + step_size * noise
+    noise = jax.random.normal(kinit, (nchains, *x0.shape), dtype=jnp.float32
+                              ).astype(x0.dtype) * step_size
+    noise = noise.at[0].set(0.0)
+    x0s = x0[None] + noise
+
+    samples = jax.vmap(run_chain)(x0s, ckeys)        # (nchains, spc, ...)
+    samples = samples.reshape(nchains * spc, *x0.shape)
+    ntot = nchains * spc
+    weights = jnp.full((ntot,), 1.0 / ntot, dtype=samples.dtype)
     return samples, weights
 
 

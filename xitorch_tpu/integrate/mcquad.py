@@ -50,11 +50,22 @@ def mcquad(ffcn: Callable, log_pfcn: Callable, x0: jnp.ndarray,
     Gradients (any order) flow to fparams and pparams; sampling itself is
     treated as non-differentiable (score-function estimator).
 
-    Methods: "mh" (Metropolis-Hastings; options nsamples, nburnout,
-    step_size, seed/key), "mhcustom" (option custom_step(key, x, *pparams)),
+    Methods: "mh" (Metropolis-Hastings, nchains vmapped parallel chains;
+    options nsamples, nburnout, step_size, nchains, seed/key), "mhcustom"
+    (option custom_step(key, x, *pparams)),
     "dummy1d" (deterministic 1-D test sampler; options nsamples, lb, ub),
     or a custom callable ``(log_pfcn, x0, pparams, **cfg)`` returning
     ``(xsamples, wsamples)``.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.integrate import mcquad
+    >>> ev = mcquad(lambda x: x, lambda x, mu: -0.5 * ((x - mu) ** 2).sum(),
+    ...             jnp.zeros(1), pparams=(jnp.array([0.5]),),
+    ...             method="dummy1d", nsamples=100)
+    >>> bool(jnp.abs(ev[0] - 0.5) < 1e-4)
+    True
     """
     if method is None:
         method = "mh"
