@@ -106,6 +106,8 @@ def main():
                    help="force the CPU backend (the default backend in this "
                         "image is a TPU tunnel that hangs when down)")
     p.add_argument("--out", default=None, help="append JSONL results here")
+    p.add_argument("--suite", choices=["all", "solve", "symeig"],
+                   default="all", help="run only one suite of the grid")
     p.add_argument("--amortize", type=int, default=None, metavar="K",
                    help="amortized chip timing over K in-program reps "
                         "(default: 8 on TPU, off on CPU)")
@@ -144,6 +146,8 @@ def main():
     for is_hermitian in (True, False):
         for (lo, hi) in eigranges:
             for n in sizes:
+                run_solve = args.suite in ("all", "solve")
+                run_symeig = args.suite in ("all", "symeig")
                 mat = create_random_square_matrix(
                     n, is_hermitian=is_hermitian, min_eival=lo, max_eival=hi,
                     minabs_eival=0.1, seed=12, dtype=dtype)
@@ -152,6 +156,10 @@ def main():
                 method = "cg" if is_hermitian else "bicgstab"
                 solve_opts = dict(posdef=None if is_hermitian else True,
                                   rtol=1e-5, atol=1e-7, max_niter=8 * n)
+                if not run_solve:
+                    if is_hermitian and run_symeig:
+                        _grid_symeig(mat, n, lo, hi, amortize, ref, emit)
+                    continue
 
                 @jax.jit
                 def dosolve(mat, B):
@@ -209,45 +217,50 @@ def main():
                       "ref_time_s": round(ref_t, 5) if ref_t else None,
                       "speedup": round(ref_t / t, 2) if ref_t else None})
 
-                if is_hermitian:
-                    @jax.jit
-                    def doeig(mat):
-                        Aop = LinearOperator.m(mat, is_hermitian=True)
-                        return symeig(Aop, 10, "lowest")
-
-                    if amortize:
-                        def scalar_eig(mat, jitter=0.0):
-                            Aop = LinearOperator.m(mat + jitter,
-                                                   is_hermitian=True)
-                            ev, _ = symeig(Aop, 10, "lowest")
-                            return jnp.sum(ev).astype(jnp.float32)
-                        t = timeit_amortized(scalar_eig, (mat,), k=amortize)
-                    else:
-                        t = timeit(doeig, mat)
-                    ref_t = None
-                    if ref is not None:
-                        import torch
-                        from xitorch import LinearOperator as TLinOp
-                        from xitorch.linalg import symeig as tsymeig
-                        tmat = torch.from_numpy(np.asarray(mat))
-                        tA = TLinOp.m(tmat, is_hermitian=True)
-
-                        def ref_eig():
-                            with torch.no_grad():
-                                return tsymeig(tA, 10, "lowest")
-
-                        ref_t = _ref_timeit(ref_eig)
-
-                    emit({"suite": "symeig", "hermitian": True,
-                          "eigrange": [lo, hi], "n": n,
-                          "backend": jax.default_backend(),
-                          "amortized": bool(amortize),
-                          "time_s": round(t, 5),
-                          "ref_time_s": round(ref_t, 5) if ref_t else None,
-                          "speedup": round(ref_t / t, 2) if ref_t else None})
+                if is_hermitian and run_symeig:
+                    _grid_symeig(mat, n, lo, hi, amortize, ref, emit)
 
     if out_f:
         out_f.close()
+
+
+def _grid_symeig(mat, n, lo, hi, amortize, ref, emit):
+    """One symeig grid point: 10 lowest of a single (n, n) hermitian matrix
+    (exacteig default) vs the torch reference, amortized chip timing."""
+    @jax.jit
+    def doeig(mat):
+        Aop = LinearOperator.m(mat, is_hermitian=True)
+        return symeig(Aop, 10, "lowest")
+
+    if amortize:
+        def scalar_eig(mat, jitter=0.0):
+            Aop = LinearOperator.m(mat + jitter, is_hermitian=True)
+            ev, _ = symeig(Aop, 10, "lowest")
+            return jnp.sum(ev).astype(jnp.float32)
+        t = timeit_amortized(scalar_eig, (mat,), k=amortize)
+    else:
+        t = timeit(doeig, mat)
+    ref_t = None
+    if ref is not None:
+        import torch
+        from xitorch import LinearOperator as TLinOp
+        from xitorch.linalg import symeig as tsymeig
+        tmat = torch.from_numpy(np.asarray(mat))
+        tA = TLinOp.m(tmat, is_hermitian=True)
+
+        def ref_eig():
+            with torch.no_grad():
+                return tsymeig(tA, 10, "lowest")
+
+        ref_t = _ref_timeit(ref_eig)
+
+    emit({"suite": "symeig", "hermitian": True,
+          "eigrange": [lo, hi], "n": n,
+          "backend": jax.default_backend(),
+          "amortized": bool(amortize),
+          "time_s": round(t, 5),
+          "ref_time_s": round(ref_t, 5) if ref_t else None,
+          "speedup": round(ref_t / t, 2) if ref_t else None})
 
 
 if __name__ == "__main__":
