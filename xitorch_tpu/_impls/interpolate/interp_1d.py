@@ -275,73 +275,72 @@ def get_spline_mat_inv(x: jnp.ndarray, bc_type: str = "not-a-knot") -> jnp.ndarr
     nr = x.shape[-1]
     dtype = x.dtype
 
-    dxinv0 = 1.0 / (x[..., 1:] - x[..., :-1])  # (*BX, nr-1)
-    zero_pad = jnp.zeros_like(dxinv0[..., :1])
-    dxinv = jnp.concatenate([zero_pad, dxinv0, zero_pad], axis=-1)
-    diag = (dxinv[..., :-1] + dxinv[..., 1:]) * 2  # (*BX, nr)
-    offdiag = dxinv0  # (*BX, nr-1)
+    inv_dx = 1.0 / (x[..., 1:] - x[..., :-1])  # (*BX, nr-1)
+    pad0 = jnp.zeros_like(inv_dx[..., :1])
+    inv_dx_pad = jnp.concatenate([pad0, inv_dx, pad0], axis=-1)
+    lhs_diag = (inv_dx_pad[..., :-1] + inv_dx_pad[..., 1:]) * 2  # (*BX, nr)
+    lhs_off = inv_dx  # (*BX, nr-1)
 
-    i = jnp.arange(nr)
-    spline_mat = (_diag_embed(diag)
-                  + _offdiag_embed(offdiag, 1)
-                  + _offdiag_embed(offdiag, -1))
+    lhs = (_diag_embed(lhs_diag)
+           + _offdiag_embed(lhs_off, 1)
+           + _offdiag_embed(lhs_off, -1))
 
-    dxinv2 = (dxinv * dxinv) * 3
-    diagr = dxinv2[..., :-1] - dxinv2[..., 1:]
-    udiagr = dxinv2[..., 1:-1]
-    matr = (_diag_embed(diagr)
-            + _offdiag_embed(udiagr, 1)
-            - _offdiag_embed(udiagr, -1))
+    inv_dx2_pad = (inv_dx_pad * inv_dx_pad) * 3
+    rhs_diag = inv_dx2_pad[..., :-1] - inv_dx2_pad[..., 1:]
+    rhs_off = inv_dx2_pad[..., 1:-1]
+    rhs = (_diag_embed(rhs_diag)
+           + _offdiag_embed(rhs_off, 1)
+           - _offdiag_embed(rhs_off, -1))
 
     if bc_type == "natural":
         pass
     elif bc_type == "clamped":
         e0 = jnp.zeros((nr,), dtype=dtype).at[0].set(1.0)
         en = jnp.zeros((nr,), dtype=dtype).at[-1].set(1.0)
-        spline_mat = spline_mat.at[..., 0, :].set(e0)
-        spline_mat = spline_mat.at[..., -1, :].set(en)
-        matr = matr.at[..., 0, :].set(0.0)
-        matr = matr.at[..., -1, :].set(0.0)
+        lhs = lhs.at[..., 0, :].set(e0)
+        lhs = lhs.at[..., -1, :].set(en)
+        rhs = rhs.at[..., 0, :].set(0.0)
+        rhs = rhs.at[..., -1, :].set(0.0)
     elif bc_type == "not-a-knot":
-        d00 = dxinv0[..., 0]
-        d01 = dxinv0[..., 1]
-        d0n = dxinv0[..., -1]
-        d0n1 = dxinv0[..., -2]
+        h0 = inv_dx[..., 0]
+        h1 = inv_dx[..., 1]
+        hn = inv_dx[..., -1]
+        hn1 = inv_dx[..., -2]
         sq = lambda v: v * v
         cube = lambda v: v * v * v
-        spline_mat = spline_mat.at[..., 0, :].set(0.0)
-        spline_mat = spline_mat.at[..., -1, :].set(0.0)
-        spline_mat = spline_mat.at[..., 0, 0].set(sq(d00))
-        spline_mat = spline_mat.at[..., 0, 1].set(sq(d00) - sq(d01))
-        spline_mat = spline_mat.at[..., 0, 2].set(-sq(d01))
-        spline_mat = spline_mat.at[..., -1, -1].set(-sq(d0n))
-        spline_mat = spline_mat.at[..., -1, -2].set(sq(d0n1) - sq(d0n))
-        spline_mat = spline_mat.at[..., -1, -3].set(sq(d0n1))
-        matr = matr.at[..., 0, :].set(0.0)
-        matr = matr.at[..., -1, :].set(0.0)
-        matr = matr.at[..., 0, 0].set(2 * (-cube(d00)))
-        matr = matr.at[..., 0, 1].set(2 * (cube(d00) + cube(d01)))
-        matr = matr.at[..., 0, 2].set(2 * (-cube(d01)))
-        matr = matr.at[..., -1, -1].set(2 * (-cube(d0n)))
-        matr = matr.at[..., -1, -2].set(2 * (cube(d0n) + cube(d0n1)))
-        matr = matr.at[..., -1, -3].set(2 * (-cube(d0n1)))
+        lhs = lhs.at[..., 0, :].set(0.0)
+        lhs = lhs.at[..., -1, :].set(0.0)
+        lhs = lhs.at[..., 0, 0].set(sq(h0))
+        lhs = lhs.at[..., 0, 1].set(sq(h0) - sq(h1))
+        lhs = lhs.at[..., 0, 2].set(-sq(h1))
+        lhs = lhs.at[..., -1, -1].set(-sq(hn))
+        lhs = lhs.at[..., -1, -2].set(sq(hn1) - sq(hn))
+        lhs = lhs.at[..., -1, -3].set(sq(hn1))
+        rhs = rhs.at[..., 0, :].set(0.0)
+        rhs = rhs.at[..., -1, :].set(0.0)
+        rhs = rhs.at[..., 0, 0].set(2 * (-cube(h0)))
+        rhs = rhs.at[..., 0, 1].set(2 * (cube(h0) + cube(h1)))
+        rhs = rhs.at[..., 0, 2].set(2 * (-cube(h1)))
+        rhs = rhs.at[..., -1, -1].set(2 * (-cube(hn)))
+        rhs = rhs.at[..., -1, -2].set(2 * (cube(hn) + cube(hn1)))
+        rhs = rhs.at[..., -1, -3].set(2 * (-cube(hn1)))
     elif bc_type == "periodic":
-        d01 = dxinv0[..., -1]
-        d00 = dxinv0[..., 0]
-        spline_mat = spline_mat.at[..., 0, -2].add(d01)
-        spline_mat = spline_mat.at[..., 0, 0].add(d01 * 2)
-        spline_mat = spline_mat.at[..., -1, 1].add(d00)
-        spline_mat = spline_mat.at[..., -1, -1].add(d00 * 2)
-        d01_sq3 = 3 * d01 * d01
-        d00_sq3 = 3 * d00 * d00
-        matr = matr.at[..., 0, -2].add(-d01_sq3)
-        matr = matr.at[..., 0, 0].add(d01_sq3)
-        matr = matr.at[..., -1, 1].add(d00_sq3)
-        matr = matr.at[..., -1, -1].add(-d00_sq3)
+        h1 = inv_dx[..., -1]
+        h0 = inv_dx[..., 0]
+        lhs = lhs.at[..., 0, -2].add(h1)
+        lhs = lhs.at[..., 0, 0].add(h1 * 2)
+        lhs = lhs.at[..., -1, 1].add(h0)
+        lhs = lhs.at[..., -1, -1].add(h0 * 2)
+        h1_sq3 = 3 * h1 * h1
+        h0_sq3 = 3 * h0 * h0
+        rhs = rhs.at[..., 0, -2].add(-h1_sq3)
+        rhs = rhs.at[..., 0, 0].add(h1_sq3)
+        rhs = rhs.at[..., -1, 1].add(h0_sq3)
+        rhs = rhs.at[..., -1, -1].add(-h0_sq3)
     else:
         raise RuntimeError("Unknown boundary condition: %s" % bc_type)
 
-    return jnp.linalg.solve(spline_mat, matr)
+    return jnp.linalg.solve(lhs, rhs)
 
 
 def _diag_embed(d: jnp.ndarray) -> jnp.ndarray:

@@ -39,6 +39,15 @@ def quad(fcn: Callable, xl, xu,
     Methods: "leggauss" (default; option ``n`` = number of nodes),
     "tanhsinh" (double-exponential; handles endpoint singularities), or a
     custom callable ``(fcn, xl, xu, params, **cfg)``.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.integrate import quad
+    >>> val = quad(lambda x, w: jnp.sin(w * x), 0.0, jnp.pi,
+    ...            params=(jnp.array(1.0),))
+    >>> bool(jnp.abs(val - 2.0) < 1e-8)
+    True
     """
     if hasattr(xl, "size") and jnp.size(xl) != 1:
         raise RuntimeError("xl must be a 1-element value")

@@ -72,6 +72,16 @@ def solve_ivp(fcn: Callable, ts: jnp.ndarray, y0,
     ``{"converged"`` (step budget covered all output times),
     ``"iterations"`` (accepted steps), ``"rejected"}``; trivially complete
     for fixed-step methods.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.integrate import solve_ivp
+    >>> ts = jnp.linspace(0.0, 1.0, 5)
+    >>> yt = solve_ivp(lambda t, y, a: -a * y, ts, jnp.array([1.0]),
+    ...                params=(jnp.array(2.0),))
+    >>> bool(jnp.max(jnp.abs(yt[:, 0] - jnp.exp(-2.0 * ts))) < 1e-5)
+    True
     """
     if ts.ndim != 1:
         raise RuntimeError("Argument ts must be a 1D tensor")

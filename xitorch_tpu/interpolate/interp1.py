@@ -36,6 +36,15 @@ class Interp1D:
     method: "cspline" (default; options bc_type, extrap), "pchip"
         (monotone cubic, beyond-reference), or "linear"
         (option extrap), or a custom class.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.interpolate import Interp1D
+    >>> x = jnp.linspace(0.0, 1.0, 16)
+    >>> f = Interp1D(x, jnp.sin(3 * x))
+    >>> bool(jnp.abs(f(jnp.array([0.45]))[0] - jnp.sin(jnp.array(1.35))) < 1e-4)
+    True
     """
 
     def __init__(self, x: jnp.ndarray, y: Optional[jnp.ndarray] = None,

@@ -148,6 +148,15 @@ def rootfinder(fcn: Callable, y0: jnp.ndarray,
     returns ``y`` of shape ``(*ny)`` with implicit 1st/2nd-order gradients.
     Methods: "broyden1" (default), "broyden2", "newton", "linearmixing", or
     a custom callable ``(fcn, x0, params, **cfg) -> x``.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.optimize import rootfinder
+    >>> y = rootfinder(lambda y, a: y ** 3 + 2 * y - a, jnp.array([0.0]),
+    ...                params=(jnp.array([3.0]),))
+    >>> bool(jnp.abs(y[0] - 1.0) < 1e-6)
+    True
     """
     if method is None:
         method = "broyden1"
@@ -177,6 +186,14 @@ def equilibrium(fcn: Callable, y0: jnp.ndarray,
     Parity: reference rootfinder.py:104-184.  Implemented as the root of
     ``g(y) = y - f(y)``; "anderson_acc" (and custom equilibrium methods)
     iterate on ``f`` directly.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.optimize import equilibrium
+    >>> y = equilibrium(lambda y: 0.5 * (y + 2.0 / y), jnp.array([1.0]))
+    >>> bool(jnp.abs(y[0] - jnp.sqrt(2.0)) < 1e-6)
+    True
     """
     if method is None:
         method = "broyden1"
@@ -216,6 +233,15 @@ def minimize(fcn: Callable, y0: jnp.ndarray,
     ``∇_y f``; optimizer methods ("gd", "adam") receive ``(f, ∇_y f)`` pairs.
     Implicit gradients come from the stationarity condition ``∇_y f = 0``
     (so second-order solves use the Hessian LinearOperator).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from xitorch_tpu.optimize import minimize
+    >>> y = minimize(lambda y, a: jnp.sum((y - a) ** 2), jnp.zeros(2),
+    ...              params=(jnp.array([1.0, -2.0]),))
+    >>> bool(jnp.max(jnp.abs(y - jnp.array([1.0, -2.0]))) < 1e-6)
+    True
     """
     if jnp.issubdtype(jnp.asarray(y0).dtype, jnp.complexfloating):
         raise AssertionError(
