@@ -81,14 +81,17 @@ def bench_jacobi_eigh():
     rng = np.random.default_rng(1)
     a = rng.standard_normal((B, n, n))
     mats = jnp.asarray((a + np.swapaxes(a, -1, -2)) / 2, jnp.float32)
-    A = xt.LinearOperator.m(mats, is_hermitian=True)
 
     def make(K):
         def run():
-            acc = 0.0
-            for i in range(K):
-                lam, _ = symeig(A, n, "lowest", method="exacteig")
-                acc = acc + jnp.sum(lam) * (i + 1)
+            # serialize through acc: identical repeated calls would be
+            # CSE'd by XLA into one, under-reporting K-fold
+            acc = jnp.asarray(0.0, jnp.float32)
+            for _ in range(K):
+                Ai = xt.LinearOperator.m(mats + acc * 1e-30,
+                                         is_hermitian=True)
+                lam, _ = symeig(Ai, n, "lowest", method="exacteig")
+                acc = acc + jnp.sum(lam)
             return acc
         return run
     return make

@@ -348,7 +348,16 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     n = A.shape[-1]
     dt = A.real.dtype if iscomplex else A.dtype
     if tol is None:
-        tol = float(jnp.finfo(dt).eps) * 4.0
+        # the reachable floor: after a rotation, rounding leaves pair
+        # cosines at ~eps*sqrt(n) (a random-walk inner product of n
+        # rounded terms), so a tolerance below that can NEVER be met and
+        # the sweep loop burns max_sweeps doing nothing (measured: the
+        # 4*eps default ran all 18 sweeps at n=256 — 3x the converged
+        # cost).  4*eps*sqrt(n) sits above the noise floor; quadratic
+        # convergence makes the last real sweep overshoot far below it,
+        # and the Newton-orthonormalization + Rayleigh-quotient polish
+        # takes eigenvalues to O(cos^2) anyway.
+        tol = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(n)
     Bflat = math.prod(batch) if batch else 1
     a = A.reshape(Bflat, n, n)
 
