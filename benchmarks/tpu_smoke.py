@@ -138,6 +138,24 @@ def main():
           and float(jnp.max(jnp.abs(Rj))) < 5e-4,
           "lam err=%.1e resid=%.1e" % (errj, float(jnp.max(jnp.abs(Rj)))))
 
+    # 9b. Jacobi at n=700 (the extended 512<n<=1024 window, odd n padding)
+    # and the complex-hermitian plane-packed path
+    k7 = jax.random.PRNGKey(7)
+    a7 = jax.random.normal(k7, (2, 700, 700), jnp.float32) / 700 ** 0.5
+    m7 = (a7 + jnp.swapaxes(a7, -1, -2)) / 2
+    check("jacobi n=700 gate", platform != "tpu" or use_jacobi_for(m7))
+    lam7, V7 = jax.jit(lambda m: symeig(
+        xt.LinearOperator.m(m, is_hermitian=True), 8, "lowest",
+        method="exacteig"))(m7)
+    lam70 = np.linalg.eigvalsh(np.asarray(m7, np.float64))[:, :8]
+    err7 = float(jnp.max(jnp.abs(lam7 - lam70)))
+    R7 = jnp.einsum("bij,bjk->bik", m7, V7,
+                    precision=jax.lax.Precision.HIGHEST) \
+        - V7 * lam7[:, None, :]
+    check("jacobi n=700", err7 < 5e-5
+          and float(jnp.max(jnp.abs(R7))) < 5e-4,
+          "lam err=%.1e resid=%.1e" % (err7, float(jnp.max(jnp.abs(R7)))))
+
     # 10. Kronecker direct solve (factor eigh's on the Jacobi kernel)
     nl = 128
     L = (2.0 * jnp.eye(nl, dtype=jnp.float32)
@@ -152,6 +170,30 @@ def main():
     with jax.default_matmul_precision("highest"):
         residk = float(jnp.max(jnp.abs(lap.mm(xk) - bk)))
     check("kron_direct", residk < 5e-3, "resid=%.1e" % residk)
+
+    # 11 (LAST, and deliberately so). Complex-hermitian Jacobi via the
+    # plane-packed kernel.  The axon TPU tunnel has no complex64 support
+    # (CLAUDE.md) and a failed complex op can surface asynchronously on the
+    # *next* device call, so this probe must not run before other checks.
+    try:
+        kc1, kc2 = jax.random.split(jax.random.PRNGKey(9))
+        ac = (jax.random.normal(kc1, (4, 128, 128), jnp.float32)
+              + 1j * jax.random.normal(kc2, (4, 128, 128), jnp.float32)
+              ).astype(jnp.complex64) / 16.0
+        mc = (ac + jnp.swapaxes(ac, -1, -2).conj()) / 2
+        from xitorch_tpu.ops.jacobi_eigh import jacobi_eigh as _jac
+        lamc, Vc = jax.jit(_jac)(mc)
+        lamc0 = np.linalg.eigvalsh(np.asarray(mc, np.complex128))
+        errc = float(jnp.max(jnp.abs(lamc - lamc0)))
+        Rc = jnp.einsum("bij,bjk->bik", mc, Vc,
+                        precision=jax.lax.Precision.HIGHEST) \
+            - Vc * lamc[:, None, :]
+        check("jacobi complex-hermitian", errc < 5e-5
+              and float(jnp.max(jnp.abs(Rc))) < 5e-4,
+              "lam err=%.1e resid=%.1e" % (errc, float(jnp.max(jnp.abs(Rc)))))
+    except Exception as exc:  # noqa: BLE001 - backend capability skip
+        print("[--] jacobi complex-hermitian: backend rejects complex64 "
+              "(%s), skipped (covered by CPU tests)" % type(exc).__name__)
 
     print("ALL TPU SMOKE CHECKS PASSED")
 

@@ -323,7 +323,11 @@ def solve(A: LinearOperator, B: jnp.ndarray,
     singular-shift garbage is flagged.  In eager mode a
     :class:`ConvergenceWarning` is emitted when the solve did not converge
     (the reference warns from inside its solvers, e.g.
-    _impls/linalg/solve.py:156-160).
+    _impls/linalg/solve.py:156-160).  The eager check costs one extra
+    full-precision verification matvec + norms per call; wrap hot eager
+    loops in ``jax.jit`` (where tracing skips the check, and the info
+    struct / :func:`xitorch_tpu.utils.assert_converged` take over) to
+    avoid it.
 
     Performance note: for cg/cg_ir, pass a **static** ``posdef`` bool
     whenever you know it.  ``posdef=None`` compiles a runtime

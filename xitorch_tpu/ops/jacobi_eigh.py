@@ -49,13 +49,25 @@ runs the classic *one-sided* Jacobi iteration, whose inner loop is pure
   exp(-i*arg(gamma)) (an elementwise plane rotation), then applies the
   same real Jacobi rotation to both planes.  Column phases are arbitrary
   eigenvector phases and need no unwinding.
-* Convergence: quadratic; each sweep tracks max_pairs cos^2(g_p, g_q) and
-  the sweep while_loop exits once it drops below ``tol``^2.
+* Convergence: quadratic; after each sweep an MXU Gram check (G G^T, ~2
+  orders cheaper than a VPU sweep) measures the true max_pairs
+  cos^2(g_p, g_q) of the post-sweep state and the sweep while_loop exits
+  once it drops below ``tol2``.  The old per-round running max certified
+  only the *previous* sweep's output (a sweep that found nothing to
+  rotate), so every matrix stack paid one full ~12 ms "observation"
+  sweep after converging; the ~0.1 ms Gram gauge exits on the true
+  state the moment it is reached.  (A more aggressive exit at cos ~
+  sqrt(tol) with an iterative first-order MXU polish was prototyped and
+  rejected: on Wishart-like spectra the leftover mixing concentrates in
+  wide mid-gap eigenvalue clusters whose couplings sit beyond any fixed
+  rotation stride, and clipped/damped corrections stall at ~1e-3
+  eigenvalue error — 40x the quality gate.)
 
-Measured (v5e single chip, f32): B=64 n=256 SPD 1,775 decomps/s vs 550/s
-for XLA's eigh (3.2x; the round-2b V-carrying kernel did 747/s), B=8
-n=700 17.3/s vs 7.9/s XLA (2.2x), quality after the MXU polish better
-than XLA's f32 eigh (orth 2.4e-7, eigenpair residual ~2e-5 at n=256).
+Measured (v5e single chip, f32, same-session back-to-back): B=64 n=256
+SPD 790 decomps/s with the Gram-gauge exit vs 731/s for the lagged
+running-max exit and 533/s for XLA's eigh (1.5x), B=8 n=700 17.3/s vs
+7.9/s XLA (2.2x), quality after the MXU polish better than XLA's f32
+eigh (orth 2.4e-7, eigenpair residual ~2e-5, lam err 5.7e-6 at n=256).
 The flat one-sided iteration is VPU-bound; blocked/MXU variants were
 analyzed and rejected (the (2b,2b)-Gram inner problem still costs
 ~1.2*b/n of the flat VPU work plus lane-permute overhead — no win at
@@ -87,15 +99,24 @@ _UNROLL = 6  # tournament rounds fused per fori_loop iteration
 # (measured on v5e, B=64 n=256: 1 -> 706.5, 3 -> 736.3, 6 -> 749.0 decomps/s
 # with the old kernel; the same plateau holds for the norm-carrying one)
 
+_M_CAP = 8  # max matrices stacked per grid program
 
-def _mats_per_program(n: int, complexpair: bool) -> int:
+
+def _mats_per_program(n: int, complexpair: bool, batch: int) -> int:
     """How many matrices to stack per grid program: grow the VPU op shapes
-    for small n, stay within ~12 MB VMEM (in + out + pipeline buffer) for
-    large n."""
+    for small n, stay within the 16 MB scoped-VMEM limit for large n.
+    Per-matrix footprint: in + out blocks with pipeline double-buffering
+    (~4 n*width planes) plus the round loop's live top/bot temporaries
+    (~1 more plane) — the old 3-plane estimate OOMed at n=704, m=2
+    (18.7 MB measured vs the 16 MB limit).  Never stack more matrices
+    than the batch actually has: the batch pad rides through every sweep,
+    so m > B multiplies the VPU work by m/B for nothing (B=1 grid points
+    paid 8x)."""
     width = 2 * n if complexpair else n
-    bytes_per_mat = 3 * n * width * 4  # a block (x2 pipeline) + g block
-    budget = 12 * 1024 * 1024
-    return max(1, min(8, budget // max(bytes_per_mat, 1)))
+    bytes_per_mat = 5 * n * width * 4
+    budget = 14 * 1024 * 1024
+    m = max(1, min(_M_CAP, budget // max(bytes_per_mat, 1)))
+    return min(m, max(batch, 1))
 
 
 def _rot_coeffs(nt, nb, gam_abs2, gam_for_zeta, tol2, dt, eps_floor):
@@ -151,10 +172,10 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
     m_second = i_half == 1
     m_last = i_half == (h - 1)
 
-    def _one_round(top, bot, nt, nb, max_ratio):
+    def _one_round(top, bot, nt, nb):
         gam = jnp.sum(top * bot, axis=-1, keepdims=True)   # (m, h, 1)
-        c, s, ratio = _rot_coeffs(nt, nb, gam * gam, gam, tol2, dt,
-                                  eps_floor)
+        c, s, _ = _rot_coeffs(nt, nb, gam * gam, gam, tol2, dt,
+                              eps_floor)
         ntop = c * top - s * bot
         nbot = s * top + c * bot
         # norms follow analytically (the rotation orthogonalizes the pair,
@@ -165,8 +186,7 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         new_top, new_bot = _shuffle(h, m_first, m_second, m_last, ntop, nbot)
         new_nt, new_nb = _shuffle(h, m_first, m_second, m_last, nt_new,
                                   nb_new)
-        return (new_top, new_bot, new_nt, new_nb,
-                jnp.maximum(max_ratio, jnp.max(ratio)))
+        return new_top, new_bot, new_nt, new_nb
 
     # a "sweep" is ceil((n-1)/U)*U rounds: >= n-1 consecutive rounds visit
     # every pair at least once (the tournament has period n-1); the <=U-1
@@ -174,18 +194,55 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
     n_iters = -(-(n - 1) // _UNROLL)
 
     def round_block(r, carry):
-        nt, nb, max_ratio = carry
+        nt, nb = carry
         top = g_ref[:, :h, :]
         bot = g_ref[:, h:, :]
         for _ in range(_UNROLL):
-            top, bot, nt, nb, max_ratio = _one_round(top, bot, nt, nb,
-                                                     max_ratio)
+            top, bot, nt, nb = _one_round(top, bot, nt, nb)
         g_ref[:, :h, :] = top
         g_ref[:, h:, :] = bot
-        return nt, nb, max_ratio
+        return nt, nb
+
+    def _max_cos2():
+        # convergence gauge on the MXU: one Gram matmul per sweep
+        # (~0.1 ms) against ~12 ms for a VPU sweep, so exiting on the
+        # TRUE post-sweep state costs nothing — the old per-round
+        # running-max always spent one extra full sweep just observing
+        # that the previous one had converged.  Unrolled over the m
+        # stacked matrices with plain 2D dots (Mosaic-safe), in static
+        # row chunks so the gauge temporaries stay ~1 MB at any n (full
+        # (n, n) temps blow the 16 MB scoped-VMEM limit at n >= 704).
+        chunk = n if n <= 512 else 128
+        worst = jnp.asarray(0.0, jnp.float32)
+        for k in range(m):
+            g = g_ref[k, :, :]
+            nrm = jnp.sum(g * g, axis=-1)                  # (n,)
+            for lo in range(0, n, chunk):
+                hi_ = min(lo + chunk, n)
+                gc = g_ref[k, lo:hi_, :]
+                # HIGHEST precision: the default bf16 MXU path floors
+                # the measured cos at ~4e-3 input-rounding noise, far
+                # above tol (7.6e-6 at n=256) — the loop would burn
+                # max_sweeps blind
+                gram = jax.lax.dot_general(
+                    gc, g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)   # (c, n)
+                c_ = hi_ - lo
+                denom = jnp.maximum(nrm[lo:hi_][:, None] * nrm[None, :],
+                                    eps_floor)
+                ratio = gram * gram / denom
+                iot_r = lax.broadcasted_iota(jnp.int32, (c_, n), 0) + lo
+                iot_c = lax.broadcasted_iota(jnp.int32, (c_, n), 1)
+                ratio = jnp.where(iot_r == iot_c, 0.0, ratio)
+                worst = jnp.maximum(worst, jnp.max(ratio))
+        return worst
 
     def sweep_cond(carry):
         sweep, ratio = carry
+        # `ratio` is the Gram-gauge-measured TRUE max cos^2 of the current
+        # state (not a lagged running max), so converging stacks exit the
+        # moment tol2 is reached
         return jnp.logical_and(sweep < max_sweeps,
                                ratio > jnp.asarray(tol2, dt))
 
@@ -196,9 +253,8 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
                      keepdims=True)
         nb = jnp.sum(g_ref[:, h:, :] * g_ref[:, h:, :], axis=-1,
                      keepdims=True)
-        _, _, ratio = lax.fori_loop(0, n_iters, round_block,
-                                    (nt, nb, jnp.asarray(0.0, dt)))
-        return sweep + 1, ratio
+        lax.fori_loop(0, n_iters, round_block, (nt, nb))
+        return sweep + 1, _max_cos2()
 
     lax.while_loop(sweep_cond, sweep_body,
                    (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt)))
@@ -221,7 +277,7 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
     m_second = i_half == 1
     m_last = i_half == (h - 1)
 
-    def _one_round(top, bot, nt, nb, max_ratio):
+    def _one_round(top, bot, nt, nb):
         rt, it = top[..., :n], top[..., n:]
         rb, ib = bot[..., :n], bot[..., n:]
         # gamma = <g_p, g_q> (hermitian inner product), two reductions
@@ -229,7 +285,7 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         g_im = jnp.sum(rt * ib - it * rb, axis=-1, keepdims=True)
         gam2 = g_re * g_re + g_im * g_im
         gam_abs = jnp.sqrt(gam2)
-        c, s, ratio = _rot_coeffs(nt, nb, gam2, gam_abs, tol2, dt, eps_floor)
+        c, s, _ = _rot_coeffs(nt, nb, gam2, gam_abs, tol2, dt, eps_floor)
         # phase-align g_q: q ~= exp(-i*theta) g_q with theta = arg(gamma);
         # gamma == 0 (already-orthogonal pair) must fall back to the
         # IDENTITY phase — dividing 0/eps_floor would zero the factor and
@@ -252,24 +308,59 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         new_top, new_bot = _shuffle(h, m_first, m_second, m_last, ntop, nbot)
         new_nt, new_nb = _shuffle(h, m_first, m_second, m_last, nt_new,
                                   nb_new)
-        return (new_top, new_bot, new_nt, new_nb,
-                jnp.maximum(max_ratio, jnp.max(ratio)))
+        return new_top, new_bot, new_nt, new_nb
 
     n_iters = -(-(n - 1) // _UNROLL)
 
     def round_block(r, carry):
-        nt, nb, max_ratio = carry
+        nt, nb = carry
         top = g_ref[:, :h, :]
         bot = g_ref[:, h:, :]
         for _ in range(_UNROLL):
-            top, bot, nt, nb, max_ratio = _one_round(top, bot, nt, nb,
-                                                     max_ratio)
+            top, bot, nt, nb = _one_round(top, bot, nt, nb)
         g_ref[:, :h, :] = top
         g_ref[:, h:, :] = bot
-        return nt, nb, max_ratio
+        return nt, nb
+
+    def _max_cos2():
+        # MXU Gram convergence gauge, as in the real kernel; hermitian
+        # |<g_i, g_j>|^2 from the two planes: Re = g_i . g_j over the
+        # full 2n row, Im = g_i . swap(g_j) with swap = [Im | -Re].
+        # Unrolled over the m stacked matrices with 2D dots (Mosaic-safe),
+        # chunked over rows to bound the gauge temporaries (see the real
+        # kernel).
+        chunk = n if n <= 256 else 128
+        worst = jnp.asarray(0.0, jnp.float32)
+        for k in range(m):
+            g = g_ref[k, :, :]
+            gsw = jnp.concatenate([g[:, n:], -g[:, :n]], axis=-1)
+            nrm = jnp.sum(g * g, axis=-1)
+            for lo in range(0, n, chunk):
+                hi_ = min(lo + chunk, n)
+                gc = g_ref[k, lo:hi_, :]
+                # HIGHEST precision: see the real-kernel gauge note
+                re = jax.lax.dot_general(
+                    gc, g, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                im = jax.lax.dot_general(
+                    gc, gsw, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                gram2 = re * re + im * im
+                c_ = hi_ - lo
+                denom = jnp.maximum(nrm[lo:hi_][:, None] * nrm[None, :],
+                                    eps_floor)
+                ratio = gram2 / denom
+                iot_r = lax.broadcasted_iota(jnp.int32, (c_, n), 0) + lo
+                iot_c = lax.broadcasted_iota(jnp.int32, (c_, n), 1)
+                ratio = jnp.where(iot_r == iot_c, 0.0, ratio)
+                worst = jnp.maximum(worst, jnp.max(ratio))
+        return worst
 
     def sweep_cond(carry):
         sweep, ratio = carry
+        # Gram-gauge-measured true max cos^2, as in the real kernel
         return jnp.logical_and(sweep < max_sweeps,
                                ratio > jnp.asarray(tol2, dt))
 
@@ -278,9 +369,8 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         g = g_ref[...]
         nt = jnp.sum(g[:, :h, :] * g[:, :h, :], axis=-1, keepdims=True)
         nb = jnp.sum(g[:, h:, :] * g[:, h:, :], axis=-1, keepdims=True)
-        _, _, ratio = lax.fori_loop(0, n_iters, round_block,
-                                    (nt, nb, jnp.asarray(0.0, dt)))
-        return sweep + 1, ratio
+        lax.fori_loop(0, n_iters, round_block, (nt, nb))
+        return sweep + 1, _max_cos2()
 
     lax.while_loop(sweep_cond, sweep_body,
                    (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt)))
@@ -292,7 +382,7 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     from jax.experimental import pallas as pl
 
     B, n, width = a.shape
-    m = _mats_per_program(n, complexpair)
+    m = _mats_per_program(n, complexpair, B)
     if B % m:
         # pad the batch with identity-like matrices (diag already set by
         # the caller's shift; zeros converge instantly and are sliced off)
@@ -405,23 +495,30 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     lam = jnp.sqrt(jnp.sum(jnp.abs(gt) ** 2, axis=-1))          # (B, npad)
     vt = gt / jnp.maximum(lam, jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
                           )[..., None]
-    order = jnp.argsort(lam, axis=-1)
-    vt = jnp.take_along_axis(vt, order[..., None], axis=-2)[:, :n, :n]
+    if npad != n:
+        # drop the padding rows: their (shifted) eigenvalues were placed
+        # above every true one, so ascending sort puts them last.  With no
+        # padding this whole gather is skipped — the authoritative sort
+        # happens after the polish anyway.
+        order = jnp.argsort(lam, axis=-1)
+        vt = jnp.take_along_axis(vt, order[..., None], axis=-2)
+    vt = vt[:, :n, :n]
     # row i of the panel holds g_i itself, so a plain transpose puts the
     # eigenvectors in columns (no conjugation, also for complex input)
     V = jnp.swapaxes(vt, -2, -1)
 
-    # polish (2 batched matmuls on the MXU, trivially cheap next to the
+    # polish (3 batched matmuls on the MXU, trivially cheap next to the
     # sweeps): one Newton orthonormalization V <- V(3I - V^H V)/2 squares
     # away the ~sqrt(#rotations)*eps orthogonality drift, then Rayleigh
     # quotients on the *unshifted* input recover the eps*|A| (instead of
-    # eps*sigma) eigenvalue accuracy.  HIGHEST precision: these are
-    # solver-internal contractions (see CLAUDE.md precision note).
+    # eps*sigma) eigenvalue accuracy — O(cos^2) from the <= tol leftover
+    # mixing certified by the Gram-gauge exit.  HIGHEST precision: these
+    # are solver-internal contractions (see CLAUDE.md precision note).
     hi = jax.lax.Precision.HIGHEST
     a0 = A.reshape(Bflat, n, n)
+    eye_n = jnp.eye(n, dtype=V.dtype)
     VH = jnp.swapaxes(V, -2, -1).conj()
     VtV = jnp.matmul(VH, V, precision=hi)
-    eye_n = jnp.eye(n, dtype=V.dtype)
     V = jnp.matmul(V, 1.5 * eye_n - 0.5 * VtV, precision=hi)
     AV = jnp.matmul(a0, V, precision=hi)
     lam = jnp.real(jnp.sum(V.conj() * AV, axis=-2))
