@@ -1,0 +1,246 @@
+"""Pallas TPU kernel: VMEM-resident spectral divide-and-conquer
+preconditioner for the one-sided Jacobi eigh kernel.
+
+Semantics and algorithm: ``ops/spectral_dc.py`` (the XLA reference
+implementation) — per-segment median split, quintic Newton-Schulz
+matrix sign, slot assignment, quintic Newton-Schulz polar
+orthonormalization, ``T <- Q^T T Q``.  This file is the production
+port: the whole level recursion runs on one (n, n) matrix resident in
+VMEM, so the ~70 matmuls per level hit the MXU at ~0.2 us each instead
+of the ~17 us HBM-bound cost of XLA-level batched ops (measured v5e,
+(64, 256, 256) f32) — the entire preconditioner costs less than one
+VPU Jacobi sweep.
+
+Mosaic-facing design notes:
+
+* no transposes: every quantity that is needed in both row and column
+  orientation (segment ids, diagonals, ranks, slot masks) is computed
+  twice with swapped broadcasting, or converted via a masked (n, n)
+  broadcast-reduce.
+* no sort / cholesky / triangular solve: medians by comparison-matrix
+  ranking, orthogonalization by Newton-Schulz polar.
+* matmuls contract axis 0 with axis 0 (``Q^T X`` shapes) through
+  dot_general dimension numbers rather than materialized transposes.
+* the level recursion is a ``fori_loop`` whose carry is
+  ``(T, Qtot, seg_col, seg_row)``; the NS schedules are inner
+  ``fori_loop``s.  Everything is one fused kernel per grid program.
+
+Output: ``G0 = Qtot^T @ a_shift`` — the warm-start row panel for
+``_pallas_g_panel`` in ``ops/jacobi_eigh.py`` (rows are ``q_i^T A``, so
+the kernel's G-only eigenvector extraction is preserved verbatim).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .spectral_dc import _QUINTIC
+
+__all__ = ["dc_precondition_tpu"]
+
+_N_QUINTIC_SIGN = 6
+_N_CUBIC_SIGN = 2       # fast-precision contraction steps
+_N_CUBIC_SIGN_HI = 1    # final f32-grade step: the residual coupling the
+# finisher must sweep away is set by the LAST sign step's matmul noise —
+# one HIGHEST step drops it from the bf16 floor (~4e-3) to ~1e-5, which
+# is what lets most matrices exit the Jacobi finisher after one sweep
+_N_QUINTIC_POLAR = 10
+_N_CUBIC_POLAR = 3      # fast-precision polish
+_N_CUBIC_POLAR_HI = 2   # final f32-grade steps: 4e-3 -> 2e-5 -> 1e-9
+# orthonormality, so Q_tot stays f32-orthogonal over all levels
+
+
+def _dot(a, b, prec=None):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _dot_t(a, b, prec=None):
+    """a^T @ b without materializing the transpose."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
+               min_seg: int):
+    dt = jnp.float32
+    hi = lax.Precision.HIGHEST
+    qa, qb, qc = (jnp.asarray(v, dt) for v in _QUINTIC)
+
+    iot_r = lax.broadcasted_iota(jnp.int32, (n, n), 0)   # row index
+    iot_c = lax.broadcasted_iota(jnp.int32, (n, n), 1)   # col index
+    eyem = (iot_r == iot_c).astype(dt)
+    icol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)    # (n, 1) 0..n-1
+    irow = lax.broadcasted_iota(jnp.int32, (1, n), 1)    # (1, n) 0..n-1
+    om = om_ref[...]
+
+    def msign(X, mask):
+        # the iteration map preserves symmetry to rounding, so the loops
+        # skip explicit symmetrization (X^T costs an MXU identity-dot in
+        # Mosaic); one symmetrization at the end suffices
+        def quintic(_, X):
+            X2 = _dot(X, X)
+            X4 = _dot(X2, X2)
+            return _dot(X, qa * eyem + qb * X2 + qc * X4) * mask
+
+        def cubic(_, X):
+            X2 = _dot(X, X)
+            return (1.5 * X - 0.5 * _dot(X, X2)) * mask
+
+        def cubic_hi(_, X):
+            X2 = _dot(X, X, prec=hi)
+            return (1.5 * X - 0.5 * _dot(X, X2, prec=hi)) * mask
+
+        X = lax.fori_loop(0, _N_QUINTIC_SIGN, quintic, X)
+        X = lax.fori_loop(0, _N_CUBIC_SIGN, cubic, X)
+        X = lax.fori_loop(0, _N_CUBIC_SIGN_HI, cubic_hi, X)
+        return 0.5 * (X + _dot_t(X, eyem))
+
+    def polar(Q):
+        def quintic(_, Q):
+            G = _dot_t(Q, Q)
+            G2 = _dot(G, G)
+            return _dot(Q, qa * eyem + qb * G + qc * G2)
+
+        def cubic(_, Q):
+            G = _dot_t(Q, Q)
+            return 1.5 * Q - 0.5 * _dot(Q, G)
+
+        def cubic_hi(_, Q):
+            G = _dot_t(Q, Q, prec=hi)
+            return 1.5 * Q - 0.5 * _dot(Q, G, prec=hi)
+
+        Q = lax.fori_loop(0, _N_QUINTIC_POLAR, quintic, Q)
+        Q = lax.fori_loop(0, _N_CUBIC_POLAR, cubic, Q)
+        Q = lax.fori_loop(0, _N_CUBIC_POLAR_HI, cubic_hi, Q)
+        return Q
+
+    for k in range(m):
+        a = a_ref[k, :, :]
+
+        def level_body(_, carry):
+            T, segc, segr = carry
+            seg_eq = (segc == segr)
+            seg_eqf = seg_eq.astype(dt)
+            sizes_c = jnp.sum(seg_eqf, axis=1, keepdims=True
+                              ).astype(jnp.int32)                  # (n,1)
+            sizes_r = jnp.sum(seg_eqf, axis=0, keepdims=True
+                              ).astype(jnp.int32)                  # (1,n)
+            starts_c = jnp.sum((segr < segc).astype(dt), axis=1,
+                               keepdims=True).astype(jnp.int32)
+            starts_r = jnp.sum((segc < segr).astype(dt), axis=0,
+                               keepdims=True).astype(jnp.int32)
+            froz_c = sizes_c <= min_seg
+            froz_r = sizes_r <= min_seg
+            live = jnp.logical_not(froz_c | froz_r).astype(dt)
+
+            dc = jnp.sum(T * eyem, axis=1, keepdims=True)          # (n,1)
+            dr = jnp.sum(T * eyem, axis=0, keepdims=True)          # (1,n)
+            # rank of position j's diagonal inside its segment: number of
+            # segment members i with (d_i, i) < (d_j, j) (ties by index)
+            lt2 = (dc < dr) | ((dc == dr) & (iot_r < iot_c))
+            rank_r = jnp.sum(seg_eqf * lt2.astype(dt), axis=0,
+                             keepdims=True).astype(jnp.int32)      # (1,n)
+            lo_t = (sizes_c - 1) // 2
+            hi_t = sizes_c // 2
+            is_lo = seg_eqf * (rank_r == lo_t).astype(dt)
+            is_hi = seg_eqf * (rank_r == hi_t).astype(dt)
+            sigma = 0.5 * (jnp.sum(is_lo * dr, axis=1, keepdims=True)
+                           + jnp.sum(is_hi * dr, axis=1, keepdims=True))
+
+            C = T * seg_eqf - sigma * eyem
+            col1 = jnp.sum(jnp.abs(C), axis=0, keepdims=True)      # (1,n)
+            bound = jnp.max(seg_eqf * col1, axis=1, keepdims=True)  # (n,1)
+            X = C / (1.01 * bound + jnp.asarray(1e-30, dt))
+
+            E = msign(X, seg_eqf * live)
+            P = 0.5 * (eyem * seg_eqf - E) * live
+            pd_c = jnp.sum(P * eyem, axis=1, keepdims=True)        # (n,1)
+            pd_r = jnp.sum(P * eyem, axis=0, keepdims=True)        # (1,n)
+            tr_c = jnp.sum(seg_eqf * pd_r, axis=1, keepdims=True)  # (n,1)
+            tr_r = jnp.sum(seg_eqf * pd_c, axis=0, keepdims=True)  # (1,n)
+            r_c = jnp.clip(jnp.round(tr_c).astype(jnp.int32), 0, sizes_c)
+            r_r = jnp.clip(jnp.round(tr_r).astype(jnp.int32), 0, sizes_r)
+            low_c = ((icol - starts_c) < r_c) & jnp.logical_not(froz_c)
+            low_r = ((irow - starts_r) < r_r) & jnp.logical_not(froz_r)
+
+            fro_any = (froz_c | froz_r).astype(dt)
+            omb = (fro_any * eyem + (1.0 - fro_any) * om) * seg_eqf
+            POm = _dot(P, omb)
+            Y = jnp.where(low_r, POm, omb - POm)
+            coln = jnp.sqrt(jnp.sum(Y * Y, axis=0, keepdims=True))
+            Y = Y / (coln + jnp.asarray(1e-20, dt))
+            rsum_c = jnp.sum(jnp.abs(Y), axis=1, keepdims=True)    # (n,1)
+            csum_r = jnp.sum(jnp.abs(Y), axis=0, keepdims=True)    # (1,n)
+            # segmented maxes in the (1, n) orientation; the column-sum
+            # max flips orientation twice through masked reduces (the
+            # max is segment-constant, so the round trip is exact)
+            rmax_r = jnp.max(seg_eqf * rsum_c, axis=0, keepdims=True)
+            cmax_c = jnp.max(seg_eqf * csum_r, axis=1, keepdims=True)
+            cmax_row = jnp.max(seg_eqf * cmax_c, axis=0, keepdims=True)
+            scale_r = 1.01 * jnp.sqrt(rmax_r * cmax_row) \
+                + jnp.asarray(1e-30, dt)
+            Q = polar(Y / scale_r)
+
+            TQ = _dot(T, Q, prec=hi)
+            T = _dot_t(Q, TQ, prec=hi)
+            T = 0.5 * (T + _dot_t(T, eyem)) * seg_eqf
+            # accumulate the warm panel in the output ref instead of
+            # carrying Q_tot: G0 <- Q^T G0 keeps the VMEM live set one
+            # plane smaller (the n=704 budget is 8 planes total)
+            g_ref[k, :, :] = _dot_t(Q, g_ref[k, :, :], prec=hi)
+            segc = segc * 2 + jnp.where(low_c | froz_c, 0, 1)
+            segr = segr * 2 + jnp.where(low_r | froz_r, 0, 1)
+            return T, segc, segr
+
+        seg0_c = jnp.zeros((n, 1), jnp.int32) + icol * 0
+        seg0_r = jnp.zeros((1, n), jnp.int32) + irow * 0
+        g_ref[k, :, :] = a
+        T0 = 0.5 * (a + _dot_t(a, eyem))
+        carry = (T0, seg0_c, seg0_r)
+        lax.fori_loop(0, levels, level_body, carry)
+
+
+def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
+                        min_seg: int = 2,
+                        interpret: bool = False) -> jnp.ndarray:
+    """``G0 = Q^T a`` warm-start panels for (B, n, n) symmetric ``a``
+    (the Jacobi caller passes the shifted, padded matrix).  f32 only."""
+    from jax.experimental import pallas as pl
+
+    B, n, _ = a.shape
+    om = jax.random.normal(jax.random.PRNGKey(1803), (n, n), jnp.float32)
+
+    # one matrix per program: the level loop is a long dependent matmul
+    # chain, so stacking does not grow op sizes (unlike the sweep
+    # kernel); m > 1 would only raise VMEM pressure
+    m = 1
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+        memspace = pltpu.VMEM
+    except ImportError:  # pragma: no cover
+        memspace = None
+
+    def spec(block, imap):
+        kwargs = {"index_map": imap}
+        if memspace is not None:
+            kwargs["memory_space"] = memspace
+        return pl.BlockSpec(block, **kwargs)
+
+    kernel = functools.partial(_dc_kernel, n=n, m=m, levels=levels,
+                               min_seg=min_seg)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // m,),
+        in_specs=[spec((m, n, n), lambda b: (b, 0, 0)),
+                  spec((n, n), lambda b: (0, 0))],
+        out_specs=spec((m, n, n), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+        interpret=interpret,
+    )(a, om)

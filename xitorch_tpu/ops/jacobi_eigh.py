@@ -417,7 +417,8 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
 
 
 def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
-                tol: Optional[float] = None, interpret: bool = False
+                tol: Optional[float] = None, interpret: bool = False,
+                precondition: Optional[bool] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched symmetric/hermitian eigendecomposition, ``jnp.linalg.eigh``
     contract.
@@ -428,6 +429,18 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     ``degen_eigh`` wraps it with the degeneracy-safe JVP.  Pads n to a
     multiple of 16 internally (padding eigenvalues are placed above the
     Gershgorin range and sliced off).
+
+    ``precondition`` (default: auto — real input with n >= 192) runs the
+    MXU spectral divide-and-conquer sort first (``ops/dc_kernel.py``)
+    and hands the sweep kernel ``G0 = Q^T A_shift`` instead of
+    ``A_shift``.  The sweep kernel's G-invariant (G = R^T A_shift with R
+    orthogonal at every stage) makes this transparent: eigenvalue/vector
+    extraction, polish and sorting are unchanged, and a bad or soft
+    preconditioner costs extra sweeps, never correctness.  Design: with
+    min_seg=2 every surviving in-block coupling is an isolated 2x2 that
+    the first tournament rotation solves exactly, so the finisher should
+    exit in 1-2 sweeps (an XLA-level prototype at depth 6 measured
+    780 -> 1,264 decomps/s before the in-kernel port).
     """
     interpret = interpret or jax.default_backend() != "tpu"
     if A.ndim < 2 or A.shape[-1] != A.shape[-2]:
@@ -479,6 +492,13 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     eye = jnp.eye(npad, dtype=dt)
     a = a + sigma[:, None, None] * eye
 
+    if precondition is None:
+        # n <= 512: the DC level body holds ~10 live (n, n) f32 planes,
+        # which exceeds the 16 MB scoped-VMEM budget past npad ~ 560
+        # (measured OOM at 704: 34.9 MB requested); below ~192 the cold
+        # kernel is already overhead-bound and the DC adds more than it
+        # saves
+        precondition = (not iscomplex) and 192 <= n <= 512
     if iscomplex:
         # G^T rows must hold g_i = column i of G = A; A hermitian means
         # column i = conj(row i), so the planes are (Re A, -Im A)
@@ -487,7 +507,16 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
                               complexpair=True)
         gt = lax.complex(gt2[..., :npad], gt2[..., npad:])
     else:
-        gt = _pallas_g_panel(a, max_sweeps, tol, interpret,
+        g_in = a
+        if precondition:
+            from .dc_kernel import dc_precondition_tpu
+            # depth: split every segment down to pairs; a 2-block is
+            # solved EXACTLY by its first tournament rotation, so the
+            # finisher exits after 1-2 sweeps instead of ~9
+            levels = max(3, math.ceil(math.log2(npad)))
+            g_in = dc_precondition_tpu(a, levels=levels, min_seg=2,
+                                       interpret=interpret)
+        gt = _pallas_g_panel(g_in, max_sweeps, tol, interpret,
                              complexpair=False)
 
     # row i of G^T is lambda'_i * v_i: norms are the shifted eigenvalues,
