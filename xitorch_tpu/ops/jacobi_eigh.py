@@ -29,7 +29,7 @@ runs the classic *one-sided* Jacobi iteration, whose inner loop is pure
   reductions were ~half the round cost.
 * Pairing: Brent–Luk round-robin tournament.  The active pairs are always
   (row i of the top half, row i of the bottom half), and between rounds a
-  fixed sublane shuffle (concatenate of static slices + iota selects)
+  fixed sublane shuffle (two static-slice concatenates per plane)
   rotates every player except player 0 — after n-1 rounds all n(n-1)/2
   pairs have met exactly once and the ordering returns to the start.
 * Sign ambiguity: one-sided Jacobi implicitly diagonalizes A^2, which
@@ -130,29 +130,34 @@ def _rot_coeffs(nt, nb, gam_abs2, gam_for_zeta, tol2, dt, eps_floor):
     zeta = (nb - nt) / jnp.where(live, 2.0 * gam_for_zeta, 1.0)
     t = jnp.where(zeta >= 0, 1.0, -1.0) / (
         jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
-    # one Newton step on the hardware rsqrt keeps each rotation
-    # orthogonal to ~2 ulp (c^2+s^2 = 1), so the eigenbasis orthogonality
-    # drift stays a random walk instead of a bias
-    x = 1.0 + t * t
-    c = lax.rsqrt(x)
-    c = c * (1.5 - 0.5 * x * c * c)
+    # raw hardware rsqrt (~1e-4 relative): its error is a COMMON scale on
+    # (c, s) since s = c*t, so the rotated pair keeps exact directions
+    # (rows are only jointly rescaled), the analytic norm updates below
+    # stay self-consistent (they use the same c, s), and the per-sweep
+    # norm refresh caps the accumulated row-scale drift at ~sqrt(n)*1e-4;
+    # eigenvalues come from the Rayleigh polish on the unshifted input,
+    # not from row norms.  The previous Newton correction step bought
+    # nothing measurable and cost 3 VPU ops per round.
+    c = lax.rsqrt(1.0 + t * t)
     s = c * t
     c = jnp.where(live, c, jnp.asarray(1.0, dt))
     s = jnp.where(live, s, jnp.asarray(0.0, dt))
     return c, s, ratio
 
 
-def _shuffle(h, m_first, m_second, m_last, ntop, nbot):
+def _shuffle(h, ntop, nbot):
     """Brent-Luk tournament shuffle along the pair axis (-2):
     new_top = [top0, bot0, top1..top_{h-2}],
-    new_bot = [bot1..bot_{h-1}, top_{h-1}]."""
-    top_dn = jnp.concatenate([ntop[..., h - 1:, :], ntop[..., :h - 1, :]],
-                             axis=-2)
-    bot_dn = jnp.concatenate([nbot[..., h - 1:, :], nbot[..., :h - 1, :]],
-                             axis=-2)
-    bot_up = jnp.concatenate([nbot[..., 1:, :], nbot[..., :1, :]], axis=-2)
-    new_top = jnp.where(m_first, ntop, jnp.where(m_second, bot_dn, top_dn))
-    new_bot = jnp.where(m_last, ntop, bot_up)
+    new_bot = [bot1..bot_{h-1}, top_{h-1}].
+
+    Written as two static-slice concatenates — one sublane-realigning
+    copy per plane.  (The original roll-and-select form cost 3 rolls +
+    3 selects per round, ~45% of the round's panel ops.)"""
+    new_top = jnp.concatenate(
+        [ntop[..., 0:1, :], nbot[..., 0:1, :], ntop[..., 1:h - 1, :]],
+        axis=-2)
+    new_bot = jnp.concatenate(
+        [nbot[..., 1:h, :], ntop[..., h - 1:h, :]], axis=-2)
     return new_top, new_bot
 
 
@@ -167,11 +172,6 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
 
     g_ref[...] = a_ref[...]  # G^T := A (A symmetric so A^T = A)
 
-    i_half = lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    m_first = i_half == 0       # tournament position 0 (fixed player)
-    m_second = i_half == 1
-    m_last = i_half == (h - 1)
-
     def _one_round(top, bot, nt, nb):
         gam = jnp.sum(top * bot, axis=-1, keepdims=True)   # (m, h, 1)
         c, s, _ = _rot_coeffs(nt, nb, gam * gam, gam, tol2, dt,
@@ -183,9 +183,8 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         cs2 = 2.0 * c * s * gam
         nt_new = c * c * nt + s * s * nb - cs2
         nb_new = s * s * nt + c * c * nb + cs2
-        new_top, new_bot = _shuffle(h, m_first, m_second, m_last, ntop, nbot)
-        new_nt, new_nb = _shuffle(h, m_first, m_second, m_last, nt_new,
-                                  nb_new)
+        new_top, new_bot = _shuffle(h, ntop, nbot)
+        new_nt, new_nb = _shuffle(h, nt_new, nb_new)
         return new_top, new_bot, new_nt, new_nb
 
     # a "sweep" is ceil((n-1)/U)*U rounds: >= n-1 consecutive rounds visit
@@ -272,11 +271,6 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
 
     g_ref[...] = a_ref[...]
 
-    i_half = lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-    m_first = i_half == 0
-    m_second = i_half == 1
-    m_last = i_half == (h - 1)
-
     def _one_round(top, bot, nt, nb):
         rt, it = top[..., :n], top[..., n:]
         rb, ib = bot[..., :n], bot[..., n:]
@@ -305,9 +299,8 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         cs2 = 2.0 * c * s * gam_abs
         nt_new = c * c * nt + s * s * nb - cs2
         nb_new = s * s * nt + c * c * nb + cs2
-        new_top, new_bot = _shuffle(h, m_first, m_second, m_last, ntop, nbot)
-        new_nt, new_nb = _shuffle(h, m_first, m_second, m_last, nt_new,
-                                  nb_new)
+        new_top, new_bot = _shuffle(h, ntop, nbot)
+        new_nt, new_nb = _shuffle(h, nt_new, nb_new)
         return new_top, new_bot, new_nt, new_nb
 
     n_iters = -(-(n - 1) // _UNROLL)
