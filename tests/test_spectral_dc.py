@@ -132,6 +132,31 @@ class TestJacobiPreconditioned:
             lambda m: jacobi_eigh(m, precondition=True))(A[:, None])
         assert jnp.allclose(lam, lamv[:, 0], atol=1e-4)
 
+    def test_pathological_spectra(self):
+        # scaled identity: every split is maximally soft (all eigenvalues
+        # equal); the preconditioner must stay orthonormal and harmless
+        A = (3.0 * jnp.eye(96))[None].astype(jnp.float32)
+        lam, V = jacobi_eigh(A, precondition=True)
+        assert float(jnp.max(jnp.abs(lam - 3.0))) < 1e-5
+        orth = jnp.einsum("bji,bjk->bik", V, V, precision=HI) - jnp.eye(96)
+        assert float(jnp.max(jnp.abs(orth))) < 5e-6
+        # rank-deficient PSD: half the spectrum exactly zero
+        q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(0),
+                                               (96, 96)))
+        w = jnp.concatenate([jnp.zeros(48), jnp.linspace(1, 2, 48)])
+        A3 = ((q * w[None]) @ q.T)[None].astype(jnp.float32)
+        A3 = 0.5 * (A3 + jnp.swapaxes(A3, -1, -2))
+        lam3, _ = jacobi_eigh(A3, precondition=True)
+        lam30 = np.linalg.eigvalsh(np.asarray(A3, np.float64))
+        assert float(jnp.max(jnp.abs(lam3 - lam30))) < 5e-5
+        # negative definite, odd n, odd batch
+        a = jax.random.normal(jax.random.PRNGKey(3), (3, 97, 97),
+                              jnp.float32) / 10
+        A4 = -(a @ jnp.swapaxes(a, -1, -2)) - jnp.eye(97)
+        lam4, _ = jacobi_eigh(A4, precondition=True)
+        lam40 = np.linalg.eigvalsh(np.asarray(A4, np.float64))
+        assert float(jnp.max(jnp.abs(lam4 - lam40))) < 5e-5
+
     def test_grad_through_degen_eigh_dispatch(self):
         # the symeig path wraps jacobi via degen_eigh custom_jvp; ensure
         # the preconditioner stays invisible to autodiff
