@@ -152,7 +152,8 @@ class TestJacobiPreconditioned:
         # negative definite, odd n, odd batch
         a = jax.random.normal(jax.random.PRNGKey(3), (3, 97, 97),
                               jnp.float32) / 10
-        A4 = -(a @ jnp.swapaxes(a, -1, -2)) - jnp.eye(97)
+        A4 = (-(a @ jnp.swapaxes(a, -1, -2))
+      - jnp.eye(97, dtype=jnp.float32))
         lam4, _ = jacobi_eigh(A4, precondition=True)
         lam40 = np.linalg.eigvalsh(np.asarray(A4, np.float64))
         assert float(jnp.max(jnp.abs(lam4 - lam40))) < 5e-5

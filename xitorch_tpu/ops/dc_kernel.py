@@ -56,19 +56,19 @@ _N_CUBIC_POLAR_HI = 2   # final f32-grade steps: 4e-3 -> 2e-5 -> 1e-9
 def _dot(a, b, prec=None):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+        preferred_element_type=a.dtype, precision=prec)
 
 
 def _dot_t(a, b, prec=None):
     """a^T @ b without materializing the transpose."""
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+        preferred_element_type=a.dtype, precision=prec)
 
 
 def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
                min_seg: int):
-    dt = jnp.float32
+    dt = a_ref.dtype
     hi = lax.Precision.HIGHEST
     qa, qb, qc = (jnp.asarray(v, dt) for v in _QUINTIC)
 
@@ -214,7 +214,7 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
     from jax.experimental import pallas as pl
 
     B, n, _ = a.shape
-    om = jax.random.normal(jax.random.PRNGKey(1803), (n, n), jnp.float32)
+    om = jax.random.normal(jax.random.PRNGKey(1803), (n, n), a.dtype)
 
     # one matrix per program: the level loop is a long dependent matmul
     # chain, so stacking does not grow op sizes (unlike the sweep
@@ -241,6 +241,6 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
         in_specs=[spec((m, n, n), lambda b: (b, 0, 0)),
                   spec((n, n), lambda b: (0, 0))],
         out_specs=spec((m, n, n), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), a.dtype),
         interpret=interpret,
     )(a, om)
