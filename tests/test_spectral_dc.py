@@ -92,6 +92,34 @@ class TestDcKernel:
         a2 = jnp.einsum("bij,bjk->bik", A, A, precision=HI)
         assert _offmass(gg) < 0.25 * _offmass(a2)
 
+    def test_per_level_contract_and_concentration(self):
+        # the HBM-streamed per-level variant (512 < n <= 1024 on TPU)
+        # uses a cubic-only sign schedule, so it differs numerically from
+        # the single-shot kernel; test its contract instead: G0 = Q^T A
+        # with Q orthonormal, and concentration
+        A = _spd(jax.random.PRNGKey(11), 2, 96)
+        g = dc_precondition_tpu(A, levels=4, min_seg=2, interpret=True,
+                                per_level=True)
+        gtg = jnp.einsum("bij,bik->bjk", g, g, precision=HI)
+        a2 = jnp.einsum("bij,bjk->bik", A, A, precision=HI)
+        rel = float(jnp.max(jnp.abs(gtg - a2)) / jnp.max(jnp.abs(a2)))
+        assert rel < 1e-4, rel
+        gg = jnp.einsum("bij,bkj->bik", g, g, precision=HI)
+        assert _offmass(gg) < 0.3 * _offmass(a2)
+
+    def test_per_level_through_jacobi(self, monkeypatch):
+        # end-to-end: force the per-level auto threshold down so the
+        # preconditioned jacobi_eigh path runs the HBM-streamed variant
+        from xitorch_tpu.ops import dc_kernel
+        monkeypatch.setattr(dc_kernel, "_PER_LEVEL_MIN_N", 0)
+        A = _spd(jax.random.PRNGKey(12), 2, 96)
+        lam, V = jacobi_eigh(A, precondition=True)
+        lam0 = np.linalg.eigvalsh(np.asarray(A, np.float64))
+        assert float(jnp.max(jnp.abs(lam - lam0))) < 5e-5
+        R = jnp.einsum("bij,bjk->bik", A, V, precision=HI) \
+            - V * lam[:, None, :]
+        assert float(jnp.max(jnp.abs(R))) < 5e-4
+
 
 class TestJacobiPreconditioned:
     @pytest.mark.parametrize("n", [96, 129])

@@ -32,6 +32,7 @@ the kernel's G-only eigenvector extraction is preserved verbatim).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -206,15 +207,232 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
         lax.fori_loop(0, levels, level_body, carry)
 
 
+# ---------------------------------------------------------------------------
+# Per-level variant for large n: one pallas_call per divide level, with the
+# (T, G0) state carried through HBM between levels.  The single-shot kernel
+# above holds ~10 live (n, n) planes through the whole level recursion and
+# OOMs past npad ~ 560 (measured 34.9 MB requested at n=704 vs the ~16 MB
+# VMEM); this variant caps the live set at 5 named workspaces + ~2
+# transients (~13.9 MB at npad = 704) by
+#   * streaming T/G0/om through `pl.ANY` (HBM) refs with explicit DMA —
+#     no pipelined double-buffering of (n, n) blocks;
+#   * a cubic-only Newton-Schulz *sign* schedule: the cubic map
+#     x <- 1.5x - 0.5x^3 has no identity term, so it preserves exact
+#     cross-segment zeros and frozen-segment zeros with NO per-step
+#     masking and no materialized masked-identity plane (the quintic
+#     needs `qa*I` added each step, which resurrects dead rows unless
+#     re-masked).  Sign accuracy is rank-rounding grade only, so the
+#     slower cubic ramp (12 fast + 2 HIGHEST steps) is enough: values
+#     >= 0.01 of the segment bound saturate, the straddling tail stays
+#     soft — exactly the tolerated soft-projector regime.
+#   * the polar orthonormalization keeps the quintic ramp (orthogonality
+#     IS accuracy-bearing for the G-invariant) at a ~7-plane peak.
+# HBM traffic: 4 (n, n) planes per matrix per level (~1.2 ms total for
+# B=8, n=704, 10 levels at ~800 GB/s) — noise next to the ~20 ms of VPU
+# sweeps it saves.
+_N_CUBIC_SIGN_LEAN = 12
+_N_CUBIC_SIGN_LEAN_HI = 2
+_PER_LEVEL_MIN_N = 512  # auto threshold: single-shot kernel OOMs past ~560
+
+
+def _dc_level_kernel(segc_ref, segr_ref, om_hbm, t_hbm, g_hbm,
+                     segc_out, segr_out, t_out, g_out,
+                     t_v, g_v, w1, w2, sem, *, n: int, min_seg: int):
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.experimental.pallas as pl
+
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(t_hbm.at[b], t_v, sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(g_hbm.at[b], g_v, sem)
+    cp.start()
+    cp.wait()
+
+    dt = t_v.dtype
+    hi = lax.Precision.HIGHEST
+    qa, qb, qc = (jnp.asarray(v, dt) for v in _QUINTIC)
+    icol = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    irow = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def eyem():
+        return (icol == irow).astype(dt)
+
+    segc = segc_ref[0]                                          # (n, 1)
+    segr = segr_ref[0]                                          # (1, n)
+    seg_eq = segc == segr
+    seg_eqf = seg_eq.astype(dt)
+    sizes_c = jnp.sum(seg_eqf, axis=1, keepdims=True).astype(jnp.int32)
+    sizes_r = jnp.sum(seg_eqf, axis=0, keepdims=True).astype(jnp.int32)
+    starts_c = jnp.sum((segr < segc).astype(dt), axis=1,
+                       keepdims=True).astype(jnp.int32)
+    starts_r = jnp.sum((segc < segr).astype(dt), axis=0,
+                       keepdims=True).astype(jnp.int32)
+    froz_c = sizes_c <= min_seg
+    froz_r = sizes_r <= min_seg
+    live = jnp.logical_not(froz_c | froz_r).astype(dt)
+
+    Tval = t_v[...]
+    dc = jnp.sum(Tval * eyem(), axis=1, keepdims=True)          # (n, 1)
+    dr = jnp.sum(Tval * eyem(), axis=0, keepdims=True)          # (1, n)
+    lt2 = (dc < dr) | ((dc == dr) & (icol < irow))
+    rank_r = jnp.sum(seg_eqf * lt2.astype(dt), axis=0,
+                     keepdims=True).astype(jnp.int32)           # (1, n)
+    lo_t = (sizes_c - 1) // 2
+    hi_t = sizes_c // 2
+    is_lo = seg_eqf * (rank_r == lo_t).astype(dt)
+    is_hi = seg_eqf * (rank_r == hi_t).astype(dt)
+    sigma = 0.5 * (jnp.sum(is_lo * dr, axis=1, keepdims=True)
+                   + jnp.sum(is_hi * dr, axis=1, keepdims=True))
+
+    C = Tval * seg_eqf - sigma * eyem()
+    col1 = jnp.sum(jnp.abs(C), axis=0, keepdims=True)           # (1, n)
+    bound = jnp.max(seg_eqf * col1, axis=1, keepdims=True)      # (n, 1)
+    # frozen/dead rows start exactly zero (live mask) and the cubic map
+    # keeps them zero — no per-step masking needed
+    w1[...] = C * live / (1.01 * bound + jnp.asarray(1e-30, dt))
+
+    def sign_cubic(_, c):
+        w2[...] = _dot(w1[...], w1[...])
+        w1[...] = 1.5 * w1[...] - 0.5 * _dot(w1[...], w2[...])
+        return c
+
+    def sign_cubic_hi(_, c):
+        w2[...] = _dot(w1[...], w1[...], prec=hi)
+        w1[...] = 1.5 * w1[...] - 0.5 * _dot(w1[...], w2[...], prec=hi)
+        return c
+
+    lax.fori_loop(0, _N_CUBIC_SIGN_LEAN, sign_cubic, 0)
+    lax.fori_loop(0, _N_CUBIC_SIGN_LEAN_HI, sign_cubic_hi, 0)
+
+    # P = (I - E)/2 on live segments; E = w1
+    w1[...] = 0.5 * (eyem() * seg_eqf - w1[...]) * live
+    pd_c = jnp.sum(w1[...] * eyem(), axis=1, keepdims=True)     # (n, 1)
+    pd_r = jnp.sum(w1[...] * eyem(), axis=0, keepdims=True)     # (1, n)
+    tr_c = jnp.sum(seg_eqf * pd_r, axis=1, keepdims=True)       # (n, 1)
+    tr_r = jnp.sum(seg_eqf * pd_c, axis=0, keepdims=True)       # (1, n)
+    r_c = jnp.clip(jnp.round(tr_c).astype(jnp.int32), 0, sizes_c)
+    r_r = jnp.clip(jnp.round(tr_r).astype(jnp.int32), 0, sizes_r)
+    low_c = ((icol - starts_c) < r_c) & jnp.logical_not(froz_c)
+    low_r = ((irow - starts_r) < r_r) & jnp.logical_not(froz_r)
+
+    cp = pltpu.make_async_copy(om_hbm, w2, sem)
+    cp.start()
+    cp.wait()
+    fro_any = (froz_c | froz_r).astype(dt)
+    w2[...] = (fro_any * eyem() + (1.0 - fro_any) * w2[...]) * seg_eqf
+    POm = _dot(w1[...], w2[...])
+    w2[...] = jnp.where(low_r, POm, w2[...] - POm)              # Y
+    coln = jnp.sqrt(jnp.sum(w2[...] * w2[...], axis=0, keepdims=True))
+    Y = w2[...] / (coln + jnp.asarray(1e-20, dt))
+    rsum_c = jnp.sum(jnp.abs(Y), axis=1, keepdims=True)         # (n, 1)
+    csum_r = jnp.sum(jnp.abs(Y), axis=0, keepdims=True)         # (1, n)
+    rmax_r = jnp.max(seg_eqf * rsum_c, axis=0, keepdims=True)
+    cmax_c = jnp.max(seg_eqf * csum_r, axis=1, keepdims=True)
+    cmax_row = jnp.max(seg_eqf * cmax_c, axis=0, keepdims=True)
+    scale_r = 1.01 * jnp.sqrt(rmax_r * cmax_row) + jnp.asarray(1e-30, dt)
+    w2[...] = Y / scale_r
+
+    def polar_quintic(_, c):
+        w1[...] = _dot_t(w2[...], w2[...])
+        w2[...] = _dot(w2[...], qa * eyem() + qb * w1[...]
+                       + qc * _dot(w1[...], w1[...]))
+        return c
+
+    def polar_cubic(_, c):
+        w1[...] = _dot_t(w2[...], w2[...])
+        w2[...] = 1.5 * w2[...] - 0.5 * _dot(w2[...], w1[...])
+        return c
+
+    def polar_cubic_hi(_, c):
+        w1[...] = _dot_t(w2[...], w2[...], prec=hi)
+        w2[...] = 1.5 * w2[...] - 0.5 * _dot(w2[...], w1[...], prec=hi)
+        return c
+
+    lax.fori_loop(0, _N_QUINTIC_POLAR, polar_quintic, 0)
+    lax.fori_loop(0, _N_CUBIC_POLAR, polar_cubic, 0)
+    lax.fori_loop(0, _N_CUBIC_POLAR_HI, polar_cubic_hi, 0)
+
+    # T <- Q^T T Q, symmetrize, mask to (old) blocks; Q = w2
+    w1[...] = _dot(t_v[...], w2[...], prec=hi)                  # T Q
+    t_v[...] = _dot_t(w2[...], w1[...], prec=hi)                # Q^T T Q
+    w1[...] = _dot_t(t_v[...], eyem())                          # transpose
+    t_v[...] = 0.5 * (t_v[...] + w1[...]) * seg_eqf
+    w1[...] = _dot_t(w2[...], g_v[...], prec=hi)                # Q^T G0
+    g_v[...] = w1[...]
+
+    segc_out[0] = segc * 2 + jnp.where(low_c | froz_c, 0, 1)
+    segr_out[0] = segr * 2 + jnp.where(low_r | froz_r, 0, 1)
+    cp = pltpu.make_async_copy(t_v, t_out.at[b], sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(g_v, g_out.at[b], sem)
+    cp.start()
+    cp.wait()
+
+
+def _dc_per_level(a: jnp.ndarray, om: jnp.ndarray, levels: int,
+                  min_seg: int, interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, _ = a.shape
+    dt = a.dtype
+    T = 0.5 * (a + jnp.swapaxes(a, -1, -2))
+    g = a
+    segc = jnp.zeros((B, n, 1), jnp.int32)
+    segr = jnp.zeros((B, 1, n), jnp.int32)
+
+    kernel = functools.partial(_dc_level_kernel, n=n, min_seg=min_seg)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, n), jnp.int32),
+            jax.ShapeDtypeStruct((B, n, n), dt),
+            jax.ShapeDtypeStruct((B, n, n), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, n), dt)] * 4
+        + [pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )
+    for _ in range(levels):
+        segc, segr, T, g = call(segc, segr, om, T, g)
+    return g
+
+
 def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
                         min_seg: int = 2,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        per_level: Optional[bool] = None) -> jnp.ndarray:
     """``G0 = Q^T a`` warm-start panels for (B, n, n) symmetric ``a``
-    (the Jacobi caller passes the shifted, padded matrix).  f32 only."""
+    (the Jacobi caller passes the shifted, padded matrix).
+
+    ``per_level`` (default: auto — n > 512) streams the level recursion
+    through HBM one level per kernel launch, fitting VMEM for
+    512 < n <= 1024; the single-shot kernel is faster below that."""
     from jax.experimental import pallas as pl
 
     B, n, _ = a.shape
     om = jax.random.normal(jax.random.PRNGKey(1803), (n, n), a.dtype)
+    if per_level is None:
+        per_level = n > _PER_LEVEL_MIN_N
+    if per_level:
+        return _dc_per_level(a, om, levels, min_seg, interpret)
 
     # one matrix per program: the level loop is a long dependent matmul
     # chain, so stacking does not grow op sizes (unlike the sweep

@@ -486,12 +486,13 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     a = a + sigma[:, None, None] * eye
 
     if precondition is None:
-        # n <= 512: the DC level body holds ~10 live (n, n) f32 planes,
-        # which exceeds the 16 MB scoped-VMEM budget past npad ~ 560
-        # (measured OOM at 704: 34.9 MB requested); below ~192 the cold
-        # kernel is already overhead-bound and the DC adds more than it
-        # saves
-        precondition = (not iscomplex) and 192 <= n <= 512
+        # below ~192 the cold kernel is already overhead-bound and the DC
+        # adds more than it saves.  n <= 512 runs the single-shot DC
+        # kernel; past that dc_precondition_tpu auto-switches to the
+        # per-level HBM-streamed variant (the single-shot level body
+        # holds ~10 live (n, n) planes and OOMs past npad ~ 560 —
+        # measured 34.9 MB requested at n=704 vs the ~16 MB VMEM)
+        precondition = (not iscomplex) and 192 <= n <= 1024
     if iscomplex:
         # G^T rows must hold g_i = column i of G = A; A hermitian means
         # column i = conj(row i), so the planes are (Re A, -Im A)
