@@ -21,6 +21,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    Each XLA:CPU executable holds several live memory mappings; the full
+    suite compiles thousands of programs and walks into the kernel's
+    vm.max_map_count ceiling (65,530 by default) near the end of the run,
+    at which point a failed mmap inside LLVM segfaults the process (seen
+    as a crash in backend_compile_and_load on the last test file).
+    Clearing per module bounds the live-executable population while still
+    letting parametrized tests within a module share compilations.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(100)
