@@ -135,6 +135,34 @@ class TestJacobiPreconditioned:
         orth = jnp.einsum("bji,bjk->bik", Vw, Vw, precision=HI) \
             - jnp.eye(n)
         assert float(jnp.max(jnp.abs(orth))) < 5e-6
+        # warm vs cold parity: same eigenvalues to kernel tolerance, and
+        # the warm residual is no worse than 2x the cold one
+        assert float(jnp.max(jnp.abs(lamw - lamc))) < 5e-5
+        Rc = jnp.einsum("bij,bjk->bik", A, Vc, precision=HI) \
+            - Vc * lamc[:, None, :]
+        rw = float(jnp.max(jnp.abs(R)))
+        rc = float(jnp.max(jnp.abs(Rc)))
+        assert rw < max(2.0 * rc, 1e-5), (rw, rc)
+
+    def test_complex_precondition_rejected(self):
+        a = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 64))
+        A = (a + 1j * a).astype(jnp.complex64)
+        A = A @ jnp.swapaxes(A, -1, -2).conj()
+        with pytest.raises(ValueError, match="complex"):
+            jacobi_eigh(A, precondition=True)
+
+    def test_per_level_vmap(self, monkeypatch):
+        # the per-level kernel indexes HBM refs by program_id(0); the
+        # custom_vmap rule must fold the vmap axis into the batch axis
+        # (without it, Pallas's batching rule prepends the vmap axis to
+        # the grid and every program would address the wrong matrix)
+        from xitorch_tpu.ops import dc_kernel
+        monkeypatch.setattr(dc_kernel, "_PER_LEVEL_MIN_N", 0)
+        A = _spd(jax.random.PRNGKey(13), 3, 96)
+        lam_b, _ = jacobi_eigh(A, precondition=True)
+        lam_v, _ = jax.vmap(
+            lambda m: jacobi_eigh(m, precondition=True))(A[:, None])
+        assert jnp.allclose(lam_b, lam_v[:, 0], atol=1e-4)
 
     def test_clustered_spectrum(self):
         n = 96

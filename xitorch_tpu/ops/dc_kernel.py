@@ -233,6 +233,9 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
 _N_CUBIC_SIGN_LEAN = 12
 _N_CUBIC_SIGN_LEAN_HI = 2
 _PER_LEVEL_MIN_N = 512  # auto threshold: single-shot kernel OOMs past ~560
+_PER_LEVEL_MAX_N = 704  # ~7 live (n, n) f32 planes peak = 13.9 MB at
+# npad=704 (measured fit); npad=768 would need 16.5 MB against the ~16 MB
+# scoped-VMEM budget, so larger matrices must run the cold sweep kernel
 
 
 def _dc_level_kernel(segc_ref, segr_ref, om_hbm, t_hbm, g_hbm,
@@ -373,6 +376,33 @@ def _dc_level_kernel(segc_ref, segr_ref, om_hbm, t_hbm, g_hbm,
 
 def _dc_per_level(a: jnp.ndarray, om: jnp.ndarray, levels: int,
                   min_seg: int, interpret: bool) -> jnp.ndarray:
+    """vmap-safe entry: the level kernel indexes HBM refs with
+    ``pl.program_id(0)`` by hand (``.at[b]`` DMA), and Pallas's batching
+    rule prepends the vmap axis to the grid — which would silently remap
+    ``program_id(0)`` to the vmap index.  A custom_vmap rule folds the
+    vmap axis into the batch axis instead (the kernel is one independent
+    matrix per program, so flattening is exact)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(a, om):
+        return _dc_per_level_impl(a, om, levels, min_seg, interpret)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, a, om):  # noqa: ANN001
+        a_b, om_b = in_batched
+        if not a_b:
+            a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+        if om_b:
+            # om is a shared (n, n) probe; all batch members use row 0
+            om = om[0]
+        out = run(a.reshape((-1,) + a.shape[-2:]), om)
+        return out.reshape((axis_size, -1) + out.shape[-2:]), True
+
+    return run(a, om)
+
+
+def _dc_per_level_impl(a: jnp.ndarray, om: jnp.ndarray, levels: int,
+                       min_seg: int, interpret: bool) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -432,6 +462,13 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
     if per_level is None:
         per_level = n > _PER_LEVEL_MIN_N
     if per_level:
+        if n > _PER_LEVEL_MAX_N and not interpret:
+            raise ValueError(
+                "dc_precondition_tpu per-level kernel supports n <= %d "
+                "(VMEM: ~7 live (n, n) planes; %d would need %.1f MB "
+                "against the ~16 MB scoped-VMEM budget) — run the Jacobi "
+                "kernel unpreconditioned for larger matrices"
+                % (_PER_LEVEL_MAX_N, n, 7 * n * n * 4 / 1e6))
         return _dc_per_level(a, om, levels, min_seg, interpret)
 
     # one matrix per program: the level loop is a long dependent matmul

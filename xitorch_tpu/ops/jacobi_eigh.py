@@ -423,7 +423,8 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     multiple of 16 internally (padding eigenvalues are placed above the
     Gershgorin range and sliced off).
 
-    ``precondition`` (default: auto — real input with n >= 192) runs the
+    ``precondition`` (default: auto — real input, 192 <= n <= 704; the
+    upper cap is the per-level DC kernel's VMEM ceiling) runs the
     MXU spectral divide-and-conquer sort first (``ops/dc_kernel.py``)
     and hands the sweep kernel ``G0 = Q^T A_shift`` instead of
     ``A_shift``.  The sweep kernel's G-invariant (G = R^T A_shift with R
@@ -491,8 +492,18 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
         # kernel; past that dc_precondition_tpu auto-switches to the
         # per-level HBM-streamed variant (the single-shot level body
         # holds ~10 live (n, n) planes and OOMs past npad ~ 560 —
-        # measured 34.9 MB requested at n=704 vs the ~16 MB VMEM)
-        precondition = (not iscomplex) and 192 <= n <= 1024
+        # measured 34.9 MB requested at n=704 vs the ~16 MB VMEM).  The
+        # per-level variant itself peaks at ~7 planes, which caps it at
+        # npad <= _PER_LEVEL_MAX_N (= 704); above that the sweep kernel
+        # runs cold (correct, just more sweeps).
+        from .dc_kernel import _PER_LEVEL_MAX_N
+        precondition = (not iscomplex) and 192 <= n <= _PER_LEVEL_MAX_N
+    elif precondition and iscomplex:
+        raise ValueError(
+            "jacobi_eigh: precondition=True is not supported for complex "
+            "input (the DC kernel operates on real symmetric matrices; "
+            "the complex path packs [Re|Im] planes which the segment "
+            "bookkeeping does not model) — leave precondition=None/False")
     if iscomplex:
         # G^T rows must hold g_i = column i of G = A; A hermitian means
         # column i = conj(row i), so the planes are (Re A, -Im A)

@@ -36,8 +36,9 @@ MXU matmul costs ~0.2 us.  That dictates the algorithm: **matmuls only**
   with per-matrix split topology.
 
 This file holds the XLA reference implementation (runs anywhere, used
-by the CPU tests and as the semantic spec); ``_dc_kernel`` in this file
-is the Pallas port used on TPU.  The level loop:
+by the CPU tests and as the semantic spec); the Pallas port used on TPU
+(``_dc_kernel`` / ``_dc_level_kernel``) lives in ``ops/dc_kernel.py``.
+The level loop:
 
   1. ``sigma_s`` = per-segment median of ``diag(T)`` (after one level
      the diagonal approximates eigenvalues, so splits self-balance).
@@ -139,7 +140,7 @@ def _seg_median(d, seg_eq, sizes):
     return 0.5 * (lo + hi)
 
 
-def _dc_level(T, Qtot, seg, om, level, min_seg, dt):
+def _dc_level(T, Qtot, seg, om, min_seg, dt):
     """One divide level on (B, n, n) state; returns updated (T, Qtot,
     seg)."""
     B, n, _ = T.shape
@@ -218,21 +219,21 @@ def spectral_sort_basis(A: jnp.ndarray, *, levels: int = 5,
     T = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     Qtot = jnp.broadcast_to(jnp.eye(n, dtype=dt), (B, n, n))
     seg = jnp.zeros((B, n), jnp.int32)
-    for level in range(levels):
-        T, Qtot, seg = _dc_level(T, Qtot, seg, om, level, min_seg, dt)
+    for _ in range(levels):
+        T, Qtot, seg = _dc_level(T, Qtot, seg, om, min_seg, dt)
     return Qtot
 
 
 def dc_precondition(a_shift: jnp.ndarray, *, levels: int = 5,
-                    min_seg: int = 4,
-                    interpret: bool = False) -> jnp.ndarray:
+                    min_seg: int = 4) -> jnp.ndarray:
     """``G0 = Q^T a_shift`` with Q from the spectral sort — the
     warm-start panel for the one-sided Jacobi kernel (its rows are
     ``q_i^T A_shift``; the kernel's G-only invariant is preserved
     because G0 = (Q R_jac)^T A_shift at every later stage).
 
-    XLA fallback composition; the TPU path dispatches the fused Pallas
-    kernel from ``ops.dc_kernel``.
+    XLA composition, runs anywhere — the production TPU path is
+    ``ops.dc_kernel.dc_precondition_tpu`` (the fused Pallas port), which
+    ``jacobi_eigh`` dispatches directly.
     """
     Q = spectral_sort_basis(a_shift, levels=levels, min_seg=min_seg)
     return jnp.matmul(jnp.swapaxes(Q, -1, -2), a_shift,
