@@ -84,6 +84,14 @@ def mh(logpfcn: Callable, x0: jnp.ndarray, pparams=(),
                               ).astype(x0.dtype) * step_size
     noise = noise.at[0].set(0.0)
     x0s = x0[None] + noise
+    # domain guard: a dispersed start may leave logpfcn's support (log,
+    # sqrt, ... inside the density -> nan/-inf), and a chain started at
+    # logp=nan never accepts a move (nan comparisons are False) — snap
+    # such chains back to the user's x0, which the reference contract
+    # guarantees is evaluable
+    logp0 = jax.vmap(lambda xc: logpfcn(xc, *pparams))(x0s)
+    ok = jnp.isfinite(logp0).reshape((nchains,) + (1,) * x0.ndim)
+    x0s = jnp.where(ok, x0s, x0[None])
 
     samples = jax.vmap(run_chain)(x0s, ckeys)        # (nchains, spc, ...)
     samples = samples.reshape(nchains * spc, *x0.shape)

@@ -22,8 +22,8 @@ from jax import lax
 
 from xitorch_tpu._core.linop import LinearOperator, MatrixLinearOperator
 from xitorch_tpu._impls.linalg.solve import (
-    bicgstab, broyden1_solve, cg, cg_ir, exactsolve, get_batchdims, gmres,
-    minres, scipy_gmres,
+    _make_info, bicgstab, broyden1_solve, cg, cg_ir, exactsolve,
+    get_batchdims, gmres, minres, scipy_gmres,
 )
 from xitorch_tpu.debug.modes import is_debug_enabled
 from xitorch_tpu.utils.exceptions import ConvergenceWarning
@@ -123,11 +123,7 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
             stop = jnp.maximum(jnp.maximum(rtol * bn, atol),
                                100 * eps_d * scale)
             rel = jnp.max(r / stop)
-            info = {"converged": (rel < 1.0).astype(jnp.float32),
-                    "iterations": jnp.asarray(1.0, jnp.float32),
-                    "resid": jnp.max(r).astype(jnp.float32),
-                    "resid_rel": rel.astype(jnp.float32)}
-            return x, info
+            return x, _make_info(rel < 1.0, 1.0, jnp.max(r), rel)
         return x
 
     rank = A.V.shape[-1] if A.V is not None else 1
@@ -154,13 +150,7 @@ def _structured_cg(A, B, E=None, M=None, rtol: float = 1e-6,
         bnorm = jnp.linalg.norm(bT, axis=-1)
         stop = jnp.maximum(rtol * bnorm, atol)
         rel = jnp.max(rc / stop)
-        info = {
-            "converged": (rel < 1.0).astype(jnp.float32),
-            "iterations": jnp.max(it),
-            "resid": jnp.max(rc).astype(jnp.float32),
-            "resid_rel": rel.astype(jnp.float32),
-        }
-        return x, info
+        return x, _make_info(rel < 1.0, jnp.max(it), jnp.max(rc), rel)
     return x
 
 
@@ -194,7 +184,11 @@ def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
     # saturated — info reports converged=0 for them, since the residual
     # of an ~1/eps-sized x is numerically meaningless
     eps_c = float(jnp.finfo(comb.real.dtype).eps)
-    floor = eps_c * (jnp.max(jnp.abs(comb)) + 1e-300)
+    # per-batch scale: a global max would inflate the floor (and the
+    # backward-error stop below) for small-scale batch elements
+    abs_flat = jnp.abs(comb).reshape(*comb.shape[:-len(A.dims)], N)
+    anorm_b = jnp.max(abs_flat, axis=-1)  # (*batch,) spectral norm
+    floor = eps_c * (anorm_b[..., None, None] + 1e-300)
     singular = jnp.abs(denom) < floor
     denom = jnp.where(singular, jnp.where(denom < 0, -floor, floor), denom)
 
@@ -253,7 +247,8 @@ def _kron_direct(A, B, E=None, M=None, return_info: bool = False,
         # — not ||Ax|| — is the standard scale, which matters exactly on
         # the ill-conditioned systems where x has large null-ish modes)
         eps_d = float(jnp.finfo(x.real.dtype).eps)
-        anorm = jnp.max(jnp.abs(comb))  # spectral norm, exact for Kron
+        anorm = anorm_b[..., None]  # (*batch, 1): exact per-batch
+        # spectral norm for Kron (max |combined eigenvalue|)
         if E is not None:  # per-column pencil norm ||A - e_j||
             anorm = anorm + jnp.abs(E)
         xn = jnp.linalg.norm(x, axis=-2)

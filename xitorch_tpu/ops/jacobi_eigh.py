@@ -91,7 +91,7 @@ __all__ = ["jacobi_eigh", "use_jacobi_for"]
 
 # global switch: xitorch_tpu._impls.linalg.symeig.degen_eigh dispatches the
 # dense decomposition here when `use_jacobi_for` approves (TPU, f32 real or
-# c64 hermitian, 64 <= n <= 1024)
+# c64 hermitian n <= 512, f32 real n <= 832 — the VMEM-budget cap)
 ENABLED = True
 
 
@@ -100,6 +100,15 @@ _UNROLL = 6  # tournament rounds fused per fori_loop iteration
 # with the old kernel; the same plateau holds for the norm-carrying one)
 
 _M_CAP = 8  # max matrices stacked per grid program
+_VMEM_BUDGET = 14 * 1024 * 1024  # of the ~16 MB scoped VMEM
+
+
+def _panel_bytes(n: int, width: int) -> int:
+    """Modeled VMEM footprint of ONE matrix in the sweep kernel: in + out
+    blocks with pipeline double-buffering (~4 n*width planes) plus the
+    round loop's live top/bot temporaries (~1 plane).  Validated by the
+    measured 18.7 MB OOM at n=704, m=2 (model: 19.8 MB)."""
+    return 5 * n * width * 4
 
 
 def _mats_per_program(n: int, complexpair: bool, batch: int) -> int:
@@ -113,16 +122,16 @@ def _mats_per_program(n: int, complexpair: bool, batch: int) -> int:
     so m > B multiplies the VPU work by m/B for nothing (B=1 grid points
     paid 8x)."""
     width = 2 * n if complexpair else n
-    bytes_per_mat = 5 * n * width * 4
-    budget = 14 * 1024 * 1024
-    m = max(1, min(_M_CAP, budget // max(bytes_per_mat, 1)))
+    bytes_per_mat = _panel_bytes(n, width)
+    m = max(1, min(_M_CAP, _VMEM_BUDGET // max(bytes_per_mat, 1)))
     return min(m, max(batch, 1))
 
 
 def _rot_coeffs(nt, nb, gam_abs2, gam_for_zeta, tol2, dt, eps_floor):
     """Jacobi rotation (c, s) for column pairs with carried squared norms
     ``nt``/``nb`` and pair dot ``gam_for_zeta`` (|gamma| for the complex
-    path).  Returns (c, s, live, ratio)."""
+    path).  Returns (c, s, ratio); dead pairs (ratio below the skip
+    threshold) get the identity rotation."""
     ab = nt * nb
     ratio = gam_abs2 / jnp.maximum(ab, eps_floor)      # cos^2 angle
     # skip already-orthogonal (or zero) pairs
@@ -375,6 +384,13 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     from jax.experimental import pallas as pl
 
     B, n, width = a.shape
+    if not interpret and _panel_bytes(n, width) > _VMEM_BUDGET:
+        raise ValueError(
+            "jacobi_eigh sweep kernel: one (%d, %d) panel needs %.1f MB "
+            "of VMEM against the ~16 MB scoped budget (model: 5 planes "
+            "with pipeline double-buffering) — use jnp.linalg.eigh / "
+            "symeig(method=\"exacteig\") for matrices this large"
+            % (n, width, _panel_bytes(n, width) / 1e6))
     m = _mats_per_program(n, complexpair, B)
     if B % m:
         # pad the batch with identity-like matrices (diag already set by
@@ -571,10 +587,18 @@ def use_jacobi_for(A: jnp.ndarray) -> bool:
             and A.ndim >= 2
             and A.shape[-1] == A.shape[-2]):
         return False
+    n = A.shape[-1]
+    npad = max(16, -(-n // 16) * 16)
     if jnp.iscomplexobj(A):
+        # [Re|Im] plane packing doubles the panel width; keep the
+        # explicit 512 cap (the validated window) even though the VMEM
+        # model would admit ~592
         ok_dtype = A.dtype == jnp.complex64
-        nmax = 512  # two planes: half the real budget
+        ok_size = npad <= 512 and _panel_bytes(npad, 2 * npad) <= _VMEM_BUDGET
     else:
+        # budget-derived cap: 5*npad^2*4 <= 14 MB <=> npad <= 832; past
+        # that a single matrix's panel would blow the scoped VMEM and
+        # Mosaic fails at compile time, so fall back to XLA eigh
         ok_dtype = A.dtype == jnp.float32
-        nmax = 1024
-    return bool(ok_dtype and 64 <= A.shape[-1] <= nmax)
+        ok_size = _panel_bytes(npad, npad) <= _VMEM_BUDGET
+    return bool(ok_dtype and 64 <= n and ok_size)

@@ -24,6 +24,12 @@ def _git_version(base: str) -> str:
                 ["git", *args], cwd=here, capture_output=True, text=True,
                 timeout=5, check=True).stdout.strip()
 
+        # only report a hash if the discovered repo actually tracks THIS
+        # package — a pip-installed copy inside some unrelated checkout
+        # (e.g. a project-local venv) would otherwise report the user's
+        # repo hash and run `git status` over their whole working tree
+        # (raises -> base if the file is untracked)
+        run("ls-files", "--error-unmatch", os.path.abspath(__file__))
         short = run("rev-parse", "--short", "HEAD")
         dirty = bool(run("status", "--porcelain", "--untracked-files=no"))
         return "%s.dev0+g%s%s" % (base, short, ".dirty" if dirty else "")
