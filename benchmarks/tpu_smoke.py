@@ -138,7 +138,7 @@ def main():
           and float(jnp.max(jnp.abs(Rj))) < 5e-4,
           "lam err=%.1e resid=%.1e" % (errj, float(jnp.max(jnp.abs(Rj)))))
 
-    # 9b. Jacobi at n=700 (the extended 512<n<=832 window, odd n padding)
+    # 9b. Jacobi at n=700 (the extended 512<n<=848 window, odd n padding)
     # and the complex-hermitian plane-packed path
     k7 = jax.random.PRNGKey(7)
     a7 = jax.random.normal(k7, (2, 700, 700), jnp.float32) / 700 ** 0.5

@@ -92,6 +92,31 @@ def test_use_jacobi_gate_off_tpu():
     assert not use_jacobi_for(a)
 
 
+def test_vmem_budget_gate_arithmetic(monkeypatch):
+    # the dispatch gate must track the sweep kernel's own VMEM model:
+    # real f32 fits through n=848 (5*848^2*4 = 14.38e6 <= 14 MiB) and
+    # not past it (npad=864 -> 14.93e6); complex caps at the validated
+    # 512 window
+    import importlib
+
+    # ops/__init__ re-exports the function under the module's name, so
+    # plain import-as binds the function; go through sys.modules
+    mod = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+    monkeypatch.setattr(mod.jax, "default_backend", lambda: "tpu")
+    for n, ok in [(64, True), (100, True), (700, True), (848, True),
+                  (849, False), (864, False), (1024, False), (63, False)]:
+        a = jnp.zeros((n, n), jnp.float32)
+        assert mod.use_jacobi_for(a) == ok, (n, ok)
+    for n, ok in [(128, True), (512, True), (513, False)]:
+        c = jnp.zeros((n, n), jnp.complex64)
+        assert mod.use_jacobi_for(c) == ok, (n, ok)
+    # a single matrix past the budget raises a clear error (not a Mosaic
+    # OOM) when someone calls the kernel entry directly, compiled mode
+    with pytest.raises(ValueError, match="VMEM"):
+        mod._pallas_g_panel(jnp.zeros((1, 1024, 1024), jnp.float32),
+                            1, 1e-5, interpret=False, complexpair=False)
+
+
 def test_degen_eigh_unchanged_on_cpu():
     # degen_eigh (the dispatch site) still matches eigh + gradients on CPU
     from xitorch_tpu._impls.linalg.symeig import degen_eigh

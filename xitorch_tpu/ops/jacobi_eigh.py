@@ -91,7 +91,7 @@ __all__ = ["jacobi_eigh", "use_jacobi_for"]
 
 # global switch: xitorch_tpu._impls.linalg.symeig.degen_eigh dispatches the
 # dense decomposition here when `use_jacobi_for` approves (TPU, f32 real or
-# c64 hermitian n <= 512, f32 real n <= 832 — the VMEM-budget cap)
+# c64 hermitian n <= 512, f32 real n <= 848 — the VMEM-budget cap)
 ENABLED = True
 
 
@@ -596,7 +596,7 @@ def use_jacobi_for(A: jnp.ndarray) -> bool:
         ok_dtype = A.dtype == jnp.complex64
         ok_size = npad <= 512 and _panel_bytes(npad, 2 * npad) <= _VMEM_BUDGET
     else:
-        # budget-derived cap: 5*npad^2*4 <= 14 MB <=> npad <= 832; past
+        # budget-derived cap: 5*npad^2*4 <= 14 MiB <=> npad <= 848; past
         # that a single matrix's panel would blow the scoped VMEM and
         # Mosaic fails at compile time, so fall back to XLA eigh
         ok_dtype = A.dtype == jnp.float32
