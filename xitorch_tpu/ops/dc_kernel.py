@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .spectral_dc import _QUINTIC
+from .spectral_dc import _QUINTIC, _RANK_SAFE_BETA
 
 __all__ = ["dc_precondition_tpu"]
 
@@ -173,7 +173,12 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
             fro_any = (froz_c | froz_r).astype(dt)
             omb = (fro_any * eyem + (1.0 - fro_any) * om) * seg_eqf
             POm = _dot(P, omb)
-            Y = jnp.where(low_r, POm, omb - POm)
+            # rank-safety blend — see spectral_dc.py at the Y
+            # construction: a wrongly-rounded projector rank makes the
+            # hard slot split rank-deficient and unorthogonalizable
+            beta = jnp.asarray(_RANK_SAFE_BETA, dt)
+            Y = ((1.0 - beta) * jnp.where(low_r, POm, omb - POm)
+                 + beta * omb)
             coln = jnp.sqrt(jnp.sum(Y * Y, axis=0, keepdims=True))
             Y = Y / (coln + jnp.asarray(1e-20, dt))
             rsum_c = jnp.sum(jnp.abs(Y), axis=1, keepdims=True)    # (n,1)
@@ -233,9 +238,17 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
 _N_CUBIC_SIGN_LEAN = 12
 _N_CUBIC_SIGN_LEAN_HI = 2
 _PER_LEVEL_MIN_N = 512  # auto threshold: single-shot kernel OOMs past ~560
-_PER_LEVEL_MAX_N = 704  # ~7 live (n, n) f32 planes peak = 13.9 MB at
-# npad=704 (measured fit); npad=768 would need 16.5 MB against the ~16 MB
-# scoped-VMEM budget, so larger matrices must run the cold sweep kernel
+_PER_LEVEL_MAX_N = 768  # ~7 live (n, n) f32 planes peak; 768 needs the
+# raised vmem_limit_bytes below (16.5 MB vs the 16 MB default scope —
+# physical VMEM is far larger, the 16 MB is only the compiler's default
+# pipelining budget and this kernel owns the core); past 768 the next
+# admissible size is 896 (22.5 MB) which we have not validated, so larger
+# matrices run the cold sweep kernel
+_PER_LEVEL_VMEM_BYTES = 20 * 1024 * 1024
+# Mosaic memref_slice: manual DMA of (n, n) HBM slices requires the minor
+# dim to be 128-lane aligned, so the per-level path only admits n % 128 == 0
+# (jacobi_eigh pads to the next 128 boundary before calling in)
+_PER_LEVEL_ALIGN = 128
 
 
 def _dc_level_kernel(segc_ref, segr_ref, om_hbm, t_hbm, g_hbm,
@@ -325,7 +338,13 @@ def _dc_level_kernel(segc_ref, segr_ref, om_hbm, t_hbm, g_hbm,
     fro_any = (froz_c | froz_r).astype(dt)
     w2[...] = (fro_any * eyem() + (1.0 - fro_any) * w2[...]) * seg_eqf
     POm = _dot(w1[...], w2[...])
-    w2[...] = jnp.where(low_r, POm, w2[...] - POm)              # Y
+    # rank-safety blend — see spectral_dc.py at the Y construction: a
+    # wrongly-rounded projector rank makes the hard slot split
+    # rank-deficient and unorthogonalizable (observed at n=704/768:
+    # G-invariant error 1e-5..1e-3 vs the 8e-7 healthy floor)
+    beta = jnp.asarray(_RANK_SAFE_BETA, dt)
+    w2[...] = ((1.0 - beta) * jnp.where(low_r, POm, w2[...] - POm)
+               + beta * w2[...])                                # Y
     coln = jnp.sqrt(jnp.sum(w2[...] * w2[...], axis=0, keepdims=True))
     Y = w2[...] / (coln + jnp.asarray(1e-20, dt))
     rsum_c = jnp.sum(jnp.abs(Y), axis=1, keepdims=True)         # (n, 1)
@@ -413,10 +432,21 @@ def _dc_per_level_impl(a: jnp.ndarray, om: jnp.ndarray, levels: int,
     segc = jnp.zeros((B, n, 1), jnp.int32)
     segr = jnp.zeros((B, 1, n), jnp.int32)
 
+    extra = {}
+    if not interpret:
+        _Params = getattr(pltpu, "CompilerParams",
+                          getattr(pltpu, "TPUCompilerParams", None))
+        if _Params is not None:
+            # npad=768 holds ~16.5 MB live against the compiler's 16 MB
+            # *default* pipelining budget; this kernel owns the core, so
+            # raise the scope (physical VMEM is much larger)
+            extra["compiler_params"] = _Params(
+                vmem_limit_bytes=_PER_LEVEL_VMEM_BYTES)
     kernel = functools.partial(_dc_level_kernel, n=n, min_seg=min_seg)
     call = pl.pallas_call(
         kernel,
         grid=(B,),
+        **extra,
         in_specs=[
             pl.BlockSpec((1, n, 1), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
@@ -465,10 +495,16 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
         if n > _PER_LEVEL_MAX_N and not interpret:
             raise ValueError(
                 "dc_precondition_tpu per-level kernel supports n <= %d "
-                "(VMEM: ~7 live (n, n) planes; %d would need %.1f MB "
-                "against the ~16 MB scoped-VMEM budget) — run the Jacobi "
-                "kernel unpreconditioned for larger matrices"
-                % (_PER_LEVEL_MAX_N, n, 7 * n * n * 4 / 1e6))
+                "(VMEM: ~7 live (n, n) planes; %d would need %.1f MB) — "
+                "run the Jacobi kernel unpreconditioned for larger "
+                "matrices" % (_PER_LEVEL_MAX_N, n, 7 * n * n * 4 / 1e6))
+        if n % _PER_LEVEL_ALIGN != 0 and not interpret:
+            raise ValueError(
+                "dc_precondition_tpu per-level kernel requires n to be a "
+                "multiple of %d on hardware (manual HBM DMA slices must "
+                "be lane-aligned; Mosaic rejects a %d-wide memref_slice) "
+                "— pad the matrix to the next %d boundary first, as "
+                "jacobi_eigh does" % (_PER_LEVEL_ALIGN, n, _PER_LEVEL_ALIGN))
         return _dc_per_level(a, om, levels, min_seg, interpret)
 
     # one matrix per program: the level loop is a long dependent matmul

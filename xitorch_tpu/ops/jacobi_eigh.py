@@ -439,8 +439,10 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     multiple of 16 internally (padding eigenvalues are placed above the
     Gershgorin range and sliced off).
 
-    ``precondition`` (default: auto — real input, 192 <= n <= 704; the
-    upper cap is the per-level DC kernel's VMEM ceiling) runs the
+    ``precondition`` (default: auto — real input, 192 <= n <= 768; the
+    upper cap is the per-level DC kernel's VMEM ceiling, and past the
+    single-shot window the problem is padded to a 128-lane boundary so
+    the per-level kernel's manual HBM DMA slices stay aligned) runs the
     MXU spectral divide-and-conquer sort first (``ops/dc_kernel.py``)
     and hands the sweep kernel ``G0 = Q^T A_shift`` instead of
     ``A_shift``.  The sweep kernel's G-invariant (G = R^T A_shift with R
@@ -489,7 +491,33 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     upper = jnp.max(diag + offsum, axis=-1)
     top = (jnp.maximum(upper, 0.0) + sigma).astype(dt)
 
+    from .dc_kernel import (_PER_LEVEL_ALIGN, _PER_LEVEL_MAX_N,
+                            _PER_LEVEL_MIN_N)
+    if precondition is None:
+        # below ~192 the cold kernel is already overhead-bound and the DC
+        # adds more than it saves.  n <= 512 runs the single-shot DC
+        # kernel; past that dc_precondition_tpu auto-switches to the
+        # per-level HBM-streamed variant (the single-shot level body
+        # holds ~10 live (n, n) planes and OOMs past npad ~ 560 —
+        # measured 34.9 MB requested at n=704 vs the 16 MB default
+        # scope); the per-level variant covers npad <= _PER_LEVEL_MAX_N.
+        # Above that the sweep kernel runs cold (correct, more sweeps).
+        precondition = (not iscomplex) and 192 <= n <= _PER_LEVEL_MAX_N
+    elif precondition and iscomplex:
+        raise ValueError(
+            "jacobi_eigh: precondition=True is not supported for complex "
+            "input (the DC kernel operates on real symmetric matrices; "
+            "the complex path packs [Re|Im] planes which the segment "
+            "bookkeeping does not model) — leave precondition=None/False")
+
     npad = max(16, -(-n // 16) * 16)
+    if precondition and npad > _PER_LEVEL_MIN_N:
+        # the per-level DC kernel DMAs (npad, npad) HBM slices by hand, so
+        # the minor dim must be 128-lane aligned (Mosaic memref_slice
+        # rejects e.g. 704); pad the whole problem to the 128 boundary —
+        # padding eigenvalues are placed above the spectrum and sliced off
+        # after the sort, exactly as for the 16-boundary padding
+        npad = -(-n // _PER_LEVEL_ALIGN) * _PER_LEVEL_ALIGN
     if npad != n:
         pad = npad - n
         a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
@@ -502,24 +530,6 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     eye = jnp.eye(npad, dtype=dt)
     a = a + sigma[:, None, None] * eye
 
-    if precondition is None:
-        # below ~192 the cold kernel is already overhead-bound and the DC
-        # adds more than it saves.  n <= 512 runs the single-shot DC
-        # kernel; past that dc_precondition_tpu auto-switches to the
-        # per-level HBM-streamed variant (the single-shot level body
-        # holds ~10 live (n, n) planes and OOMs past npad ~ 560 —
-        # measured 34.9 MB requested at n=704 vs the ~16 MB VMEM).  The
-        # per-level variant itself peaks at ~7 planes, which caps it at
-        # npad <= _PER_LEVEL_MAX_N (= 704); above that the sweep kernel
-        # runs cold (correct, just more sweeps).
-        from .dc_kernel import _PER_LEVEL_MAX_N
-        precondition = (not iscomplex) and 192 <= n <= _PER_LEVEL_MAX_N
-    elif precondition and iscomplex:
-        raise ValueError(
-            "jacobi_eigh: precondition=True is not supported for complex "
-            "input (the DC kernel operates on real symmetric matrices; "
-            "the complex path packs [Re|Im] planes which the segment "
-            "bookkeeping does not model) — leave precondition=None/False")
     if iscomplex:
         # G^T rows must hold g_i = column i of G = A; A hermitian means
         # column i = conj(row i), so the planes are (Re A, -Im A)

@@ -73,6 +73,9 @@ __all__ = ["spectral_sort_basis", "dc_precondition"]
 # map [1e-3, 1] -> 1 +- 1e-3 with intermediate values bounded by 1.21.
 _QUINTIC = (3.4445, -4.7750, 2.0315)
 _N_QUINTIC = 6
+# rank-safety probe blend for the slot split (see comment at the Y
+# construction); shared by the Pallas kernels in dc_kernel.py
+_RANK_SAFE_BETA = 0.02
 _N_CUBIC = 3
 
 
@@ -175,7 +178,19 @@ def _dc_level(T, Qtot, seg, om, min_seg, dt):
     omb = jnp.where(frozen[:, :, None] | frozen[:, None, :],
                     eye, om[None]) * seg_eq
     POm = jnp.matmul(P, omb)
-    Y = jnp.where(low[:, None, :], POm, omb - POm)
+    # rank-safety blend: when a soft projector's trace rounds to the
+    # wrong rank, the hard slot split leaves more low (or high) columns
+    # than range(P) (or its complement) has dimensions — the block goes
+    # rank-deficient and the polar ramp cannot restore orthogonality
+    # (null directions stay null), silently breaking the G-invariant.
+    # Mixing beta of the raw probe back in makes Y full-rank almost
+    # surely at an O(beta) subspace-alignment cost the Jacobi finisher
+    # sweeps away (quadratically: beta couplings -> beta^2 after one
+    # sweep).  beta/scale ~ 4e-4 stays inside the quintic polar basin
+    # (sigma grows ~3.4x/step over 10 steps).
+    Y = ((1.0 - _RANK_SAFE_BETA)
+         * jnp.where(low[:, None, :], POm, omb - POm)
+         + _RANK_SAFE_BETA * omb)
     # scale into sigma <= 1 for the polar ramp: column-normalize, then a
     # segmented Schur bound ||Y_s||_2 <= sqrt(||Y_s||_1 ||Y_s||_inf)
     # (much tighter than sqrt(block size): random normalized blocks sit
