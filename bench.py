@@ -136,13 +136,24 @@ def measure(backend):
             t0 = time.perf_counter()
             float(f(d, c, V, seed))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return ts
 
-    t1 = timed(run1)
-    tK = timed(runK)
-    # marginal per-batch-solve time with the fixed dispatch cost removed
-    per_solve = max((tK - t1) / (k - 1), 1e-9) if k > 1 else t1
-    solves_per_sec = batch / per_solve
+    t1s = sorted(timed(run1))
+    tKs = sorted(timed(runK))
+
+    def per_solve(tK):
+        # marginal per-batch-solve time; min(t1) is the fixed dispatch
+        # cost (the tightest observation of it — t1 outlier reps would
+        # otherwise make the marginal negative)
+        return max((tK - t1s[0]) / (k - 1), 1e-9) if k > 1 else tK
+
+    # headline = best-of-reps (chip capability); median + spread ride
+    # along so cross-round swings are attributable to tunnel weather vs
+    # real regressions (BENCH_r01 2.96M vs r02 1.62M was unexplainable
+    # from a single best-of number)
+    solves_per_sec = batch / per_solve(tKs[0])
+    solves_med = batch / per_solve(tKs[len(tKs) // 2])
+    spread_pct = 100.0 * (tKs[-1] - tKs[0]) / tKs[0]
 
     platform = jax.devices()[0].platform
     print(json.dumps({
@@ -152,6 +163,10 @@ def measure(backend):
         "value": round(solves_per_sec, 2),
         "unit": "solves/sec",
         "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
+        "value_median": round(solves_med, 2),
+        "spread_pct": round(spread_pct, 1),
+        "reps_t1_s": [round(t, 5) for t in t1s],
+        "reps_tK_s": [round(t, 5) for t in tKs],
     }), flush=True)
 
 

@@ -117,6 +117,58 @@ def test_vmem_budget_gate_arithmetic(monkeypatch):
                             1, 1e-5, interpret=False, complexpair=False)
 
 
+def test_dc_dispatch_and_padding_arithmetic():
+    # ADVICE r2: pin the preconditioned-path padding + per-level guards
+    # (the guards fire before any Pallas compile, so interpret=False is
+    # safe to exercise off-TPU)
+    from xitorch_tpu.ops import dc_kernel as dck
+    from xitorch_tpu.ops.jacobi_eigh import _padded_n
+
+    # 16-alignment below the per-level window; 128-alignment above it on
+    # the preconditioned path (the per-level DC kernel's manual HBM DMA)
+    assert _padded_n(100, False) == 112
+    assert _padded_n(100, True) == 112
+    assert _padded_n(512, True) == 512
+    assert _padded_n(513, False) == 528
+    assert _padded_n(513, True) == 640
+    assert _padded_n(700, False) == 704
+    assert _padded_n(700, True) == 768
+    assert _padded_n(768, True) == 768
+    # unaligned n on the per-level path raises a clear error, not a
+    # Mosaic memref_slice failure
+    with pytest.raises(ValueError, match="multiple of 128"):
+        dck.dc_precondition_tpu(jnp.zeros((1, 704, 704), jnp.float32),
+                                interpret=False)
+    # n over the validated VMEM cap raises with the padding caveat
+    with pytest.raises(ValueError, match="supports n <= 768"):
+        dck.dc_precondition_tpu(jnp.zeros((1, 896, 896), jnp.float32),
+                                interpret=False)
+
+
+def test_guard_warm_start_per_matrix_fallback():
+    # the runtime orthogonality guard: healthy panels (G0 = Q^T a with
+    # orthogonal Q) pass through; a rank-deficient Q falls back to the
+    # cold start a — per matrix, not per batch
+    from xitorch_tpu.ops.jacobi_eigh import _guard_warm_start
+
+    n = 32
+    a = _sym(jax.random.PRNGKey(5), (3, n, n), jnp.float32)
+    a = a + 10.0 * jnp.eye(n, dtype=jnp.float32)  # shifted-PSD as in use
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(6),
+                                           (3, n, n), jnp.float32))
+    good = jnp.einsum("bji,bjk->bik", q, a)
+    out = _guard_warm_start(a, good)
+    assert jnp.allclose(out, good)
+    # zero one column of Q: the archetypal rank-deficiency failure
+    qbad = q.at[:, :, 0].set(0.0)
+    bad = jnp.einsum("bji,bjk->bik", qbad, a)
+    mixed = jnp.stack([good[0], bad[1], good[2]])
+    out = _guard_warm_start(a, mixed)
+    assert jnp.allclose(out[0], good[0])
+    assert jnp.allclose(out[1], a[1])  # fell back to the cold start
+    assert jnp.allclose(out[2], good[2])
+
+
 def test_degen_eigh_unchanged_on_cpu():
     # degen_eigh (the dispatch site) still matches eigh + gradients on CPU
     from xitorch_tpu._impls.linalg.symeig import degen_eigh

@@ -214,6 +214,46 @@ class TestJacobiPreconditioned:
         lam40 = np.linalg.eigvalsh(np.asarray(A4, np.float64))
         assert float(jnp.max(jnp.abs(lam4 - lam40))) < 5e-5
 
+    def test_blend_keeps_invariant_in_validated_window(self):
+        # ADVICE r2: the _RANK_SAFE_BETA blend changes the preconditioner
+        # output across the whole window — pin that the G-invariant and
+        # concentration still meet the healthy floor with the blend on
+        import math
+        for n in (192, 256):
+            A = _spd(jax.random.PRNGKey(30 + n), 2, n)
+            levels = max(3, math.ceil(math.log2(n)))  # as jacobi_eigh uses
+            g = dc_precondition_tpu(A, levels=levels, min_seg=2,
+                                    interpret=True)
+            gtg = jnp.einsum("bij,bik->bjk", g, g, precision=HI)
+            a2 = jnp.einsum("bij,bjk->bik", A, A, precision=HI)
+            rel = float(jnp.max(jnp.abs(gtg - a2)) / jnp.max(jnp.abs(a2)))
+            assert rel < 1e-4, (n, rel)
+            gg = jnp.einsum("bij,bkj->bik", g, g, precision=HI)
+            assert _offmass(gg) < 0.25 * _offmass(a2), n
+
+    def test_broken_preconditioner_fails_safe(self, monkeypatch):
+        # a warm panel whose implicit Q lost rank (the failure mode the
+        # blend exists for, observed pre-fix at n=704/768 on hardware)
+        # must be caught by the runtime G-invariant guard in jacobi_eigh
+        # and fall back to the cold sweep — decomposition unaffected
+        from xitorch_tpu.ops import dc_kernel
+
+        def broken(a, **kw):
+            n = a.shape[-1]
+            q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(0),
+                                                   (n, n), a.dtype))
+            q = q.at[:, 0].set(0.0)  # rank-deficient "orthogonal" factor
+            return jnp.einsum("ji,bjk->bik", q, a)
+
+        monkeypatch.setattr(dc_kernel, "dc_precondition_tpu", broken)
+        A = _spd(jax.random.PRNGKey(21), 2, 96)
+        lam, V = jacobi_eigh(A, precondition=True)
+        lam0 = np.linalg.eigvalsh(np.asarray(A, np.float64))
+        assert float(jnp.max(jnp.abs(lam - lam0))) < 5e-5
+        R = jnp.einsum("bij,bjk->bik", A, V, precision=HI) \
+            - V * lam[:, None, :]
+        assert float(jnp.max(jnp.abs(R))) < 5e-4
+
     def test_grad_through_degen_eigh_dispatch(self):
         # the symeig path wraps jacobi via degen_eigh custom_jvp; ensure
         # the preconditioner stays invisible to autodiff

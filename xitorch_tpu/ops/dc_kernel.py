@@ -245,6 +245,9 @@ _PER_LEVEL_MAX_N = 768  # ~7 live (n, n) f32 planes peak; 768 needs the
 # admissible size is 896 (22.5 MB) which we have not validated, so larger
 # matrices run the cold sweep kernel
 _PER_LEVEL_VMEM_BYTES = 20 * 1024 * 1024
+_PER_LEVEL_MAX_N_DEFAULT_SCOPE = 704  # largest n that fits the compiler's
+# default 16 MB VMEM scope — the cap when this JAX version exposes no
+# pltpu CompilerParams to raise vmem_limit_bytes
 # Mosaic memref_slice: manual DMA of (n, n) HBM slices requires the minor
 # dim to be 128-lane aligned, so the per-level path only admits n % 128 == 0
 # (jacobi_eigh pads to the next 128 boundary before calling in)
@@ -442,6 +445,17 @@ def _dc_per_level_impl(a: jnp.ndarray, om: jnp.ndarray, levels: int,
             # raise the scope (physical VMEM is much larger)
             extra["compiler_params"] = _Params(
                 vmem_limit_bytes=_PER_LEVEL_VMEM_BYTES)
+        elif n > _PER_LEVEL_MAX_N_DEFAULT_SCOPE:
+            # without CompilerParams the kernel compiles against the 16 MB
+            # default scope and n in (704, 768] fails deep inside Mosaic
+            # with an opaque VMEM error — fail early and clearly instead
+            raise RuntimeError(
+                "dc_precondition_tpu: n=%d needs vmem_limit_bytes raised "
+                "above the compiler's 16 MB default scope, but this JAX "
+                "version exposes no pltpu.CompilerParams/TPUCompilerParams "
+                "— only n <= %d is supported here (use precondition=False "
+                "on the jacobi_eigh call)"
+                % (n, _PER_LEVEL_MAX_N_DEFAULT_SCOPE))
     kernel = functools.partial(_dc_level_kernel, n=n, min_seg=min_seg)
     call = pl.pallas_call(
         kernel,
@@ -495,16 +509,22 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
         if n > _PER_LEVEL_MAX_N and not interpret:
             raise ValueError(
                 "dc_precondition_tpu per-level kernel supports n <= %d "
-                "(VMEM: ~7 live (n, n) planes; %d would need %.1f MB) — "
-                "run the Jacobi kernel unpreconditioned for larger "
-                "matrices" % (_PER_LEVEL_MAX_N, n, 7 * n * n * 4 / 1e6))
+                "(VMEM: ~7 live (n, n) planes; %d would need %.1f MB). "
+                "NOTE: n here is the matrix as passed in — jacobi_eigh "
+                "pads to a 128-lane boundary before calling, so a user-"
+                "level n above %d lands here oversized.  Run the Jacobi "
+                "kernel unpreconditioned (precondition=False) for "
+                "matrices this large."
+                % (_PER_LEVEL_MAX_N, n, 7 * n * n * 4 / 1e6,
+                   _PER_LEVEL_MAX_N))
         if n % _PER_LEVEL_ALIGN != 0 and not interpret:
             raise ValueError(
                 "dc_precondition_tpu per-level kernel requires n to be a "
                 "multiple of %d on hardware (manual HBM DMA slices must "
                 "be lane-aligned; Mosaic rejects a %d-wide memref_slice) "
                 "— pad the matrix to the next %d boundary first, as "
-                "jacobi_eigh does" % (_PER_LEVEL_ALIGN, n, _PER_LEVEL_ALIGN))
+                "jacobi_eigh does automatically on its preconditioned "
+                "path" % (_PER_LEVEL_ALIGN, n, _PER_LEVEL_ALIGN))
         return _dc_per_level(a, om, levels, min_seg, interpret)
 
     # one matrix per program: the level loop is a long dependent matmul

@@ -102,6 +102,38 @@ _UNROLL = 6  # tournament rounds fused per fori_loop iteration
 _M_CAP = 8  # max matrices stacked per grid program
 _VMEM_BUDGET = 14 * 1024 * 1024  # of the ~16 MB scoped VMEM
 
+# Runtime guard on the DC warm start (see _guard_warm_start): relative
+# ||G0^T G0 - A_shift^2||_F threshold above which a matrix falls back to
+# the cold sweep.  Healthy panels measure ~eps*sqrt(n) here (HIGHEST
+# matmul noise, ~2e-6 at n=768, measured 1.2e-6 at n=256 on a v5e); the
+# rank-deficiency failure mode this guards against measured 1e-5..1e-3.
+_GUARD_RTOL = 5e-6
+
+
+def _guard_warm_start(a_shift: jnp.ndarray, g0: jnp.ndarray,
+                      rtol: float = _GUARD_RTOL) -> jnp.ndarray:
+    """Per-matrix orthogonality guard for the DC preconditioner output.
+
+    The sweep kernel's correctness rests on the G-invariant: its input
+    panel must be ``R^T A_shift`` for an *orthogonal* R (then columns of
+    G at convergence are scaled eigenvectors).  A healthy DC panel is
+    ``Q^T A_shift`` with Q orthogonal to f32, so ``G0^T G0 == A_shift^2``
+    exactly; a rank-deficient Q (the soft-projector failure mode — a
+    wrongly-rounded slot split the polar ramp cannot repair) breaks that
+    identity by 1e-5..1e-3 against the ~eps*sqrt(n) healthy floor.  Any
+    matrix above ``rtol`` falls back to the cold start ``A_shift`` itself
+    (R = I): the DC cost is already sunk, but correctness never depends
+    on the preconditioner.  Cost: 2 batched (n, n) matmuls — ~3% of the
+    ~70 the DC itself runs.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    gtg = jnp.matmul(jnp.swapaxes(g0, -2, -1), g0, precision=hi)
+    a2 = jnp.matmul(a_shift, a_shift, precision=hi)
+    num = jnp.sqrt(jnp.sum((gtg - a2) ** 2, axis=(-2, -1)))
+    den = jnp.sqrt(jnp.sum(a2 * a2, axis=(-2, -1)))
+    bad = num > rtol * den
+    return jnp.where(bad[:, None, None], a_shift, g0)
+
 
 def _panel_bytes(n: int, width: int) -> int:
     """Modeled VMEM footprint of ONE matrix in the sweep kernel: in + out
@@ -425,6 +457,21 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     return g[:B]
 
 
+def _padded_n(n: int, precondition: bool) -> int:
+    """Internal working size for an (n, n) input: the sweep kernel needs
+    a multiple of 16; the preconditioned path past the single-shot DC
+    window additionally needs 128-lane alignment (the per-level DC
+    kernel DMAs (npad, npad) HBM slices by hand and Mosaic memref_slice
+    rejects unaligned minor dims, e.g. 704).  Padding eigenvalues are
+    placed above the spectrum and sliced off after the sort."""
+    from .dc_kernel import _PER_LEVEL_ALIGN, _PER_LEVEL_MIN_N
+
+    npad = max(16, -(-n // 16) * 16)
+    if precondition and npad > _PER_LEVEL_MIN_N:
+        npad = -(-n // _PER_LEVEL_ALIGN) * _PER_LEVEL_ALIGN
+    return npad
+
+
 def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
                 tol: Optional[float] = None, interpret: bool = False,
                 precondition: Optional[bool] = None
@@ -491,8 +538,7 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     upper = jnp.max(diag + offsum, axis=-1)
     top = (jnp.maximum(upper, 0.0) + sigma).astype(dt)
 
-    from .dc_kernel import (_PER_LEVEL_ALIGN, _PER_LEVEL_MAX_N,
-                            _PER_LEVEL_MIN_N)
+    from .dc_kernel import _PER_LEVEL_MAX_N
     if precondition is None:
         # below ~192 the cold kernel is already overhead-bound and the DC
         # adds more than it saves.  n <= 512 runs the single-shot DC
@@ -510,14 +556,7 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
             "the complex path packs [Re|Im] planes which the segment "
             "bookkeeping does not model) — leave precondition=None/False")
 
-    npad = max(16, -(-n // 16) * 16)
-    if precondition and npad > _PER_LEVEL_MIN_N:
-        # the per-level DC kernel DMAs (npad, npad) HBM slices by hand, so
-        # the minor dim must be 128-lane aligned (Mosaic memref_slice
-        # rejects e.g. 704); pad the whole problem to the 128 boundary —
-        # padding eigenvalues are placed above the spectrum and sliced off
-        # after the sort, exactly as for the 16-boundary padding
-        npad = -(-n // _PER_LEVEL_ALIGN) * _PER_LEVEL_ALIGN
+    npad = _padded_n(n, precondition)
     if npad != n:
         pad = npad - n
         a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
@@ -545,8 +584,11 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
             # solved EXACTLY by its first tournament rotation, so the
             # finisher exits after 1-2 sweeps instead of ~9
             levels = max(3, math.ceil(math.log2(npad)))
-            g_in = dc_precondition_tpu(a, levels=levels, min_seg=2,
-                                       interpret=interpret)
+            g0 = dc_precondition_tpu(a, levels=levels, min_seg=2,
+                                     interpret=interpret)
+            # runtime orthogonality guard: any matrix whose warm panel
+            # fails the G-invariant falls back to the cold sweep
+            g_in = _guard_warm_start(a, g0)
         gt = _pallas_g_panel(g_in, max_sweeps, tol, interpret,
                              complexpair=False)
 
