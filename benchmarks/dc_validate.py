@@ -68,7 +68,8 @@ def _shift_like_jacobi(a):
     lower = jnp.min(diag - offsum, axis=-1)
     frob = jnp.sqrt(jnp.sum(absa * absa, axis=(-2, -1)))
     sigma = jnp.maximum(-lower, 0.0) + 0.01 * frob + 1e-30
-    return a + sigma[:, None, None] * jnp.eye(a.shape[-1], jnp.float32)
+    return a + sigma[:, None, None] * jnp.eye(a.shape[-1],
+                                              dtype=jnp.float32)
 
 
 def stage1_invariant(sizes):
@@ -140,7 +141,8 @@ def stage3_throughput(points):
     for (B, n, k) in points:
         key = jax.random.PRNGKey(1000 + n)
         a = jax.random.normal(key, (B, n, n), jnp.float32) / n ** 0.5
-        mats = a @ jnp.swapaxes(a, -1, -2) + 2 * jnp.eye(n, jnp.float32)
+        mats = a @ jnp.swapaxes(a, -1, -2) + 2 * jnp.eye(n,
+                                                         dtype=jnp.float32)
         lam0 = np.linalg.eigvalsh(np.asarray(mats, np.float64))
 
         for name, fn in [
