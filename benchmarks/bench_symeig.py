@@ -1,11 +1,23 @@
-"""BASELINE config 2: batched dense symeig, 64 x (256x256) SPD operators,
-neig=8 lowest — exacteig vs davidson, amortized chip throughput.
+"""BASELINE config 2 + extensions: batched dense symeig / generalized-M
+symeig / SVD throughput on (64, 256, 256) operators.
 
-Reference CPU-xitorch on this image (same matrices, f32, single thread):
-exacteig 179.2 decomps/sec, davidson 11.5 decomps/sec (see BASELINE.md).
+Suites (select with --suite, default all):
+* plain  — symeig, 8 lowest of SPD batch: exacteig vs chebfsi vs davidson
+           (reference CPU-xitorch on this image: exacteig 179.2/s,
+           davidson 11.5/s — BASELINE.md)
+* gen_m  — generalized A x = lambda M x, 8 lowest: chebfsi (M^{-1}A
+           filter, M-inner-product RR) vs davidson (VERDICT r2 item 4a)
+* svd    — partial SVD (k=8 uppest) of a general batch via symeig of
+           A^H A (VERDICT r2 item 6), exacteig and chebfsi paths
 
-Run: python benchmarks/bench_symeig.py
+--with-ref additionally times the torch reference (/root/reference,
+single thread) on the SAME matrices for gen_m/svd so BASELINE.md rows
+can cite a like-for-like CPU number.
+
+Run: python benchmarks/bench_symeig.py [--suite plain|gen_m|svd|all]
+     [--with-ref]
 """
+import argparse
 import json
 import os
 import sys
@@ -18,21 +30,37 @@ from _common import maybe_force_cpu as _maybe_force_cpu  # noqa: E402
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from xitorch_tpu import LinearOperator
-from xitorch_tpu.linalg import symeig
+from xitorch_tpu.linalg import svd, symeig
 
 B, N, NEIG, K = 64, 256, 8, 8
 
 
+def _timed_pair(f1, fK, mats, rep=3):
+    float(f1(mats))
+    float(fK(mats))
 
-def main():
-    _maybe_force_cpu()
-    key = jax.random.PRNGKey(0)
-    a = jax.random.normal(key, (B, N, N), jnp.float32) / (N ** 0.5)
-    mats = a @ jnp.swapaxes(a, -2, -1) + 2 * jnp.eye(N, dtype=jnp.float32)
+    def timed(f):
+        ts = []
+        for _ in range(rep):
+            t0 = time.perf_counter()
+            float(f(mats))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
+    t1, tK = timed(f1), timed(fK)
+    return max((tK - t1) / (K - 1), 1e-9)
+
+
+def _emit(metric, per):
+    print(json.dumps({"metric": metric, "value": round(B / per, 1),
+                      "unit": "decomps/sec"}), flush=True)
+
+
+def suite_plain(mats):
     def run_k(mats, method, nk, **opts):
         def body(s, k):
             m = mats + (k * 0.0)  # defeat loop-invariant hoisting
@@ -43,9 +71,6 @@ def main():
         s, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(nk))
         return s
 
-    # convergence is a hard requirement while benchmarking (reference
-    # policy, benchmarks/benchmarks_solve.py:61-65) — checked from the
-    # solver's info struct before timing
     def assert_converged(method, opts):
         if method == "exacteig":
             return
@@ -70,25 +95,161 @@ def main():
         assert_converged(method, opts)
         f1 = jax.jit(lambda m: run_k(m, method, 1, **opts))
         fK = jax.jit(lambda m: run_k(m, method, K, **opts))
-        float(f1(mats))
-        float(fK(mats))
+        per = _timed_pair(f1, fK, mats)
+        _emit("batched symeig (%s) eigendecomps/sec, B=%d n=%d neig=%d"
+              % (method, B, N, NEIG), per)
 
-        def timed(f, rep=3):
-            ts = []
-            for _ in range(rep):
-                t0 = time.perf_counter()
-                float(f(mats))
-                ts.append(time.perf_counter() - t0)
-            return min(ts)
 
-        t1, tK = timed(f1), timed(fK)
-        per = max((tK - t1) / (K - 1), 1e-9)
-        print(json.dumps({
-            "metric": "batched symeig (%s) eigendecomps/sec, B=%d n=%d neig=%d"
-                      % (method, B, N, NEIG),
-            "value": round(B / per, 1),
-            "unit": "decomps/sec",
-        }))
+def suite_gen_m(mats, mmats, with_ref):
+    def run_k(mats, method, nk, **opts):
+        def body(s, k):
+            m = mats + (k * 0.0)
+            A = LinearOperator.m(m, is_hermitian=True)
+            M = LinearOperator.m(mmats, is_hermitian=True)
+            evals, evecs = symeig(A, NEIG, "lowest", M=M, method=method,
+                                  **opts)
+            return s + jnp.sum(evals), None
+
+        s, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(nk))
+        return s
+
+    for method, opts in [
+        ("chebfsi", {"min_eps": 1e-3, "max_niter": 60, "nguess": 32,
+                     "degree": 24}),
+        ("davidson", {"min_eps": 2e-3, "max_niter": 800}),
+        ("exacteig", {}),
+    ]:
+        A = LinearOperator.m(mats, is_hermitian=True)
+        M = LinearOperator.m(mmats, is_hermitian=True)
+        if method != "exacteig":
+            out = jax.jit(lambda: symeig(A, NEIG, "lowest", M=M,
+                                         method=method, return_info=True,
+                                         **opts))()
+            info = out[2]
+            assert float(info["converged"]) == 1.0, (
+                "gen_m %s did not converge: resid=%g after %d iters"
+                % (method, float(info["resid"]), int(info["iterations"])))
+        f1 = jax.jit(lambda m: run_k(m, method, 1, **opts))
+        fK = jax.jit(lambda m: run_k(m, method, K, **opts))
+        per = _timed_pair(f1, fK, mats)
+        _emit("generalized symeig AX=MXE (%s) eigendecomps/sec, "
+              "B=%d n=%d neig=%d" % (method, B, N, NEIG), per)
+
+    if with_ref:
+        _ref_gen_m(mats, mmats)
+
+
+def suite_svd(gmats, with_ref):
+    def run_k(gmats, method, nk, **opts):
+        def body(s, k):
+            m = gmats + (k * 0.0)
+            A = LinearOperator.m(m)
+            u, sv, vh = svd(A, NEIG, "uppest", method=method, **opts)
+            return s + jnp.sum(sv), None
+
+        s, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(nk))
+        return s
+
+    # accuracy gate vs the f64 oracle before timing
+    s0 = np.linalg.svd(np.asarray(gmats, np.float64), compute_uv=False)
+    for method, opts in [("exacteig", {}),
+                         ("chebfsi", {"min_eps": 1e-3, "max_niter": 60,
+                                      "nguess": 32, "degree": 24})]:
+        A = LinearOperator.m(gmats)
+        u, sv, vh = jax.jit(lambda: svd(A, NEIG, "uppest", method=method,
+                                        **opts))()
+        err = float(np.max(np.abs(np.asarray(sv) - s0[:, :NEIG])
+                           / s0[:, :1]))
+        assert err < 5e-3, "svd (%s) singular values off by %g" % (method,
+                                                                   err)
+        f1 = jax.jit(lambda m: run_k(m, method, 1, **opts))
+        fK = jax.jit(lambda m: run_k(m, method, K, **opts))
+        per = _timed_pair(f1, fK, gmats)
+        _emit("batched svd (%s) decomps/sec, B=%d n=%d k=%d"
+              % (method, B, N, NEIG), per)
+
+    if with_ref:
+        _ref_svd(gmats)
+
+
+def _load_ref():
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import xitorch as xtr
+    import xitorch.linalg  # noqa: F401
+    torch.set_num_threads(1)
+    return torch, xtr
+
+
+def _ref_timeit(f, rep=2):
+    f()
+    ts = []
+    for _ in range(rep):
+        t0 = time.perf_counter()
+        f()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _ref_gen_m(mats, mmats):
+    torch, xtr = _load_ref()
+    tA = xtr.LinearOperator.m(torch.from_numpy(np.asarray(mats)),
+                              is_hermitian=True)
+    tM = xtr.LinearOperator.m(torch.from_numpy(np.asarray(mmats)),
+                              is_hermitian=True)
+
+    def ref():
+        with torch.no_grad():
+            return xtr.linalg.symeig(tA, NEIG, "lowest", M=tM)
+
+    t = _ref_timeit(ref)
+    print(json.dumps({"metric": "REFERENCE torch generalized symeig "
+                                "(exacteig) decomps/sec, B=%d n=%d neig=%d"
+                                % (B, N, NEIG),
+                      "value": round(B / t, 1), "unit": "decomps/sec"}),
+          flush=True)
+
+
+def _ref_svd(gmats):
+    torch, xtr = _load_ref()
+    tA = xtr.LinearOperator.m(torch.from_numpy(np.asarray(gmats)))
+
+    def ref():
+        with torch.no_grad():
+            return xtr.linalg.svd(tA, NEIG, "uppest")
+
+    t = _ref_timeit(ref)
+    print(json.dumps({"metric": "REFERENCE torch svd (exacteig) "
+                                "decomps/sec, B=%d n=%d k=%d"
+                                % (B, N, NEIG),
+                      "value": round(B / t, 1), "unit": "decomps/sec"}),
+          flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite", default="all",
+                   choices=["all", "plain", "gen_m", "svd"])
+    p.add_argument("--with-ref", action="store_true")
+    args = p.parse_args()
+    _maybe_force_cpu()
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (B, N, N), jnp.float32) / (N ** 0.5)
+    mats = a @ jnp.swapaxes(a, -2, -1) + 2 * jnp.eye(N, dtype=jnp.float32)
+    # SPD metric, kappa ~ 10: diag-dominant random Gram
+    km = jax.random.PRNGKey(7)
+    c = jax.random.normal(km, (B, N, N), jnp.float32) / (2 * N ** 0.5)
+    mmats = c @ jnp.swapaxes(c, -2, -1) + jnp.eye(N, dtype=jnp.float32)
+    # general (non-symmetric) batch for svd
+    gmats = jax.random.normal(jax.random.PRNGKey(3), (B, N, N),
+                              jnp.float32) / (N ** 0.5)
+
+    if args.suite in ("all", "plain"):
+        suite_plain(mats)
+    if args.suite in ("all", "gen_m"):
+        suite_gen_m(mats, mmats, args.with_ref)
+    if args.suite in ("all", "svd"):
+        suite_svd(gmats, args.with_ref)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,29 @@ def check(name, ok, detail=""):
         raise SystemExit("TPU smoke failed at: %s %s" % (name, detail))
 
 
+_COMPILE_BUDGET_S = float(os.environ.get("XT_COMPILE_BUDGET_S", "120"))
+_compile_times = []
+
+
+def timed_compile(name, fn):
+    """Run fn() once (triggering its jit compile), record and print the
+    wall time.  Soft budget (VERDICT r2 item 8): kernels whose first-call
+    latency crosses _COMPILE_BUDGET_S fail the smoke run so compile-time
+    pathologies surface before users hit them.  The tunnel adds ~10-30 s
+    of RPC to every compile, so the budget is generous."""
+    import time
+
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    _compile_times.append((name, dt))
+    print("[..] compile %-28s %6.1f s" % (name, dt), flush=True)
+    if dt > _COMPILE_BUDGET_S:
+        check("compile budget %s" % name, False,
+              "%.1f s > %.0f s budget" % (dt, _COMPILE_BUDGET_S))
+    return out
+
+
 def main():
     platform = jax.devices()[0].platform
     print("backend:", platform, flush=True)
@@ -42,31 +65,33 @@ def main():
     mats = a @ jnp.swapaxes(a, -2, -1) + 2 * jnp.eye(n, dtype=jnp.float32)
     A = xt.LinearOperator.m(mats, is_hermitian=True)
     b = jax.random.normal(jax.random.PRNGKey(1), (B, n, 2), jnp.float32)
-    x, info = jax.jit(lambda b: solve(A, b, method="cg", rtol=1e-6,
-                                      atol=1e-8, posdef=True,
-                                      return_info=True))(b)
+    x, info = timed_compile("cg dense", lambda: jax.jit(
+        lambda b: solve(A, b, method="cg", rtol=1e-6, atol=1e-8,
+                        posdef=True, return_info=True))(b))
     resid = float(jnp.max(jnp.linalg.norm(A.mm(x) - b, axis=-2)))
     check("cg dense f32", float(info["converged"]) == 1.0 and resid < 5e-4,
           "resid=%.1e iters=%d" % (resid, int(info["iterations"])))
 
     # 2. cg_ir mixed precision
-    x2 = jax.jit(lambda b: solve(A, b, method="cg_ir", rtol=1e-6, atol=1e-8,
-                                 posdef=True))(b)
+    x2 = timed_compile("cg_ir", lambda: jax.jit(
+        lambda b: solve(A, b, method="cg_ir", rtol=1e-6, atol=1e-8,
+                        posdef=True))(b))
     resid2 = float(jnp.max(jnp.linalg.norm(A.mm(x2) - b, axis=-2)))
     check("cg_ir", resid2 < 5e-4, "resid=%.1e" % resid2)
 
     # 3. chebfsi symeig at min_eps 1e-3 (the config-2 headline path)
-    ev, evec, sinfo = jax.jit(lambda: symeig(
-        A, 8, "lowest", method="chebfsi", min_eps=1e-3, max_niter=40,
-        nguess=32, degree=24, return_info=True))()
+    ev, evec, sinfo = timed_compile("chebfsi", lambda: jax.jit(
+        lambda: symeig(A, 8, "lowest", method="chebfsi", min_eps=1e-3,
+                       max_niter=40, nguess=32, degree=24,
+                       return_info=True))())
     check("chebfsi", float(sinfo["converged"]) == 1.0,
           "resid=%.1e iters=%d" % (float(sinfo["resid"]),
                                    int(sinfo["iterations"])))
 
     # 4. davidson (tallqr precision path)
-    ev2, _, dinfo = jax.jit(lambda: symeig(
-        A, 4, "lowest", method="davidson", min_eps=2e-3, max_niter=600,
-        nguess=8, return_info=True))()
+    ev2, _, dinfo = timed_compile("davidson", lambda: jax.jit(
+        lambda: symeig(A, 4, "lowest", method="davidson", min_eps=2e-3,
+                       max_niter=600, nguess=8, return_info=True))())
     check("davidson", float(dinfo["converged"]) == 1.0,
           "resid=%.1e iters=%d" % (float(dinfo["resid"]),
                                    int(dinfo["iterations"])))
@@ -80,9 +105,9 @@ def main():
                           jnp.float32) / (512 ** 0.5)
     bs = jax.random.normal(jax.random.PRNGKey(4), (64, 512, 1), jnp.float32)
     As = xt.TridiagLowRankOperator(d, c, V)
-    xs, kinfo = jax.jit(lambda bs: solve(As, bs, method="structured_cg",
-                                         rtol=1e-6, atol=1e-8,
-                                         return_info=True))(bs)
+    xs, kinfo = timed_compile("structured_cg", lambda: jax.jit(
+        lambda bs: solve(As, bs, method="structured_cg", rtol=1e-6,
+                         atol=1e-8, return_info=True))(bs))
     resid5 = float(jnp.max(jnp.linalg.norm(As.mm(xs) - bs, axis=-2)))
     check("structured_cg kernel", float(kinfo["converged"]) == 1.0
           and resid5 < 5e-4,
@@ -126,9 +151,9 @@ def main():
     from xitorch_tpu.ops.jacobi_eigh import use_jacobi_for
     sub = mats[:8]
     check("jacobi gate", platform != "tpu" or use_jacobi_for(sub))
-    lam, V = jax.jit(lambda m: symeig(
-        xt.LinearOperator.m(m, is_hermitian=True), 8, "lowest",
-        method="exacteig"))(sub)
+    lam, V = timed_compile("jacobi n=256 (DC warm)", lambda: jax.jit(
+        lambda m: symeig(xt.LinearOperator.m(m, is_hermitian=True), 8,
+                         "lowest", method="exacteig"))(sub))
     lam0 = np.linalg.eigvalsh(np.asarray(sub, np.float64))[:, :8]
     errj = float(jnp.max(jnp.abs(lam - lam0)))
     Rj = jnp.einsum("bij,bjk->bik", sub, V,
@@ -144,9 +169,9 @@ def main():
     a7 = jax.random.normal(k7, (2, 700, 700), jnp.float32) / 700 ** 0.5
     m7 = (a7 + jnp.swapaxes(a7, -1, -2)) / 2
     check("jacobi n=700 gate", platform != "tpu" or use_jacobi_for(m7))
-    lam7, V7 = jax.jit(lambda m: symeig(
-        xt.LinearOperator.m(m, is_hermitian=True), 8, "lowest",
-        method="exacteig"))(m7)
+    lam7, V7 = timed_compile("jacobi n=700 (DC warm)", lambda: jax.jit(
+        lambda m: symeig(xt.LinearOperator.m(m, is_hermitian=True), 8,
+                         "lowest", method="exacteig"))(m7))
     lam70 = np.linalg.eigvalsh(np.asarray(m7, np.float64))[:, :8]
     err7 = float(jnp.max(jnp.abs(lam7 - lam70)))
     R7 = jnp.einsum("bij,bjk->bik", m7, V7,
@@ -164,7 +189,8 @@ def main():
          + 0.05 * jnp.eye(nl, dtype=jnp.float32))
     lap = xt.KronSumOperator(L, L, is_hermitian=True)
     bk = jnp.ones((nl * nl, 2), jnp.float32)
-    xk = jax.jit(lambda b: solve(lap, b, method="kron_direct"))(bk)
+    xk = timed_compile("kron_direct", lambda: jax.jit(
+        lambda b: solve(lap, b, method="kron_direct"))(bk))
     # residual check at full precision: the default bf16 matvec measures
     # ~0.2 of its own noise on this operator, not the solve
     with jax.default_matmul_precision("highest"):
@@ -182,7 +208,7 @@ def main():
               ).astype(jnp.complex64) / 16.0
         mc = (ac + jnp.swapaxes(ac, -1, -2).conj()) / 2
         from xitorch_tpu.ops.jacobi_eigh import jacobi_eigh as _jac
-        lamc, Vc = jax.jit(_jac)(mc)
+        lamc, Vc = timed_compile("jacobi complex", lambda: jax.jit(_jac)(mc))
         lamc0 = np.linalg.eigvalsh(np.asarray(mc, np.complex128))
         errc = float(jnp.max(jnp.abs(lamc - lamc0)))
         Rc = jnp.einsum("bij,bjk->bik", mc, Vc,
@@ -195,6 +221,9 @@ def main():
         print("[--] jacobi complex-hermitian: backend rejects complex64 "
               "(%s), skipped (covered by CPU tests)" % type(exc).__name__)
 
+    total = sum(t for _, t in _compile_times)
+    print("compile totals: %.1f s across %d kernels (budget %.0f s each)"
+          % (total, len(_compile_times), _COMPILE_BUDGET_S))
     print("ALL TPU SMOKE CHECKS PASSED")
 
 

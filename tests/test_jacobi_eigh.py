@@ -128,6 +128,8 @@ def test_dc_dispatch_and_padding_arithmetic():
     # the preconditioned path (the per-level DC kernel's manual HBM DMA)
     assert _padded_n(100, False) == 112
     assert _padded_n(100, True) == 112
+    assert _padded_n(448, True) == 448   # last single-shot size
+    assert _padded_n(456, True) == 512   # first per-level: 128-aligned
     assert _padded_n(512, True) == 512
     assert _padded_n(513, False) == 528
     assert _padded_n(513, True) == 640

@@ -237,20 +237,31 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
 # sweeps it saves.
 _N_CUBIC_SIGN_LEAN = 12
 _N_CUBIC_SIGN_LEAN_HI = 2
-_PER_LEVEL_MIN_N = 512  # auto threshold: single-shot kernel OOMs past ~560
-_PER_LEVEL_MAX_N = 768  # ~7 live (n, n) f32 planes peak; 768 needs the
-# raised vmem_limit_bytes below (16.5 MB vs the 16 MB default scope —
-# physical VMEM is far larger, the 16 MB is only the compiler's default
-# pipelining budget and this kernel owns the core); past 768 the next
-# admissible size is 896 (22.5 MB) which we have not validated, so larger
-# matrices run the cold sweep kernel
-_PER_LEVEL_VMEM_BYTES = 20 * 1024 * 1024
-_PER_LEVEL_MAX_N_DEFAULT_SCOPE = 704  # largest n that fits the compiler's
-# default 16 MB VMEM scope — the cap when this JAX version exposes no
-# pltpu CompilerParams to raise vmem_limit_bytes
-# Mosaic memref_slice: manual DMA of (n, n) HBM slices requires the minor
-# dim to be 128-lane aligned, so the per-level path only admits n % 128 == 0
-# (jacobi_eigh pads to the next 128 boundary before calling in)
+_PER_LEVEL_MIN_N = 448  # auto threshold: the single-shot kernel's live
+# set (~10 planes + the rank-safety blend's extra POm plane) measured
+# 17.04 MB at n=512 against the compiler's 16 MB default scope (v5e OOM;
+# raising vmem_limit_bytes only made the scheduler chase the larger
+# budget — 25.3 MB requested at a 20 MB limit).  448 models to ~13.1 MB
+# and fits; (448, 512] runs per-level (128-aligned, ~7.3 MB at 512)
+_PER_LEVEL_MAX_N = 768  # largest hardware-validated size.  Measured
+# live set is ~14 (n, n) f32 planes (v5e: 22.93 MB at n=640, 31.91 MB at
+# n=768 — the compiler holds the named workspaces plus expression
+# transients); the vmem scope below budgets 15 planes.  Physical VMEM is
+# 128 MB/core, the 16 MB default is only the compiler's pipelining
+# budget and this kernel owns the core.  The next admissible size, 896,
+# would need ~48 MB and also exceeds the sweep kernel's own n<=848
+# budget after 128-padding, so larger matrices run the cold sweep.
+_PER_LEVEL_MAX_N_DEFAULT_SCOPE = 512  # largest n whose ~14-plane live
+# set fits the compiler's default 16 MB scope — the cap when this JAX
+# version exposes no pltpu CompilerParams to raise vmem_limit_bytes
+
+
+def _per_level_vmem_bytes(n: int) -> int:
+    """Scoped-VMEM budget for the per-level kernel: 16 (n, n) f32
+    planes (measured 23.56 MiB at n=640 = 14.4 planes, so 15
+    missed by 129 KiB; see _PER_LEVEL_MAX_N note), floored
+    at 20 MB (the n=512 point was validated there)."""
+    return max(20 * 1024 * 1024, 16 * n * n * 4)
 _PER_LEVEL_ALIGN = 128
 
 
@@ -444,7 +455,7 @@ def _dc_per_level_impl(a: jnp.ndarray, om: jnp.ndarray, levels: int,
             # *default* pipelining budget; this kernel owns the core, so
             # raise the scope (physical VMEM is much larger)
             extra["compiler_params"] = _Params(
-                vmem_limit_bytes=_PER_LEVEL_VMEM_BYTES)
+                vmem_limit_bytes=_per_level_vmem_bytes(n))
         elif n > _PER_LEVEL_MAX_N_DEFAULT_SCOPE:
             # without CompilerParams the kernel compiles against the 16 MB
             # default scope and n in (704, 768] fails deep inside Mosaic
@@ -509,13 +520,13 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
         if n > _PER_LEVEL_MAX_N and not interpret:
             raise ValueError(
                 "dc_precondition_tpu per-level kernel supports n <= %d "
-                "(VMEM: ~7 live (n, n) planes; %d would need %.1f MB). "
+                "(VMEM: ~14 live (n, n) planes; %d would need %.1f MB). "
                 "NOTE: n here is the matrix as passed in — jacobi_eigh "
                 "pads to a 128-lane boundary before calling, so a user-"
                 "level n above %d lands here oversized.  Run the Jacobi "
                 "kernel unpreconditioned (precondition=False) for "
                 "matrices this large."
-                % (_PER_LEVEL_MAX_N, n, 7 * n * n * 4 / 1e6,
+                % (_PER_LEVEL_MAX_N, n, 15 * n * n * 4 / 1e6,
                    _PER_LEVEL_MAX_N))
         if n % _PER_LEVEL_ALIGN != 0 and not interpret:
             raise ValueError(
