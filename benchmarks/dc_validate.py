@@ -93,7 +93,13 @@ def stage1_invariant(sizes):
                 return num / den
 
             rel = np.asarray(ginv(a_shift))
-            worst_healthy = max(worst_healthy, float(rel.max()))
+            # "healthy" excludes the matrices the guard flags (those ARE
+            # the rank-deficiency failures the guard exists for); the
+            # summary's job is to show the guard threshold sits well
+            # above the healthy noise floor
+            healthy = rel[rel <= _GUARD_RTOL]
+            if healthy.size:
+                worst_healthy = max(worst_healthy, float(healthy.max()))
             print(json.dumps({
                 "stage": "g_invariant", "n": n, "family": name,
                 "rel_max": float(rel.max()), "rel_med": float(np.median(rel)),

@@ -159,16 +159,18 @@ def test_guard_warm_start_per_matrix_fallback():
     q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(6),
                                            (3, n, n), jnp.float32))
     good = jnp.einsum("bji,bjk->bik", q, a)
-    out = _guard_warm_start(a, good)
+    out, flag = _guard_warm_start(a, good)
     assert jnp.allclose(out, good)
+    assert not jnp.any(flag)
     # zero one column of Q: the archetypal rank-deficiency failure
     qbad = q.at[:, :, 0].set(0.0)
     bad = jnp.einsum("bji,bjk->bik", qbad, a)
     mixed = jnp.stack([good[0], bad[1], good[2]])
-    out = _guard_warm_start(a, mixed)
+    out, flag = _guard_warm_start(a, mixed)
     assert jnp.allclose(out[0], good[0])
     assert jnp.allclose(out[1], a[1])  # fell back to the cold start
     assert jnp.allclose(out[2], good[2])
+    assert flag.tolist() == [False, True, False]
 
 
 def test_degen_eigh_unchanged_on_cpu():

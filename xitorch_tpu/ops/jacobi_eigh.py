@@ -132,7 +132,7 @@ def _guard_warm_start(a_shift: jnp.ndarray, g0: jnp.ndarray,
     num = jnp.sqrt(jnp.sum((gtg - a2) ** 2, axis=(-2, -1)))
     den = jnp.sqrt(jnp.sum(a2 * a2, axis=(-2, -1)))
     bad = num > rtol * den
-    return jnp.where(bad[:, None, None], a_shift, g0)
+    return jnp.where(bad[:, None, None], a_shift, g0), bad
 
 
 def _panel_bytes(n: int, width: int) -> int:
@@ -486,13 +486,15 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     multiple of 16 internally (padding eigenvalues are placed above the
     Gershgorin range and sliced off).
 
-    ``precondition`` (default: auto — real input, 192 <= n <= 768; the
-    upper cap is the per-level DC kernel's VMEM ceiling, and past the
-    single-shot window the problem is padded to a 128-lane boundary so
-    the per-level kernel's manual HBM DMA slices stay aligned) runs the
-    MXU spectral divide-and-conquer sort first (``ops/dc_kernel.py``)
-    and hands the sweep kernel ``G0 = Q^T A_shift`` instead of
-    ``A_shift``.  The sweep kernel's G-invariant (G = R^T A_shift with R
+    ``precondition`` (default: auto — real input, 192 <= n <= 448, the
+    measured win window of the single-shot DC kernel; the per-level
+    HBM-streamed variant covering (448, 768] is a measured net loss on
+    v5e — see the auto-window comment below — and is opt-in via
+    precondition=True, where the problem is additionally padded to a
+    128-lane boundary so its manual HBM DMA slices stay aligned) runs
+    the MXU spectral divide-and-conquer sort first
+    (``ops/dc_kernel.py``) and hands the sweep kernel
+    ``G0 = Q^T A_shift`` instead of ``A_shift``.  The sweep kernel's G-invariant (G = R^T A_shift with R
     orthogonal at every stage) makes this transparent: eigenvalue/vector
     extraction, polish and sorting are unchanged, and a bad or soft
     preconditioner costs extra sweeps, never correctness.  Design: with
@@ -538,17 +540,19 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     upper = jnp.max(diag + offsum, axis=-1)
     top = (jnp.maximum(upper, 0.0) + sigma).astype(dt)
 
-    from .dc_kernel import _PER_LEVEL_MAX_N
+    from .dc_kernel import _PER_LEVEL_MIN_N
     if precondition is None:
-        # below ~192 the cold kernel is already overhead-bound and the DC
-        # adds more than it saves.  n <= 512 runs the single-shot DC
-        # kernel; past that dc_precondition_tpu auto-switches to the
-        # per-level HBM-streamed variant (the single-shot level body
-        # holds ~10 live (n, n) planes and OOMs past npad ~ 560 —
-        # measured 34.9 MB requested at n=704 vs the 16 MB default
-        # scope); the per-level variant covers npad <= _PER_LEVEL_MAX_N.
-        # Above that the sweep kernel runs cold (correct, more sweeps).
-        precondition = (not iscomplex) and 192 <= n <= _PER_LEVEL_MAX_N
+        # measured win window only (v5e, dc_validate.py 2026-08-19):
+        # below ~192 the cold kernel is already overhead-bound and the
+        # DC adds more than it saves; within [192, 448] the single-shot
+        # DC kernel wins (n=256: warm 1,016 vs cold 889 decomps/s);
+        # past the single-shot VMEM window the per-level HBM-streamed
+        # variant is a measured net LOSS (n=512: warm 174 vs cold 202;
+        # n=700, 128-padded to 768: warm 48 vs cold 85 — the level
+        # streaming + alignment padding cost more than the ~7 sweeps
+        # they save), so the sweep kernel runs cold there by default.
+        # The per-level path stays available via precondition=True.
+        precondition = (not iscomplex) and 192 <= n <= _PER_LEVEL_MIN_N
     elif precondition and iscomplex:
         raise ValueError(
             "jacobi_eigh: precondition=True is not supported for complex "
@@ -588,9 +592,21 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
                                      interpret=interpret)
             # runtime orthogonality guard: any matrix whose warm panel
             # fails the G-invariant falls back to the cold sweep
-            g_in = _guard_warm_start(a, g0)
-        gt = _pallas_g_panel(g_in, max_sweeps, tol, interpret,
-                             complexpair=False)
+            g_in, bad = _guard_warm_start(a, g0)
+            # cluster the cold fallbacks (~1/16 of clustered/Wishart
+            # batches, dc_validate.py) into the FEWEST grid programs:
+            # each program's sweep while_loop exits on the max leftover
+            # cos^2 over its m stacked matrices, so an unsorted cold
+            # matrix drags m-1 warm neighbours through its ~9 sweeps.
+            # Stable argsort on the flag keeps warm programs warm; the
+            # inverse gather after the kernel is batch-dim only.
+            perm = jnp.argsort(bad.astype(jnp.int32), stable=True)
+            gt = _pallas_g_panel(jnp.take(g_in, perm, axis=0), max_sweeps,
+                                 tol, interpret, complexpair=False)
+            gt = jnp.take(gt, jnp.argsort(perm), axis=0)
+        else:
+            gt = _pallas_g_panel(g_in, max_sweeps, tol, interpret,
+                                 complexpair=False)
 
     # row i of G^T is lambda'_i * v_i: norms are the shifted eigenvalues,
     # directions the eigenvectors
