@@ -69,7 +69,9 @@ def measure(backend):
         rep = 2
     else:
         batch = int(os.environ.get("XT_BENCH_BATCH", "512"))
-        k = int(os.environ.get("XT_BENCH_K", "16"))
+        # K=256 starts past the noise wall (each adaptive escalation
+        # recompiles runK: 20-60 s through the tunnel)
+        k = int(os.environ.get("XT_BENCH_K", "256"))
         rep = 5
     n = int(os.environ.get("XT_BENCH_N", "1024"))
 
@@ -120,7 +122,8 @@ def measure(backend):
         return s
 
     run1 = jax.jit(lambda d, c, V, seed: run_k(d, c, V, seed, 1))
-    runK = jax.jit(lambda d, c, V, seed: run_k(d, c, V, seed, k))
+    k_max = int(os.environ.get("XT_BENCH_K_MAX",
+                               "16" if backend == "cpu" else "1024"))
 
     # correctness gate (convergence required, as in the reference benchmarks)
     A = TridiagLowRankOperator(d, c, V)
@@ -139,13 +142,30 @@ def measure(backend):
         return ts
 
     t1s = sorted(timed(run1))
-    tKs = sorted(timed(runK))
+    noise = t1s[-1] - t1s[0]
+
+    # adaptive K: the amortized marginal (tK - t1) must clearly dominate
+    # the tunnel/rep noise or the division below measures noise, not the
+    # chip.  Hardware lesson (r3): K=16 structured_cg batch-solves fit
+    # inside ONE ~30 ms tunnel round trip, the marginal went negative,
+    # and the old 1e-9 clamp emitted a nonsense 5e11 solves/s headline.
+    while True:
+        runK = jax.jit(lambda d, c, V, seed: run_k(d, c, V, seed, k))
+        tKs = sorted(timed(runK))
+        marginal_best = tKs[0] - t1s[0]
+        if marginal_best > max(4.0 * noise, 0.2 * t1s[0]) or k >= k_max:
+            break
+        k = min(4 * k, k_max)
 
     def per_solve(tK):
         # marginal per-batch-solve time; min(t1) is the fixed dispatch
         # cost (the tightest observation of it — t1 outlier reps would
-        # otherwise make the marginal negative)
-        return max((tK - t1s[0]) / (k - 1), 1e-9) if k > 1 else tK
+        # otherwise make the marginal negative).  The tK/(4k) floor
+        # bounds the claim at 4x the raw end-to-end throughput even if
+        # the marginal collapses into noise despite the adaptation.
+        if k <= 1:
+            return tK
+        return max((tK - t1s[0]) / (k - 1), tK / (4.0 * k))
 
     # headline = best-of-reps (chip capability); median + spread ride
     # along so cross-round swings are attributable to tunnel weather vs

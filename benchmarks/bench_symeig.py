@@ -150,16 +150,21 @@ def suite_svd(gmats, with_ref):
         s, _ = lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(nk))
         return s
 
-    # accuracy gate vs the f64 oracle before timing
+    # accuracy gate vs the f64 oracle before timing.  svd (like symeig,
+    # and like the torch reference, whose uppest mode slices the tail of
+    # an ascending decomposition) returns s ASCENDING — flip the numpy
+    # oracle (descending) to match, or the gate measures the s1-s8 edge
+    # spread of the Wishart spectrum (~0.10) instead of the error.
     s0 = np.linalg.svd(np.asarray(gmats, np.float64), compute_uv=False)
+    s0 = s0[:, :NEIG][:, ::-1]
     for method, opts in [("exacteig", {}),
                          ("chebfsi", {"min_eps": 1e-3, "max_niter": 60,
                                       "nguess": 32, "degree": 24})]:
         A = LinearOperator.m(gmats)
         u, sv, vh = jax.jit(lambda: svd(A, NEIG, "uppest", method=method,
                                         **opts))()
-        err = float(np.max(np.abs(np.asarray(sv) - s0[:, :NEIG])
-                           / s0[:, :1]))
+        err = float(np.max(np.abs(np.asarray(sv) - s0)
+                           / s0[:, -1:]))
         assert err < 5e-3, "svd (%s) singular values off by %g" % (method,
                                                                    err)
         f1 = jax.jit(lambda m: run_k(m, method, 1, **opts))
