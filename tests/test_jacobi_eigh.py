@@ -182,3 +182,46 @@ def test_degen_eigh_unchanged_on_cpu():
     lam0, V0 = jnp.linalg.eigh(a)
     assert jnp.allclose(lam, lam0)
     assert jnp.allclose(V, V0)
+
+
+@pytest.mark.parametrize("shape", [(2, 24, 24), (2, 32, 20), (2, 20, 32)])
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 3e-5),
+                                        (jnp.float64, 1e-12)])
+def test_jacobi_svd_matches_svd(shape, dtype, atol):
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_svd
+    a = jax.random.normal(jax.random.PRNGKey(4), shape, dtype)
+    u, s, v = jacobi_svd(a, interpret=True)
+    s0 = jnp.sort(jnp.linalg.svd(a, compute_uv=False), axis=-1)
+    scale = jnp.max(s0)
+    assert jnp.max(jnp.abs(s - s0)) / scale < atol          # ascending
+    r = min(shape[-2:])
+    # contract checks (vectors defined up to sign/degenerate rotation)
+    Av = jnp.einsum("bij,bjk->bik", a, v)
+    assert jnp.max(jnp.abs(Av - u * s[:, None, :])) / scale < 10 * atol
+    eye = jnp.eye(r, dtype=u.dtype)
+    assert jnp.max(jnp.abs(jnp.einsum("bij,bik->bjk", u, u) - eye)) \
+        < 10 * atol
+    assert jnp.max(jnp.abs(jnp.einsum("bij,bik->bjk", v, v) - eye)) \
+        < 10 * atol
+
+
+def test_jacobi_svd_rank_deficient_and_errors():
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_svd
+    # rank-2 out of 18: zero singular values must come out ~0 with the
+    # nonzero ones still correct
+    key = jax.random.PRNGKey(5)
+    b = jax.random.normal(key, (18, 2), jnp.float64)
+    c = jax.random.normal(jax.random.fold_in(key, 1), (2, 18), jnp.float64)
+    a = (b @ c)[None]
+    u, s, v = jacobi_svd(a, interpret=True)
+    s0 = jnp.sort(jnp.linalg.svd(a, compute_uv=False), axis=-1)
+    assert jnp.max(jnp.abs(s - s0)) < 1e-10
+    assert jnp.max(s[:, :-2]) < 1e-10
+    with pytest.raises(ValueError):
+        jacobi_svd(a.astype(jnp.complex128), interpret=True)
+
+
+def test_use_jacobi_svd_gate_off_tpu():
+    from xitorch_tpu.ops.jacobi_eigh import use_jacobi_svd_for
+    a = jnp.zeros((4, 256, 256), jnp.float32)
+    assert use_jacobi_svd_for(a) == (jax.default_backend() == "tpu")

@@ -198,6 +198,97 @@ def test_svd_grad(rng):
     assert_allclose(jax.grad(loss)(Am), jax.grad(loss_dense)(Am), rtol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(2, 7, 5), (5, 7), (7, 5), (6, 6)])
+def test_degen_svd_oracle(shape, rng):
+    from xitorch_tpu._impls.linalg.symeig import degen_svd
+    Am = jnp.asarray(rng.standard_normal(shape))
+    u, s, v = degen_svd(Am)
+    r = min(shape[-2:])
+    s_ref = jnp.sort(jnp.linalg.svd(Am, compute_uv=False), axis=-1)
+    assert_allclose(s, s_ref, atol=1e-10)                # ascending
+    assert_allclose(Am @ v, u * s[..., None, :], atol=1e-10)  # A v = s u
+    eye = jnp.eye(r)
+    assert_allclose(jnp.swapaxes(u, -2, -1) @ u, jnp.broadcast_to(
+        eye, (*shape[:-2], r, r)), atol=1e-10)
+    assert_allclose(jnp.swapaxes(v, -2, -1) @ v, jnp.broadcast_to(
+        eye, (*shape[:-2], r, r)), atol=1e-10)
+
+
+@pytest.mark.parametrize("shape", [(5, 3), (3, 5), (4, 4)])
+def test_degen_svd_jvp_vs_fd(shape, rng):
+    from xitorch_tpu._impls.linalg.symeig import degen_svd
+    Am = jnp.asarray(rng.standard_normal(shape))
+    dAm = jnp.asarray(rng.standard_normal(shape))
+    (u, s, v), (du, ds, dv) = jax.jvp(degen_svd, (Am,), (dAm,))
+    eps = 1e-6
+    up, sp, vp = degen_svd(Am + eps * dAm)
+    um, sm, vm = degen_svd(Am - eps * dAm)
+    # sign-align the FD decompositions to the center one (columns of
+    # u/v are unique only up to a joint sign)
+    sgn_p = jnp.sign(jnp.sum(up * u, axis=-2, keepdims=True))
+    sgn_m = jnp.sign(jnp.sum(um * u, axis=-2, keepdims=True))
+    assert_allclose(ds, (sp - sm) / (2 * eps), atol=1e-5)
+    assert_allclose(du, (up * sgn_p - um * sgn_m) / (2 * eps), atol=1e-4)
+    assert_allclose(dv, (vp * sgn_p - vm * sgn_m) / (2 * eps), atol=1e-4)
+
+
+def test_degen_svd_second_order(rng):
+    from xitorch_tpu._impls.linalg.symeig import degen_svd
+    Am = jnp.asarray(rng.standard_normal((4, 3)))
+
+    def loss(Am):
+        u, s, v = degen_svd(Am)
+        return jnp.sum(s ** 3)
+
+    g = jax.grad(loss)(Am)
+    H = jax.jacfwd(jax.grad(loss))(Am)
+    # FD check of the gradient and one Hessian column
+    eps = 1e-5
+    E = jnp.zeros_like(Am).at[1, 2].set(1.0)
+    fd_g = (loss(Am + eps * E) - loss(Am - eps * E)) / (2 * eps)
+    assert_allclose(g[1, 2], fd_g, rtol=1e-5)
+    fd_H = (jax.grad(loss)(Am + eps * E) - jax.grad(loss)(Am - eps * E)
+            ) / (2 * eps)
+    assert_allclose(H[..., 1, 2], fd_H, atol=1e-4)
+
+
+def test_degen_svd_degenerate_safe(rng):
+    from xitorch_tpu._impls.linalg.symeig import degen_svd
+    # exactly repeated singular values: invariant loss must stay correct
+    q1, _ = jnp.linalg.qr(jnp.asarray(rng.standard_normal((5, 5))))
+    q2, _ = jnp.linalg.qr(jnp.asarray(rng.standard_normal((4, 4))))
+    sv = jnp.asarray([3.0, 2.0, 2.0, 0.5])
+    Am = (q1[:, :4] * sv) @ q2.T
+
+    def loss(Am):  # sum over the degenerate pair: rotation-invariant
+        u, s, v = degen_svd(Am)
+        return jnp.sum(s[-3:-1] ** 2)
+
+    g = jax.grad(loss)(Am)
+    eps = 1e-6
+    E = jnp.asarray(rng.standard_normal(Am.shape))
+    fd = (loss(Am + eps * E) - loss(Am - eps * E)) / (2 * eps)
+    assert_allclose(jnp.sum(g * E), fd, rtol=1e-4)
+    # vector-dependent loss on a degenerate subspace: gradient is
+    # convention-dependent but must be finite (no 1/0 from F or 1/s)
+    gv = jax.grad(lambda m: jnp.sum(degen_svd(m)[0] ** 4))(Am)
+    assert bool(jnp.all(jnp.isfinite(gv)))
+    # near-zero singular value: 1/s term masked, still finite
+    sv0 = jnp.asarray([3.0, 2.0, 1.0, 0.0])
+    Am0 = (q1[:, :4] * sv0) @ q2.T
+    g0 = jax.grad(lambda m: jnp.sum(degen_svd(m)[0] ** 4))(Am0)
+    assert bool(jnp.all(jnp.isfinite(g0)))
+
+
+def test_svd_lowest_mode(rng):
+    Am = jnp.asarray(rng.standard_normal((6, 4)))
+    u, s, vh = svd(LinearOperator.m(Am), k=2, mode="lowest")
+    s_ref = jnp.sort(jnp.linalg.svd(Am, compute_uv=False))[:2]
+    assert_allclose(s, s_ref, atol=1e-10)
+    assert_allclose(Am @ jnp.swapaxes(vh, -2, -1), u * s[..., None, :],
+                    atol=1e-10)
+
+
 def test_lsymeig_usymeig_alias(rng):
     Am = make_sym(rng, (), 6)
     A = LinearOperator.m(Am, is_hermitian=True)

@@ -30,7 +30,8 @@ from xitorch_tpu._core.linop import LinearOperator
 from xitorch_tpu.utils.bcast import get_bcasted_dims
 from xitorch_tpu.utils.tensor import dot_hi as _dot_hi, tallqr
 
-__all__ = ["exacteig", "degen_eigh", "davidson", "chebfsi", "kron_exacteig", "take_eigpairs"]
+__all__ = ["exacteig", "degen_eigh", "degen_svd", "davidson", "chebfsi",
+           "kron_exacteig", "take_eigpairs"]
 
 
 def take_eigpairs(eival: jnp.ndarray, eivec: jnp.ndarray, neig: int, mode: str):
@@ -86,6 +87,72 @@ def _degen_eigh_jvp(primals, tangents):
     F = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, diff))
     devecs = _dot_hi(evecs, F * dS)
     return (evals, evecs), (devals, devecs)
+
+
+@jax.custom_jvp
+def degen_svd(A: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Economy SVD ``A = U diag(s) V^T`` (real input) with degeneracy-safe
+    derivatives and **ascending** singular values — the package-wide
+    ordering convention (the reference's svd inherits ascending order
+    from symeig's uppest-tail slicing, xitorch/linalg/symeig.py:146-250).
+
+    On TPU with real f32 input the decomposition runs the native Hestenes
+    one-sided Jacobi kernel (``ops/jacobi_eigh.jacobi_svd``) — no Gram
+    matrix, so singular values keep ~eps*kappa(A) relative error instead
+    of the Gram path's ~eps*kappa(A)^2; elsewhere it is XLA's svd
+    flipped to ascending.
+
+    The JVP drops the 1/(s_j^2 - s_i^2) contributions of (near-)
+    degenerate pairs and the 1/s_i null-space coupling terms of
+    (near-)zero singular values, following the same convention (and the
+    same eps**0.6 threshold) as ``degen_eigh`` / the reference: valid
+    whenever the downstream loss is invariant under rotations within the
+    degenerate subspaces.
+    """
+    if jnp.iscomplexobj(A):
+        raise ValueError("degen_svd supports real input only (complex "
+                         "svd rides symeig of A^H A)")
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_svd, use_jacobi_svd_for
+    if use_jacobi_svd_for(A):
+        return jacobi_svd(A)
+    u, s, vh = jnp.linalg.svd(A, full_matrices=False)
+    return (u[..., ::-1], s[..., ::-1],
+            jnp.swapaxes(vh, -2, -1)[..., ::-1])
+
+
+@degen_svd.defjvp
+def _degen_svd_jvp(primals, tangents):
+    (A,) = primals
+    (dA,) = tangents
+    u, s, v = degen_svd(A)
+    dP = _dot_hi(_dot_hi(jnp.swapaxes(u, -2, -1), dA), v)   # (*B, r, r)
+    ds = jnp.diagonal(dP, axis1=-2, axis2=-1)
+
+    # F_ij = 1/(s_j^2 - s_i^2), masked to 0 on (near-)degenerate pairs
+    # and the diagonal (degen_eigh's threshold, on the Gram eigenvalues)
+    s2 = s * s
+    min_threshold = jnp.finfo(s.dtype).eps ** 0.6
+    diff = s2[..., None, :] - s2[..., :, None]               # s_j^2 - s_i^2
+    degen = jnp.abs(diff) <= min_threshold
+    F = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, diff))
+    sP = s[..., :, None] * dP                                # S dP
+    Ps = dP * s[..., None, :]                                # dP S
+    PTs = jnp.swapaxes(sP, -2, -1)                           # dP^T S
+    sPT = jnp.swapaxes(Ps, -2, -1)                           # S dP^T
+    du = _dot_hi(u, F * (Ps + sPT))
+    dv = _dot_hi(v, F * (sP + PTs))
+    # null-space coupling (economy SVD, m != n): (I - U U^T) dA V S^{-1}
+    # and (I - V V^T) dA^T U S^{-1}; 1/s masked for near-zero s (the
+    # direction in the numerical null space is arbitrary — same
+    # convention as the degenerate-pair drop above)
+    sinv = jnp.where(s2 <= min_threshold, 0.0,
+                     1.0 / jnp.where(s2 <= min_threshold, 1.0, s))
+    dAv = _dot_hi(dA, v)
+    du = du + (dAv - _dot_hi(u, dP)) * sinv[..., None, :]
+    dAtu = _dot_hi(jnp.swapaxes(dA, -2, -1), u)
+    dv = dv + (dAtu - _dot_hi(v, jnp.swapaxes(dP, -2, -1))
+               ) * sinv[..., None, :]
+    return (u, s, v), (du, ds, dv)
 
 
 def exacteig(A: LinearOperator, neig: int, mode: str,

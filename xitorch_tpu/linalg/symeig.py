@@ -320,6 +320,29 @@ def svd(A: LinearOperator, k: Optional[int] = None,
     n = A.shape[-1]
     if k is None:
         k = min(m, n)
+    mode = mode.lower()
+    if mode == "uppermost":
+        mode = "uppest"
+    if mode not in ("lowest", "uppest"):
+        raise RuntimeError("mode must be 'lowest' or 'uppest'/'uppermost'")
+
+    # native SVD path (no Gram matrix): for real input on the dense
+    # exacteig route, degen_svd keeps singular-value error at
+    # ~eps*kappa(A) instead of the Gram path's ~eps*kappa(A)^2 and runs
+    # the Hestenes Jacobi kernel on TPU (ops/jacobi_eigh.jacobi_svd).
+    # Kron-structured operators keep the Gram route (their symeig
+    # dispatches to the O(sum n_i^3) kron_exact factorization instead of
+    # materializing the dense matrix).
+    from xitorch_tpu._core.kron import KronOperator, KronSumOperator
+    if (method in (None, "exacteig")
+            and not isinstance(A, (KronOperator, KronSumOperator))
+            and not jnp.issubdtype(A.dtype, jnp.complexfloating)):
+        from xitorch_tpu._impls.linalg.symeig import degen_svd
+        u, s, v = degen_svd(A.fullmatrix())
+        sl = slice(None, k) if mode == "lowest" else slice(-k, None)
+        u, s, v = u[..., sl], s[..., sl], v[..., sl]
+        return u, s, jnp.swapaxes(v, -2, -1)
+
     if m < n:
         AAsym = A.matmul(A.H, is_hermitian=True)
     else:

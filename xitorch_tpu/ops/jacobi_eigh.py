@@ -87,7 +87,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["jacobi_eigh", "use_jacobi_for"]
+__all__ = ["jacobi_eigh", "jacobi_svd", "use_jacobi_for",
+           "use_jacobi_svd_for"]
 
 # global switch: xitorch_tpu._impls.linalg.symeig.degen_eigh dispatches the
 # dense decomposition here when `use_jacobi_for` approves (TPU, f32 real or
@@ -644,6 +645,114 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     lam = jnp.take_along_axis(lam, order, axis=-1)
     V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
     return lam.reshape(*batch, n), V.reshape(*batch, n, n)
+
+
+def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
+               tol: Optional[float] = None, interpret: bool = False
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched real economy SVD ``A = U diag(s) V^T`` via one-sided
+    (Hestenes) Jacobi — the SAME sweep kernel as ``jacobi_eigh``, run
+    directly on the columns of A instead of on a Gram matrix.
+
+    ``A``: (*B, m, n) real.  Returns ``(U (*B, m, r), s (*B, r)
+    ASCENDING, V (*B, n, r))`` with ``r = min(m, n)`` — the package-wide
+    ascending convention (``linalg.svd`` mode="uppest" slices the tail).
+
+    Why a native path when ``svd`` already rides ``symeig(A^H A)``
+    (reference xitorch/linalg/symeig.py:146-250): the sweep kernel never
+    uses symmetry — it orthogonalizes the rows of its panel by plane
+    rotations, which IS Hestenes' SVD iteration when the panel rows are
+    the columns of A (at convergence row i = s_i u_i^T, and V follows
+    from A^T U = V diag(s)).  Running on A instead of A^T A keeps the
+    singular-value relative error at ~eps*kappa(A) instead of
+    ~eps*kappa(A)^2 (the Gram squares the condition number), needs no
+    Gershgorin PSD shift (s >= 0 natively), and skips the Gram matmul.
+    Zero/tiny singular values: the right vectors v_i = A^T u_i / s_i are
+    recovered by normalization, so directions in the numerical null
+    space are arbitrary — the same contract as the Gram path's
+    ``sdiv`` clamp.
+
+    Raw kernel entry — no custom derivatives here; ``degen_svd``
+    (_impls/linalg/symeig.py) wraps it with the degeneracy-safe JVP.
+    """
+    interpret = interpret or jax.default_backend() != "tpu"
+    if A.ndim < 2:
+        raise ValueError("jacobi_svd expects (*B, m, n), got %s"
+                         % (A.shape,))
+    if jnp.iscomplexobj(A):
+        raise ValueError("jacobi_svd supports real input only (complex "
+                         "svd rides symeig of A^H A)")
+    batch = A.shape[:-2]
+    m_, n_ = A.shape[-2], A.shape[-1]
+    if m_ < n_:
+        # work on A^T (tall): A^T = U' S V'^T  =>  A = V' S U'^T
+        u, s, v = jacobi_svd(jnp.swapaxes(A, -2, -1),
+                             max_sweeps=max_sweeps, tol=tol,
+                             interpret=interpret)
+        return v, s, u
+    dt = A.dtype
+    if tol is None:
+        # same reachable-floor reasoning as jacobi_eigh's default
+        tol = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(n_)
+    Bflat = math.prod(batch) if batch else 1
+    a = A.reshape(Bflat, m_, n_)
+
+    # panel rows = columns of A; pad the pair axis to a multiple of 16
+    # with ZERO rows (zero columns are dead to every rotation — gamma=0
+    # skips the pair — and sort as the smallest singular values)
+    npad = max(16, -(-n_ // 16) * 16)
+    panel = jnp.swapaxes(a, -2, -1)                    # (B, n, m)
+    if npad != n_:
+        panel = jnp.pad(panel, ((0, 0), (0, npad - n_), (0, 0)))
+    gt = _pallas_g_panel(panel, max_sweeps, tol, interpret,
+                         complexpair=False)            # (B, npad, m)
+
+    # row i of G^T is s_i * u_i; drop the (npad - n) zero pads: ascending
+    # sort puts them first (ties with true zero singular values are
+    # interchangeable — both have arbitrary directions)
+    lam = jnp.sqrt(jnp.sum(gt * gt, axis=-1))          # (B, npad)
+    order = jnp.argsort(lam, axis=-1)[..., npad - n_:]  # (B, n) ascending
+    gt = jnp.take_along_axis(gt, order[..., None], axis=-2)   # (B, n, m)
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
+    U = jnp.swapaxes(gt / jnp.maximum(lam, tiny)[..., None], -2, -1)
+
+    # polish (cheap MXU matmuls, mirrors jacobi_eigh's): one Newton
+    # orthonormalization of U squares away the ~sqrt(#rotations)*eps
+    # drift, then V follows from A^T U = V diag(s) at HIGHEST precision
+    # (solver-internal contraction, CLAUDE.md).  s stays the row norms:
+    # row i IS A (V_total e_i) up to rounding (the G-invariant, no shift
+    # cancellation to repair here), so |row i| carries ~eps*sqrt(#rot)
+    # *absolute* error — whereas recomputing s = |A^T u_i| would inflate
+    # exact-zero singular values to |<u_i, range(A)>|*s_max junk (the
+    # numerical null space's direction is arbitrary, measured 1e-4 on a
+    # rank-2 f64 test matrix).  V columns are normalized by |W_i| (not
+    # divided by s) for the same reason.
+    hi = jax.lax.Precision.HIGHEST
+    eye_r = jnp.eye(n_, dtype=dt)
+    UtU = jnp.matmul(jnp.swapaxes(U, -2, -1), U, precision=hi)
+    U = jnp.matmul(U, 1.5 * eye_r - 0.5 * UtU, precision=hi)
+    W = jnp.matmul(jnp.swapaxes(a, -2, -1), U, precision=hi)   # (B, n, r)
+    wn = jnp.sqrt(jnp.sum(W * W, axis=-2))             # (B, r) = |A^T u_i|
+    V = W / jnp.maximum(wn, tiny)[..., None, :]
+    s = lam                                            # already ascending
+    return (U.reshape(*batch, m_, n_), s.reshape(*batch, n_),
+            V.reshape(*batch, n_, n_))
+
+
+def use_jacobi_svd_for(A: jnp.ndarray) -> bool:
+    """Dispatch gate used by ``degen_svd``: real f32 input on a TPU
+    backend, small side >= 64, panel (+ pipeline buffers) fits VMEM."""
+    if not (ENABLED
+            and jax.default_backend() == "tpu"
+            and A.ndim >= 2
+            and not jnp.iscomplexobj(A)
+            and A.dtype == jnp.float32):
+        return False
+    r = min(A.shape[-1], A.shape[-2])
+    w = max(A.shape[-1], A.shape[-2])
+    npad = max(16, -(-r // 16) * 16)
+    return bool(64 <= r and _panel_bytes(npad, w) <= _VMEM_BUDGET)
 
 
 def use_jacobi_for(A: jnp.ndarray) -> bool:
