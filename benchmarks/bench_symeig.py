@@ -143,7 +143,8 @@ def suite_svd(gmats, with_ref):
     def run_k(gmats, method, nk, **opts):
         def body(s, k):
             m = gmats + (k * 0.0)
-            A = LinearOperator.m(m)
+            # traced square matrix: hermiticity cannot be auto-detected
+            A = LinearOperator.m(m, is_hermitian=False)
             u, sv, vh = svd(A, NEIG, "uppest", method=method, **opts)
             return s + jnp.sum(sv), None
 

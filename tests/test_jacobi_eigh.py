@@ -225,3 +225,23 @@ def test_use_jacobi_svd_gate_off_tpu():
     from xitorch_tpu.ops.jacobi_eigh import use_jacobi_svd_for
     a = jnp.zeros((4, 256, 256), jnp.float32)
     assert use_jacobi_svd_for(a) == (jax.default_backend() == "tpu")
+
+
+def test_panel_return_sweeps_interpret():
+    from xitorch_tpu.ops.jacobi_eigh import _pallas_g_panel
+    key = jax.random.PRNGKey(6)
+    a = jax.random.normal(key, (5, 32, 32), jnp.float32)
+    a = a @ jnp.swapaxes(a, -1, -2) + 2 * jnp.eye(32, dtype=jnp.float32)
+    g, sweeps = _pallas_g_panel(a, 18, 1e-5, True, False,
+                                return_sweeps=True)
+    g2 = _pallas_g_panel(a, 18, 1e-5, True, False)
+    assert jnp.allclose(g, g2)             # diagnostics don't change G
+    assert sweeps.dtype == jnp.int32
+    assert int(sweeps.min()) >= 1 and int(sweeps.max()) <= 18
+    # an already-diagonal stack converges immediately (0 or 1 sweeps)
+    d = jnp.eye(32, dtype=jnp.float32)[None] * jnp.arange(
+        1.0, 33.0, dtype=jnp.float32)[None, :, None] * 0 + \
+        jnp.eye(32, dtype=jnp.float32)[None]
+    _, sw0 = _pallas_g_panel(jnp.broadcast_to(d, (2, 32, 32)), 18, 1e-5,
+                             True, False, return_sweeps=True)
+    assert int(sw0.max()) <= 1

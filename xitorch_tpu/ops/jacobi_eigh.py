@@ -203,11 +203,14 @@ def _shuffle(h, ntop, nbot):
     return new_top, new_bot
 
 
-def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
-                   tol2: float):
+def _jacobi_kernel(a_ref, g_ref, sweeps_ref=None, *, n: int, m: int,
+                   max_sweeps: int, tol2: float):
     """``m`` matrices per grid program.  a_ref: (m, n, n) symmetric
     (shifted PSD) input; g_ref: (m, n, n) output G^T (G = A·V; at
-    convergence row i is lambda'_i v_i^T)."""
+    convergence row i is lambda'_i v_i^T).  ``sweeps_ref`` (optional,
+    (1,) int32): the program's executed sweep count — the while_loop
+    exits on the max leftover cos^2 over all m stacked matrices, so this
+    is the max over the stack (diagnostics/benchmarks only)."""
     h = n // 2
     dt = a_ref.dtype
     eps_floor = jnp.asarray(jnp.finfo(dt).tiny * 16.0, dt)
@@ -297,8 +300,11 @@ def _jacobi_kernel(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         lax.fori_loop(0, n_iters, round_block, (nt, nb))
         return sweep + 1, _max_cos2()
 
-    lax.while_loop(sweep_cond, sweep_body,
-                   (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt)))
+    final = lax.while_loop(sweep_cond, sweep_body,
+                           (jnp.asarray(0, jnp.int32),
+                            jnp.asarray(jnp.inf, dt)))
+    if sweeps_ref is not None:
+        sweeps_ref[0] = final[0]
 
 
 def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
@@ -412,8 +418,12 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
 
 
 def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
-                    interpret: bool, complexpair: bool) -> jnp.ndarray:
-    """Run the kernel on (B, n, width) input; returns the G^T panel."""
+                    interpret: bool, complexpair: bool,
+                    return_sweeps: bool = False) -> jnp.ndarray:
+    """Run the kernel on (B, n, width) input; returns the G^T panel.
+    With ``return_sweeps`` also returns the per-program executed sweep
+    counts (shape (ceil(B/m),) int32 — diagnostics only; the real kernel
+    supports it, the complex-pair variant does not)."""
     from jax.experimental import pallas as pl
 
     B, n, width = a.shape
@@ -447,6 +457,22 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     kfn = _jacobi_kernel_complex if complexpair else _jacobi_kernel
     kernel = functools.partial(kfn, n=n, m=m, max_sweeps=max_sweeps,
                                tol2=tol * tol)
+    if return_sweeps and not complexpair:
+        nprog = Bpad // m
+        sw_kwargs = {"index_map": lambda b: (b,)}
+        if memspace is not None:
+            from jax.experimental.pallas import tpu as pltpu
+            sw_kwargs["memory_space"] = pltpu.SMEM
+        g, sweeps = pl.pallas_call(
+            kernel,
+            grid=(nprog,),
+            in_specs=[spec()],
+            out_specs=[spec(), pl.BlockSpec((1,), **sw_kwargs)],
+            out_shape=[jax.ShapeDtypeStruct((Bpad, n, width), a.dtype),
+                       jax.ShapeDtypeStruct((nprog,), jnp.int32)],
+            interpret=interpret,
+        )(a)
+        return g[:B], sweeps
     g = pl.pallas_call(
         kernel,
         grid=(Bpad // m,),
