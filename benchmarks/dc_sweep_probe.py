@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-import xitorch_tpu.ops.jacobi_eigh as JE
+import importlib
+
+# xitorch_tpu.ops re-exports the jacobi_eigh FUNCTION under the module's
+# name, so `import ... as JE` would bind the function — load the module
+JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
 from xitorch_tpu.ops.dc_kernel import dc_precondition_tpu
 
 HI = jax.lax.Precision.HIGHEST

@@ -304,7 +304,7 @@ def _jacobi_kernel(a_ref, g_ref, sweeps_ref=None, *, n: int, m: int,
                            (jnp.asarray(0, jnp.int32),
                             jnp.asarray(jnp.inf, dt)))
     if sweeps_ref is not None:
-        sweeps_ref[0] = final[0]
+        sweeps_ref[0, 0] = final[0]
 
 
 def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
@@ -458,8 +458,10 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     kernel = functools.partial(kfn, n=n, m=m, max_sweeps=max_sweeps,
                                tol2=tol * tol)
     if return_sweeps and not complexpair:
+        # rank-2 (nprog, 1) with (1, 1) blocks: the TPU lowering rejects
+        # rank-1 blocks that neither span the array nor tile by 128
         nprog = Bpad // m
-        sw_kwargs = {"index_map": lambda b: (b,)}
+        sw_kwargs = {"index_map": lambda b: (b, 0)}
         if memspace is not None:
             from jax.experimental.pallas import tpu as pltpu
             sw_kwargs["memory_space"] = pltpu.SMEM
@@ -467,12 +469,12 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
             kernel,
             grid=(nprog,),
             in_specs=[spec()],
-            out_specs=[spec(), pl.BlockSpec((1,), **sw_kwargs)],
+            out_specs=[spec(), pl.BlockSpec((1, 1), **sw_kwargs)],
             out_shape=[jax.ShapeDtypeStruct((Bpad, n, width), a.dtype),
-                       jax.ShapeDtypeStruct((nprog,), jnp.int32)],
+                       jax.ShapeDtypeStruct((nprog, 1), jnp.int32)],
             interpret=interpret,
         )(a)
-        return g[:B], sweeps
+        return g[:B], sweeps[:, 0]
     g = pl.pallas_call(
         kernel,
         grid=(Bpad // m,),
