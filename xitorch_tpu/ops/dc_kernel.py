@@ -42,7 +42,9 @@ from .spectral_dc import _QUINTIC, _RANK_SAFE_BETA
 
 __all__ = ["dc_precondition_tpu"]
 
-_N_QUINTIC_SIGN = 6
+_N_QUINTIC_SIGN = 8     # ramp length = sign-transition sharpness; see
+# the _N_QUINTIC note in spectral_dc.py (6 steps left boundary
+# eigenvalues smearing into "bad slots" at cos^2 ~ 1e-3)
 _N_CUBIC_SIGN = 2       # fast-precision contraction steps
 _N_CUBIC_SIGN_HI = 1    # final f32-grade step: the residual coupling the
 # finisher must sweep away is set by the LAST sign step's matmul noise —
@@ -237,6 +239,14 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
 # sweeps it saves.
 _N_CUBIC_SIGN_LEAN = 12
 _N_CUBIC_SIGN_LEAN_HI = 2
+# The lean kernel keeps the STRONG rank-safety blend: its cubic-only
+# sign is softer (rank-rounding-grade), and its n=704/768 range is
+# where hard-split rank deficiency was actually observed.  The
+# single-shot kernel (n <= 448 auto window) shares spectral_dc's
+# smaller _RANK_SAFE_BETA — there the blend floor (cos ~ beta) was the
+# dominant warm-sweep cost and failures were never observed (runtime
+# guard in jacobi_eigh covers the residual risk).
+_RANK_SAFE_BETA_LEAN = 0.02
 _PER_LEVEL_MIN_N = 448  # auto threshold: the single-shot kernel's live
 # set (~10 planes + the rank-safety blend's extra POm plane) measured
 # 17.04 MB at n=512 against the compiler's 16 MB default scope (v5e OOM;
@@ -356,7 +366,7 @@ def _dc_level_kernel(segc_ref, segr_ref, om_hbm, t_hbm, g_hbm,
     # wrongly-rounded projector rank makes the hard slot split
     # rank-deficient and unorthogonalizable (observed at n=704/768:
     # G-invariant error 1e-5..1e-3 vs the 8e-7 healthy floor)
-    beta = jnp.asarray(_RANK_SAFE_BETA, dt)
+    beta = jnp.asarray(_RANK_SAFE_BETA_LEAN, dt)
     w2[...] = ((1.0 - beta) * jnp.where(low_r, POm, w2[...] - POm)
                + beta * w2[...])                                # Y
     coln = jnp.sqrt(jnp.sum(w2[...] * w2[...], axis=0, keepdims=True))

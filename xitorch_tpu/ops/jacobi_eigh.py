@@ -304,7 +304,8 @@ def _jacobi_kernel(a_ref, g_ref, sweeps_ref=None, *, n: int, m: int,
                            (jnp.asarray(0, jnp.int32),
                             jnp.asarray(jnp.inf, dt)))
     if sweeps_ref is not None:
-        sweeps_ref[0, 0] = final[0]
+        from jax.experimental import pallas as pl
+        sweeps_ref[pl.program_id(0), 0] = final[0]
 
 
 def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
@@ -458,21 +459,32 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     kernel = functools.partial(kfn, n=n, m=m, max_sweeps=max_sweeps,
                                tol2=tol * tol)
     if return_sweeps and not complexpair:
-        # rank-2 (nprog, 1) with (1, 1) blocks: the TPU lowering rejects
-        # rank-1 blocks that neither span the array nor tile by 128
+        # the sweep-count output is one SMEM block spanning the whole
+        # (nprog, 1) array (the TPU lowering rejects per-program partial
+        # blocks that neither tile by (8, 128) nor span the array); each
+        # program writes its own row via pl.program_id
         nprog = Bpad // m
-        sw_kwargs = {"index_map": lambda b: (b, 0)}
+        sw_kwargs = {"index_map": lambda b: (0, 0)}
+        extra = {}
         if memspace is not None:
             from jax.experimental.pallas import tpu as pltpu
             sw_kwargs["memory_space"] = pltpu.SMEM
+            # the sweeps output nudges the m=8 variant ~1% past the 16 MB
+            # scoped-VMEM default; diagnostics-only path, so buy headroom
+            _Params = getattr(pltpu, "CompilerParams",
+                              getattr(pltpu, "TPUCompilerParams", None))
+            if _Params is not None and not interpret:
+                extra["compiler_params"] = _Params(
+                    vmem_limit_bytes=20 * 1024 * 1024)
         g, sweeps = pl.pallas_call(
             kernel,
             grid=(nprog,),
             in_specs=[spec()],
-            out_specs=[spec(), pl.BlockSpec((1, 1), **sw_kwargs)],
+            out_specs=[spec(), pl.BlockSpec((nprog, 1), **sw_kwargs)],
             out_shape=[jax.ShapeDtypeStruct((Bpad, n, width), a.dtype),
                        jax.ShapeDtypeStruct((nprog, 1), jnp.int32)],
             interpret=interpret,
+            **extra,
         )(a)
         return g[:B], sweeps[:, 0]
     g = pl.pallas_call(

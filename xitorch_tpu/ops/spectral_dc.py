@@ -69,13 +69,29 @@ from jax import lax
 __all__ = ["spectral_sort_basis", "dc_precondition"]
 
 # quintic Newton-Schulz coefficients (Muon/polar-express; public), used
-# for both msign and polar orthonormalization.  6 quintic + 3 cubic steps
-# map [1e-3, 1] -> 1 +- 1e-3 with intermediate values bounded by 1.21.
+# for both msign and polar orthonormalization.  8 quintic + 3 cubic steps
+# map [8e-5, 1] -> 1 +- 1e-3 with intermediate values bounded by 1.21.
+# The ramp length sets the sign-transition halfwidth (the band of
+# eigenvalues around the split that stay soft and leak cross-block
+# coupling): 6 steps left it at ~1e-3 of the scaled bound — comparable
+# to the median eigenvalue SPACING at n=256, so most matrices had one
+# boundary eigenvalue smear into a "bad slot" coupled to ~100 others at
+# cos^2 ~ 1e-3 (measured; the dominant warm-sweep driver).  Two extra
+# quintic steps shrink the width 3.44x each (+6 matmuls/level, ~8% DC
+# cost) and drop the worst-case warm-start max cos^2 to ~1e-4.
 _QUINTIC = (3.4445, -4.7750, 2.0315)
-_N_QUINTIC = 6
+_N_QUINTIC = 8
 # rank-safety probe blend for the slot split (see comment at the Y
-# construction); shared by the Pallas kernels in dc_kernel.py
-_RANK_SAFE_BETA = 0.02
+# construction); shared by the single-shot Pallas kernel in
+# dc_kernel.py.  Measured (CPU f32, 4 spectrum families at n=256): the
+# blend floors the warm-start coupling at cos ~ beta, so beta = 0.02
+# cost ~2 finisher sweeps; 0.002 keeps the rank rescue (sigma_min ~
+# beta/scale ~ 4e-5 is inside the 10-step quintic polar basin) at a
+# coupling floor below the structural leak.  The per-level kernel keeps
+# its own stronger blend (dc_kernel._RANK_SAFE_BETA_LEAN): its
+# cubic-only sign is softer and its n=704/768 range is where
+# rank-deficiency was actually observed.
+_RANK_SAFE_BETA = 0.002
 _N_CUBIC = 3
 
 
@@ -186,8 +202,8 @@ def _dc_level(T, Qtot, seg, om, min_seg, dt):
     # Mixing beta of the raw probe back in makes Y full-rank almost
     # surely at an O(beta) subspace-alignment cost the Jacobi finisher
     # sweeps away (quadratically: beta couplings -> beta^2 after one
-    # sweep).  beta/scale ~ 4e-4 stays inside the quintic polar basin
-    # (sigma grows ~3.4x/step over 10 steps).
+    # sweep).  beta/scale ~ 4e-5 stays inside the quintic polar basin
+    # (sigma grows ~3.4x/step over 10 steps, covering ~1e-5).
     Y = ((1.0 - _RANK_SAFE_BETA)
          * jnp.where(low[:, None, :], POm, omb - POm)
          + _RANK_SAFE_BETA * omb)
