@@ -245,3 +245,166 @@ def test_panel_return_sweeps_interpret():
     _, sw0 = _pallas_g_panel(jnp.broadcast_to(d, (2, 32, 32)), 18, 1e-5,
                              True, False, return_sweeps=True)
     assert int(sw0.max()) <= 1
+
+
+def test_rot_correct_kills_gapped_couplings():
+    # the first-order rotational correction must (a) reduce well-gapped
+    # couplings by orders of magnitude, (b) keep the panel's G-invariant
+    # (P^T P == A^2, i.e. the implicit rotation stays orthogonal), and
+    # (c) leave near-degenerate pairs for the Jacobi finisher untouched
+    # rather than applying an invalid first-order rotation
+    from xitorch_tpu.ops.jacobi_eigh import _rot_correct
+
+    n = 48
+    key = jax.random.PRNGKey(11)
+    # well-separated spectrum, exact eigenbasis Q0, then a small rotation
+    lam = jnp.linspace(1.0, 6.0, n, dtype=jnp.float32)
+    q0, _ = jnp.linalg.qr(jax.random.normal(key, (n, n), jnp.float32))
+    a = (q0 * lam) @ q0.T
+    k = jax.random.normal(jax.random.PRNGKey(12), (n, n), jnp.float32)
+    k = 2e-3 * (k - k.T)
+    q = q0 @ jax.scipy.linalg.expm(k)
+    p = (q.T @ a)[None]                        # warm panel, (1, n, n)
+
+    def max_cos2(g):
+        nrm = jnp.sum(g * g, axis=-1)
+        gram = jnp.einsum("bik,bjk->bij", g, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        den = jnp.maximum(nrm[:, :, None] * nrm[:, None, :], 1e-30)
+        r = gram * gram / den
+        return jnp.max(jnp.where(jnp.eye(n, dtype=bool), 0.0, r))
+
+    c0 = float(max_cos2(p))
+    pc = _rot_correct(p, passes=1)
+    c1 = float(max_cos2(pc))
+    assert c1 < c0 * 1e-2, (c0, c1)           # (a)
+    hi = jax.lax.Precision.HIGHEST
+    gtg = jnp.matmul(jnp.swapaxes(pc, -2, -1), pc, precision=hi)
+    a2 = jnp.matmul(a, a, precision=hi)[None]
+    ginv = float(jnp.sqrt(jnp.sum((gtg - a2) ** 2)
+                          / jnp.sum(a2 * a2)))
+    assert ginv < 5e-6, ginv                  # (b) guard-grade invariant
+
+
+def test_rot_correct_degenerate_and_zero_rows_stay_finite():
+    # 0/0 regression: exactly-degenerate uncoupled pairs (identical
+    # padding rows, zero rows from a broken preconditioner) must not
+    # NaN-poison the panel — the clip test alone passes 0 <= 0
+    from xitorch_tpu.ops.jacobi_eigh import _rot_correct
+
+    n = 16
+    d = jnp.eye(n, dtype=jnp.float32) * 3.0
+    # two identical rows (degenerate, uncoupled) + one zero row
+    p = d.at[5, 5].set(2.0).at[7, 7].set(2.0).at[9].set(0.0)[None]
+    out = _rot_correct(p, passes=2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # untouched where no rotation is valid
+    assert jnp.allclose(out, p, atol=1e-6)
+
+
+def test_rot_correct_reduces_sweeps_interpret():
+    # end effect on the finisher: a DC-warmed panel needs fewer sweeps
+    # after the correction (the production path applies it by default)
+    import importlib
+
+    JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+    from xitorch_tpu.ops.dc_kernel import dc_precondition_tpu
+
+    # Wishart family (the config-2 benchmark family): spread spectrum,
+    # so most leftover couplings are well-gapped and correctable —
+    # a tight/clustered spectrum would clip almost everything and show
+    # no effect (the correction is a no-op there by design)
+    n = 128
+    w = jax.random.normal(jax.random.PRNGKey(13), (4, n, n),
+                          jnp.float32) / (n ** 0.5)
+    a = w @ jnp.swapaxes(w, -1, -2) + 2 * jnp.eye(n, dtype=jnp.float32)
+    g0 = dc_precondition_tpu(a, levels=7, min_seg=2, interpret=True)
+    tol = float(jnp.finfo(jnp.float32).eps) * 4.0 * (n ** 0.5)
+    old = JE._M_CAP
+    JE._M_CAP = 1
+    try:
+        _, sw_warm = JE._pallas_g_panel(g0, 18, tol, True, False,
+                                        return_sweeps=True)
+        _, sw_corr = JE._pallas_g_panel(JE._rot_correct(g0), 18, tol,
+                                        True, False, return_sweeps=True)
+    finally:
+        JE._M_CAP = old
+    assert int(sw_corr.sum()) < int(sw_warm.sum()), (
+        sw_warm.tolist(), sw_corr.tolist())
+
+
+def test_block_rr_solves_degenerate_clusters():
+    # the blocked Rayleigh-Ritz finisher must (a) kill couplings inside
+    # near-degenerate clusters EXACTLY (where first-order correction is
+    # clipped out and Jacobi pays its slowest sweeps), (b) preserve the
+    # panel's G-invariant P^T P to rounding (block rotations + row sort
+    # are orthogonal), including clusters straddling a block boundary
+    # (caught by the offset stage)
+    from xitorch_tpu.ops.jacobi_eigh import _block_rr
+    import numpy as np
+
+    n, w = 96, 16
+    # clusters of close-but-RESOLVABLE eigenvalues (exact degeneracy
+    # produces no coupling at all — any basis of the eigenspace is an
+    # eigenbasis; small spread x large mixing is the Jacobi-slow case),
+    # one centered at the stage-0 block boundary 2w = 32
+    lam = np.linspace(1.0, 8.0, n)
+    lam[28:36] = 3.0 + 1e-2 * np.arange(8)      # straddles row 32
+    lam[60:70] = 5.5 + 1e-2 * np.arange(10)
+    lam = jnp.asarray(np.sort(lam), jnp.float32)
+    q0, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(3),
+                                            (n, n), jnp.float32))
+    a = (q0 * lam) @ q0.T
+    # Q = q0 rotated *within* the clusters (what DC leaves behind)
+    k = np.zeros((n, n), np.float32)
+    rng = np.random.default_rng(5)
+    for lo, hi_ in ((28, 36), (60, 70)):
+        kk = rng.normal(size=(hi_ - lo, hi_ - lo)).astype(np.float32)
+        k[lo:hi_, lo:hi_] = 0.3 * (kk - kk.T)
+    q = q0 @ jax.scipy.linalg.expm(jnp.asarray(k))
+    p = (q.T @ a)[None]
+
+    def max_cos2(g):
+        nrm = jnp.sum(g * g, axis=-1)
+        gram = jnp.einsum("bik,bjk->bij", g, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        den = jnp.maximum(nrm[:, :, None] * nrm[:, None, :], 1e-30)
+        r = gram * gram / den
+        return jnp.max(jnp.where(jnp.eye(n, dtype=bool), 0.0, r))
+
+    c0 = float(max_cos2(p))
+    assert c0 > 1e-5                             # clusters ARE coupled
+    out = _block_rr(p, width=w, stages=2)
+    c1 = float(max_cos2(out))
+    assert c1 < 1e-10, (c0, c1)                 # (a) solved exactly
+    hi = jax.lax.Precision.HIGHEST
+    gtg = jnp.matmul(jnp.swapaxes(out, -2, -1), out, precision=hi)
+    a2 = jnp.matmul(a, a, precision=hi)[None]
+    ginv = float(jnp.sqrt(jnp.sum((gtg - a2) ** 2) / jnp.sum(a2 * a2)))
+    assert ginv < 5e-6, ginv                    # (b) guard-grade
+
+
+def test_block_rr_small_n_noop():
+    from xitorch_tpu.ops.jacobi_eigh import _block_rr
+
+    p = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16), jnp.float32)
+    out = _block_rr(p, width=16, stages=2)      # n < 2*width
+    assert jnp.allclose(out, p)
+
+
+def test_guard_flags_nan_panel():
+    # NaN > rtol is False, so a naive comparison would pass a
+    # NaN-poisoned panel through to the kernel; the guard must flag it
+    from xitorch_tpu.ops.jacobi_eigh import _guard_warm_start
+
+    n = 24
+    a = _sym(jax.random.PRNGKey(7), (2, n, n), jnp.float32)
+    a = a + 10.0 * jnp.eye(n, dtype=jnp.float32)
+    q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(8),
+                                           (2, n, n), jnp.float32))
+    good = jnp.einsum("bji,bjk->bik", q, a)
+    poisoned = good.at[1, 0, 0].set(jnp.nan)
+    out, flag = _guard_warm_start(a, poisoned)
+    assert flag.tolist() == [False, True]
+    assert jnp.allclose(out[1], a[1])
+    assert bool(jnp.all(jnp.isfinite(out)))

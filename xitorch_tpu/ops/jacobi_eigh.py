@@ -132,8 +132,122 @@ def _guard_warm_start(a_shift: jnp.ndarray, g0: jnp.ndarray,
     a2 = jnp.matmul(a_shift, a_shift, precision=hi)
     num = jnp.sqrt(jnp.sum((gtg - a2) ** 2, axis=(-2, -1)))
     den = jnp.sqrt(jnp.sum(a2 * a2, axis=(-2, -1)))
-    bad = num > rtol * den
+    # negated <= so a NaN-poisoned panel (num = NaN compares False both
+    # ways) is FLAGGED and falls back to the cold start instead of
+    # sailing through to the kernel
+    bad = jnp.logical_not(num <= rtol * den)
     return jnp.where(bad[:, None, None], a_shift, g0), bad
+
+
+_ROT_EMAX = 0.1  # |E_ij| clip for the first-order rotational correction
+
+
+def _rot_correct(g0: jnp.ndarray, passes: int = 2,
+                 emax: float = _ROT_EMAX) -> jnp.ndarray:
+    """Gap-clipped first-order rotational correction of a warm panel —
+    MXU matmuls replacing VPU Jacobi sweeps for the *well-gapped*
+    leftover couplings.
+
+    The warm panel is ``P = Q^T A_shift`` (rows ``p_i = A q_i``) with Q
+    near the true eigenbasis; ``T = P P^T = Q^T A^2 Q`` is then nearly
+    diagonal.  The first-order rotation that zeroes coupling (i, j) of T
+    is ``R = I + E`` with antisymmetric ``E_ij = T_ij / (t_j - t_i)``
+    (divided differences on the squared shifted eigenvalues).  Entries
+    with ``|E_ij| > emax`` — couplings between near-degenerate pairs,
+    where first-order correction is invalid (this is exactly the
+    failure mode that sank the cold-path MXU-polish prototype, see the
+    module docstring) — are clipped to zero and left for the Jacobi
+    finisher, whose 2x2 rotations solve them exactly.  R is made
+    *exactly* orthogonal by 3 Newton-Schulz polar steps (for antisym E,
+    ``polar(I+E) = exp(E) + O(E^3)``, so the first-order kill is
+    preserved), hence the sweep kernel's G-invariant survives to f32
+    rounding and a bad correction can cost sweeps, never correctness —
+    additionally the orthogonality guard runs AFTER this correction, so
+    even an NS-divergent R (``||E|| ~ 1`` would need more steps) only
+    diverts that matrix to the cold sweep.
+
+    Cost: ``8 * passes`` batched (n, n) HIGHEST matmuls ~ 0.5 ms at
+    B=64, n=256 — vs ~8 ms for one VPU sweep of the same batch.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    n = g0.shape[-1]
+    dt = g0.dtype
+    eye = jnp.eye(n, dtype=dt)
+    for _ in range(passes):
+        T = jnp.matmul(g0, jnp.swapaxes(g0, -2, -1), precision=hi)
+        t = jnp.diagonal(T, axis1=-2, axis2=-1)
+        denom = t[..., None, :] - t[..., :, None]           # t_j - t_i
+        # clip: |T_ij| <= emax * |denom| keeps |E| <= emax; the diagonal
+        # (denom = 0, |T_ii| > 0) and near-degenerate pairs fall out.
+        # denom == 0 must be excluded EXPLICITLY: an exactly-degenerate
+        # uncoupled pair (T_ij = 0 — identical padding rows, or a broken
+        # preconditioner's zero rows) passes the clip test and 0/0 would
+        # NaN-poison the panel before the guard can catch it
+        live = jnp.logical_and(
+            jnp.abs(T) <= emax * jnp.abs(denom),
+            jnp.abs(denom) > jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+        E = jnp.where(live, T / jnp.where(live, denom, 1.0),
+                      jnp.asarray(0.0, dt))
+        R = eye + E
+        for _ns in range(3):
+            RtR = jnp.matmul(jnp.swapaxes(R, -2, -1), R, precision=hi)
+            R = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision=hi)
+        g0 = jnp.matmul(jnp.swapaxes(R, -2, -1), g0, precision=hi)
+    return g0
+
+
+def _block_rr(p: jnp.ndarray, width: int = 16, stages: int = 2
+              ) -> jnp.ndarray:
+    """Blocked Rayleigh-Ritz finisher for a warm panel — batched small
+    ``eigh`` on diagonal Gram blocks, killing the *near-degenerate*
+    couplings that first-order correction must clip and that cost the
+    Jacobi finisher its remaining sweeps (quadratic convergence has a
+    1/gap constant, so clustered pairs converge slowest).
+
+    The warm panel is ``P = Q^T A_shift`` with rows ``p_i = A q_i`` and
+    ``T = P P^T = Q^T A^2 Q`` nearly diagonal.  The DC preconditioner's
+    segment tree keeps spectral halves contiguous, so after sorting rows
+    by norm (= shifted eigenvalue estimate) the leftover couplings are
+    *index-local* (measured: q99 of the live-pair |i-j| distance is
+    small).  Two offset stages of exact ``2*width``-block Rayleigh-Ritz
+    then solve every local cluster: stage 0 diagonalizes blocks
+    ``[0:2w], [2w:4w], ...`` of T, stage 1 the ``w``-offset blocks
+    covering pairs that straddle stage-0 boundaries.
+
+    Each block update is ``P_blk <- V^T P_blk`` with ``V`` from
+    ``eigh(T_blk)`` — orthogonal to f32 rounding, so the sweep kernel's
+    G-invariant is preserved EXACTLY (``P^T P`` is untouched by
+    orthogonal row mixing) and the orthogonality guard downstream still
+    certifies the whole chain; a failed block costs sweeps, never
+    correctness.  Conditioning: rows are sorted, so each block spans a
+    narrow eigenvalue window and ``T_blk`` is well-conditioned — the
+    eps*kappa direction noise of small-eigenvalue eigh never triggers.
+
+    Cost: 2 sorts + per stage one (2w, n) x (n, 2w) Gram einsum, one
+    batched (2w, 2w) eigh, one (2w, 2w) x (2w, n) apply — all MXU work,
+    ~1-3 ms at B=64, n=256 vs ~8 ms per VPU sweep saved.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    B, n, _ = p.shape
+    bs = 2 * width
+    if n < bs:
+        return p
+    t = jnp.sum(p * p, axis=-1)
+    idx = jnp.argsort(t, axis=-1)
+    p = jnp.take_along_axis(p, idx[..., None], axis=-2)
+    for s in range(stages):
+        off = width * (s % 2)
+        nb = (n - off) // bs
+        if nb == 0:
+            continue
+        core = lax.dynamic_slice_in_dim(p, off, nb * bs, axis=1)
+        core = core.reshape(B, nb, bs, n)
+        T = jnp.einsum("bkin,bkjn->bkij", core, core, precision=hi)
+        _, V = jnp.linalg.eigh(T)
+        core = jnp.einsum("bkij,bkin->bkjn", V, core, precision=hi)
+        p = lax.dynamic_update_slice_in_dim(
+            p, core.reshape(B, nb * bs, n), off, axis=1)
+    return p
 
 
 def _panel_bytes(n: int, width: int) -> int:
@@ -144,19 +258,26 @@ def _panel_bytes(n: int, width: int) -> int:
     return 5 * n * width * 4
 
 
-def _mats_per_program(n: int, complexpair: bool, batch: int) -> int:
+def _mats_per_program(n: int, width: int, batch: int,
+                      m_cap: Optional[int] = None) -> int:
     """How many matrices to stack per grid program: grow the VPU op shapes
     for small n, stay within the 16 MB scoped-VMEM limit for large n.
     Per-matrix footprint: in + out blocks with pipeline double-buffering
     (~4 n*width planes) plus the round loop's live top/bot temporaries
     (~1 more plane) — the old 3-plane estimate OOMed at n=704, m=2
-    (18.7 MB measured vs the 16 MB limit).  Never stack more matrices
-    than the batch actually has: the batch pad rides through every sweep,
-    so m > B multiplies the VPU work by m/B for nothing (B=1 grid points
-    paid 8x)."""
-    width = 2 * n if complexpair else n
+    (18.7 MB measured vs the 16 MB limit).  ``width`` is the TRUE panel
+    width (== n for square eigh panels, 2n for complex-pair planes, the
+    long side m for SVD panels, the source n for windowed sub-panels) —
+    modeling it as n undercounted rectangular panels by width/n and
+    could stack an OOM.  Never stack more matrices than the batch
+    actually has: the batch pad rides through every sweep, so m > B
+    multiplies the VPU work by m/B for nothing (B=1 grid points paid
+    8x).  ``m_cap`` overrides the default ``_M_CAP`` stack bound — the
+    windowed local phase stacks many narrow (2w, n) sub-panels per
+    program to keep the grid short."""
     bytes_per_mat = _panel_bytes(n, width)
-    m = max(1, min(_M_CAP, _VMEM_BUDGET // max(bytes_per_mat, 1)))
+    cap = _M_CAP if m_cap is None else m_cap
+    m = max(1, min(cap, _VMEM_BUDGET // max(bytes_per_mat, 1)))
     return min(m, max(batch, 1))
 
 
@@ -300,9 +421,12 @@ def _jacobi_kernel(a_ref, g_ref, sweeps_ref=None, *, n: int, m: int,
         lax.fori_loop(0, n_iters, round_block, (nt, nb))
         return sweep + 1, _max_cos2()
 
+    # initial gauge instead of inf: a panel already below tol (a fully
+    # corrected warm start) exits with ZERO sweeps; cold panels pay one
+    # ~0.1 ms gauge to learn they must sweep
     final = lax.while_loop(sweep_cond, sweep_body,
                            (jnp.asarray(0, jnp.int32),
-                            jnp.asarray(jnp.inf, dt)))
+                            _max_cos2().astype(dt)))
     if sweeps_ref is not None:
         from jax.experimental import pallas as pl
         sweeps_ref[pl.program_id(0), 0] = final[0]
@@ -414,13 +538,59 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         lax.fori_loop(0, n_iters, round_block, (nt, nb))
         return sweep + 1, _max_cos2()
 
+    # initial gauge instead of inf (see the real kernel)
     lax.while_loop(sweep_cond, sweep_body,
-                   (jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, dt)))
+                   (jnp.asarray(0, jnp.int32), _max_cos2().astype(dt)))
+
+
+def _windowed_local(p: jnp.ndarray, tol: float, interpret: bool,
+                    width: int = 16, max_sweeps: int = 12) -> jnp.ndarray:
+    """Windowed local Hestenes phase: orthogonalize the rows of every
+    ``2*width``-row window of the (row-norm-sorted) warm panel with the
+    SAME Pallas sweep kernel, run on a reshaped (B*k, 2w, n) view.
+
+    Rationale: after the DC preconditioner the slow-converging couplings
+    are between near-degenerate eigenvalue pairs, which after sorting
+    rows by norm are *index-local*; a full VPU sweep pays the whole
+    n(n-1)/2 tournament for them.  A window sweep costs only
+    ``(2w-1)*w*(n/2w) / (n(n-1)/2) ~ w/n`` of a global sweep (12% at
+    w=16, n=256), and orthogonalizing each window's rows IS the exact
+    block Rayleigh-Ritz solve of its Gram block (same fixed point:
+    rows orthogonal <=> the 2w x 2w Gram diagonalized) — without the
+    ~31 ms XLA batched small-eigh detour (measured B=64, n=256).
+
+    Two offset stages: stage 0 windows ``[0:2w], [2w:4w], ...``, stage 1
+    offset by ``w`` — any pair within index distance ``w`` lies whole in
+    some window of one stage (boundaries of the two grids alternate
+    every w).  Row mixing within a window is orthogonal, so the panel's
+    G-invariant is preserved exactly and the downstream guard still
+    certifies the chain end-to-end.
+    """
+    B, n, _ = p.shape
+    bs = 2 * width
+    if n < 2 * bs:
+        return p
+    t = jnp.sum(p * p, axis=-1)
+    idx = jnp.argsort(t, axis=-1)
+    p = jnp.take_along_axis(p, idx[..., None], axis=-2)
+    for s in range(2):
+        off = width * (s % 2)
+        nb = (n - off) // bs
+        if nb == 0:
+            continue
+        core = lax.dynamic_slice_in_dim(p, off, nb * bs, axis=1)
+        core = core.reshape(B * nb, bs, n)
+        core = _pallas_g_panel(core, max_sweeps, tol, interpret,
+                               complexpair=False, m_cap=64)
+        p = lax.dynamic_update_slice_in_dim(
+            p, core.reshape(B, nb * bs, n), off, axis=1)
+    return p
 
 
 def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
                     interpret: bool, complexpair: bool,
-                    return_sweeps: bool = False) -> jnp.ndarray:
+                    return_sweeps: bool = False,
+                    m_cap: Optional[int] = None) -> jnp.ndarray:
     """Run the kernel on (B, n, width) input; returns the G^T panel.
     With ``return_sweeps`` also returns the per-program executed sweep
     counts (shape (ceil(B/m),) int32 — diagnostics only; the real kernel
@@ -435,7 +605,7 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
             "with pipeline double-buffering) — use jnp.linalg.eigh / "
             "symeig(method=\"exacteig\") for matrices this large"
             % (n, width, _panel_bytes(n, width) / 1e6))
-    m = _mats_per_program(n, complexpair, B)
+    m = _mats_per_program(n, width, B, m_cap)
     if B % m:
         # pad the batch with identity-like matrices (diag already set by
         # the caller's shift; zeros converge instantly and are sliced off)
@@ -631,8 +801,16 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
             levels = max(3, math.ceil(math.log2(npad)))
             g0 = dc_precondition_tpu(a, levels=levels, min_seg=2,
                                      interpret=interpret)
+            # gap-clipped first-order rotational correction: kills the
+            # well-gapped leftover couplings (incl. the rank-safety
+            # blend's global cos ~ beta floor) on the MXU for ~0.5 ms,
+            # where each would otherwise cost the finisher a ~8 ms VPU
+            # sweep; near-degenerate pairs are clipped out and left for
+            # the Jacobi 2x2 rotations
+            g0 = _rot_correct(g0)
             # runtime orthogonality guard: any matrix whose warm panel
-            # fails the G-invariant falls back to the cold sweep
+            # fails the G-invariant — a DC rank failure OR a divergent
+            # correction rotation — falls back to the cold sweep
             g_in, bad = _guard_warm_start(a, g0)
             # cluster the cold fallbacks (~1/16 of clustered/Wishart
             # batches, dc_validate.py) into the FEWEST grid programs:
