@@ -392,6 +392,49 @@ def test_block_rr_small_n_noop():
     assert jnp.allclose(out, p)
 
 
+def test_gram_windowed_reduces_coupling_keeps_invariant():
+    # the Gram-windowed local solve must (a) cut the warm panel's worst
+    # off-diagonal mixing by >= 10x (it solves each 2w-row window through
+    # its 2w x 2w Gram on the small Pallas kernel), (b) preserve the
+    # G-invariant P^T P == A_shift^2 at guard grade (the applied V is
+    # Newton-Schulz-orthonormalized to f32 rounding before the MXU
+    # apply), and (c) no-op when n < 2*width
+    import importlib
+
+    JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+    from xitorch_tpu.ops.dc_kernel import dc_precondition_tpu
+
+    n = 128
+    w = jax.random.normal(jax.random.PRNGKey(21), (3, n, n),
+                          jnp.float32) / (n ** 0.5)
+    a = w @ jnp.swapaxes(w, -1, -2) + 2 * jnp.eye(n, dtype=jnp.float32)
+    # shallow DC: big leftover in-window couplings for the solve to kill
+    g0 = dc_precondition_tpu(a, levels=3, min_seg=16, interpret=True)
+
+    def max_cos2(g):
+        nrm = jnp.sum(g * g, axis=-1)
+        gram = jnp.einsum("bik,bjk->bij", g, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        den = jnp.maximum(nrm[:, :, None] * nrm[:, None, :], 1e-30)
+        r = gram * gram / den
+        return jnp.max(jnp.where(jnp.eye(n, dtype=bool), 0.0, r),
+                       axis=(-2, -1))
+
+    tol = float(jnp.finfo(jnp.float32).eps) * 4.0 * (n ** 0.5)
+    c0 = jnp.max(max_cos2(g0))
+    out = JE._gram_windowed(g0, tol, True, width=32)
+    c1 = jnp.max(max_cos2(out))
+    assert float(c1) < float(c0) * 0.1, (float(c0), float(c1))   # (a)
+    hi = jax.lax.Precision.HIGHEST
+    gtg = jnp.matmul(jnp.swapaxes(out, -2, -1), out, precision=hi)
+    a2 = jnp.matmul(a, a, precision=hi)
+    ginv = jnp.sqrt(jnp.sum((gtg - a2) ** 2, axis=(-2, -1))
+                    / jnp.sum(a2 * a2, axis=(-2, -1)))
+    assert float(jnp.max(ginv)) < 5e-6, ginv                     # (b)
+    p = jax.random.normal(jax.random.PRNGKey(0), (2, 48, 48), jnp.float32)
+    assert jnp.allclose(JE._gram_windowed(p, tol, True, width=32), p)  # (c)
+
+
 def test_guard_flags_nan_panel():
     # NaN > rtol is False, so a naive comparison would pass a
     # NaN-poisoned panel through to the kernel; the guard must flag it

@@ -587,6 +587,67 @@ def _windowed_local(p: jnp.ndarray, tol: float, interpret: bool,
     return p
 
 
+def _gram_windowed(p: jnp.ndarray, tol: float, interpret: bool,
+                   width: int = 32, stages: int = 2,
+                   max_sweeps: int = 12) -> jnp.ndarray:
+    """Gram-windowed local solve: diagonalize every ``2*width``-row
+    window of the (row-norm-sorted) warm panel through its ``2w x 2w``
+    Gram matrix instead of sweeping the ``2w x n`` rows directly.
+
+    Same fixed point as ``_windowed_local`` (rows of a window orthogonal
+    <=> its Gram diagonalized), but the VPU work shrinks by ``n / 2w``
+    (4x at n=256, w=32): the Pallas sweep kernel runs on ``(B*k, 2w,
+    2w)`` Gram blocks — rows of length 2w, not n — and the recovered
+    rotation is applied back to the window with ONE batched MXU matmul.
+    The Gram forms and applies are MXU-cheap; the eigenvector rows come
+    out of the small kernel's own G panel (row i of ``G = V^T T`` is
+    ``mu_i v_i^T``, the same G-only extraction the main kernel uses).
+
+    The applied mixing must be orthogonal to ~1e-6 or the chain fails
+    the downstream ``_guard_warm_start`` rtol (5e-6): normalized G rows
+    are only pairwise-orthogonal to the small kernel's exit tolerance,
+    so two Newton-Schulz row-orthonormalization steps polish ``V V^T -
+    I`` from ~1e-5 to f32 rounding before the apply.  A failed window
+    solve therefore costs finisher sweeps, never correctness.
+
+    Gram conditioning: the window Gram is ``T = W W^T`` with eigenvalues
+    ``lambda_shifted^2 > 0`` (the caller's panel is ``Q^T A_shift`` with
+    SPD ``A_shift``), so rows of G never vanish; squaring the condition
+    number only affects *which* rotation the small solve finds within a
+    near-degenerate cluster — any orthogonal choice is equally valid for
+    the warm start.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    B, n, _ = p.shape
+    dt = p.dtype
+    bs = 2 * width
+    if n < bs:
+        return p
+    t = jnp.sum(p * p, axis=-1)
+    idx = jnp.argsort(t, axis=-1)
+    p = jnp.take_along_axis(p, idx[..., None], axis=-2)
+    tol_s = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(bs)
+    for s in range(stages):
+        off = width * (s % 2)
+        nb = (n - off) // bs
+        if nb == 0:
+            continue
+        core = lax.dynamic_slice_in_dim(p, off, nb * bs, axis=1)
+        core = core.reshape(B * nb, bs, n)
+        T = jnp.einsum("bin,bjn->bij", core, core, precision=hi)
+        G = _pallas_g_panel(T, max_sweeps, tol_s, interpret,
+                            complexpair=False, m_cap=64)
+        nrm = jnp.sqrt(jnp.sum(G * G, axis=-1, keepdims=True))
+        V = G / jnp.maximum(nrm, jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+        for _ns in range(2):
+            VVt = jnp.matmul(V, jnp.swapaxes(V, -2, -1), precision=hi)
+            V = 1.5 * V - 0.5 * jnp.matmul(VVt, V, precision=hi)
+        core = jnp.matmul(V, core, precision=hi)
+        p = lax.dynamic_update_slice_in_dim(
+            p, core.reshape(B, nb * bs, n), off, axis=1)
+    return p
+
+
 def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
                     interpret: bool, complexpair: bool,
                     return_sweeps: bool = False,
