@@ -1,10 +1,19 @@
-"""Grid probe for the DC + block-RR + rotational-correction pipeline at
-BASELINE config 2 (B=64, n=256 Wishart): per-stage times, post-pipeline
-true max cos^2 (f64, host), finisher sweep counts, end-to-end estimate.
-Decides the production pipeline in jacobi_eigh.
+"""Probe for the exact-angle parallel-Jacobi warm chain at BASELINE
+config 2 (B=64, n=256 Wishart):
 
-Configs: (min_seg, levels, rr_width, correct_passes).  rr_width=0 turns
-the block-RR off; correct_passes=0 turns the rotational correction off.
+    DC(min_seg, levels) -> _angle_correct(pre) -> guard ->
+    order programs by (bad, entering cos^2) -> sweep kernel at a
+    RELAXED exit tol -> _angle_correct(post, light) restores quality.
+
+The relaxed exit makes fully-corrected programs cost only the MXU
+Gram gauge (0 sweeps); the post pass crushes the looser leftover
+mixing quadratically back below the strict-tol grade.  Reports
+per-stage times, per-program executed sweeps, f64 mixing quantiles
+after each stage, and the end-to-end estimate.
+
+Config tuples: (min_seg, levels, pre_passes, exit_tol2_exp, post_passes)
+with exit tol^2 = 10**-exit_tol2_exp (0 -> the strict default
+4*eps*sqrt(n)).  Override the grid via argv JSON.
 
 Run alone on the chip (the tunnel serializes concurrent processes).
 """
@@ -74,7 +83,7 @@ def shift(a):
     return a + sigma[:, None, None] * jnp.eye(a.shape[-1], dtype=a.dtype)
 
 
-def f64_maxcos2(g):
+def f64_cos2max(g):
     g = np.asarray(g, np.float64)
     nrm = (g * g).sum(-1)
     gram = np.einsum("bik,bjk->bij", g, g)
@@ -84,63 +93,84 @@ def f64_maxcos2(g):
     return r.max((-2, -1))
 
 
+def cos2max_each(g):
+    gram = jnp.matmul(g, jnp.swapaxes(g, -2, -1), precision=HI)
+    nrm = jnp.diagonal(gram, axis1=-2, axis2=-1)
+    den = jnp.maximum(nrm[:, :, None] * nrm[:, None, :],
+                      jnp.asarray(1e-30, g.dtype))
+    r = gram * gram / den
+    n = g.shape[-1]
+    offdiag = 1.0 - jnp.eye(n, dtype=g.dtype)
+    return jnp.max(r * offdiag, axis=(-2, -1))
+
+
 def main():
     emit(backend=jax.default_backend())
     key = jax.random.PRNGKey(1256)
     a = jax.random.normal(key, (B, N, N), jnp.float32) / N ** 0.5
     mats = a @ jnp.swapaxes(a, -1, -2) + 2 * jnp.eye(N, dtype=jnp.float32)
     a_shift = jax.jit(shift)(mats)
-    tol = float(jnp.finfo(jnp.float32).eps) * 4.0 * math.sqrt(N)
-    emit(tol2=tol * tol)
+    tol_strict = float(jnp.finfo(jnp.float32).eps) * 4.0 * math.sqrt(N)
+    emit(tol2_strict=tol_strict * tol_strict)
 
-    # (min_seg, levels, local_w, emax_x100, passes); local_w > 0 uses the
-    # windowed Hestenes phase (_windowed_local), local_w < 0 uses the
-    # Gram-windowed solve (_gram_windowed, |w|); override via argv JSON
-    grid = [(2, 8, 16, 10, 1),
-            (2, 8, 16, 30, 2),
-            (2, 8, 32, 30, 2),
-            (2, 8, 32, 30, 1),
-            (16, 4, 16, 30, 2),
-            (2, 8, 16, 30, 0),
-            (2, 8, 0, 30, 2)]
+    grid = [(2, 8, 3, 8, 1),
+            (2, 8, 4, 8, 1),
+            (2, 8, 3, 9, 1),
+            (2, 8, 2, 8, 1),
+            (4, 7, 4, 8, 1),
+            (2, 8, 3, 0, 0)]
     if len(sys.argv) > 1:
         grid = [tuple(c) for c in json.loads(sys.argv[1])]
 
     t_panel_cold = None
-    for min_seg, levels, w, emx, passes in grid:
-        def pipe(x, _ms=min_seg, _lv=levels, _w=w, _p=passes,
-                 _e=emx / 100.0):
+    for min_seg, levels, pre, texp, post in grid:
+        tol_exit = tol_strict if texp == 0 else math.sqrt(10.0 ** -texp)
+
+        def pipe(x, _ms=min_seg, _lv=levels, _p=pre):
             g0 = DK.dc_precondition_tpu(x, levels=_lv, min_seg=_ms)
-            if _w > 0:
-                g0 = JE._windowed_local(g0, tol, False, width=_w)
-            elif _w < 0:
-                g0 = JE._gram_windowed(g0, tol, False, width=-_w)
             if _p:
-                g0 = JE._rot_correct(g0, passes=_p, emax=_e)
+                g0 = JE._angle_correct(g0, passes=_p)
             g_in, bad = JE._guard_warm_start(x, g0)
-            perm = jnp.argsort(bad.astype(jnp.int32), stable=True)
+            score = jnp.where(bad, jnp.asarray(1e9, jnp.float32),
+                              cos2max_each(g_in))
+            perm = jnp.argsort(score)
             return jnp.take(g_in, perm, axis=0), jnp.sum(bad)
 
+        def postfn(g, _q=post):
+            return JE._angle_correct(g, passes=_q, ns_steps=2)
+
         warm, nbad = jax.jit(pipe)(a_shift)
-        cos2 = f64_maxcos2(warm)
-        _, sw = jax.jit(lambda g: JE._pallas_g_panel(
-            g, 18, tol, False, False, return_sweeps=True))(warm)
+        cos2_in = f64_cos2max(warm)
+        gt, sw = jax.jit(lambda g, _t=tol_exit: JE._pallas_g_panel(
+            g, 18, _t, False, False, return_sweeps=True))(warm)
+        cos2_kout = f64_cos2max(gt)
         sw = np.asarray(sw)
+        cos2_post = cos2_kout
+        t_post = 0.0
+        if post:
+            gp = jax.jit(postfn)(gt)
+            cos2_post = f64_cos2max(gp)
+            t_post = timed(postfn, gt)
         t_pipe = timed(lambda x: pipe(x)[0], a_shift)
-        t_warm = timed(lambda g: JE._pallas_g_panel(
-            g, 18, tol, False, False), warm)
+        t_warm = timed(lambda g, _t=tol_exit: JE._pallas_g_panel(
+            g, 18, _t, False, False), warm)
         if t_panel_cold is None:
             t_panel_cold = timed(lambda g: JE._pallas_g_panel(
-                g, 18, tol, False, False), a_shift)
+                g, 18, tol_strict, False, False), a_shift)
             emit(stage="cold", panel_ms=round(t_panel_cold * 1e3, 2))
-        total = (t_pipe + t_warm) * 1e3
-        qs = np.percentile(cos2, [50, 90, 100]).tolist()
-        emit(min_seg=min_seg, levels=levels, local_w=w, emax=emx / 100.0,
-             passes=passes,
-             n_flagged=int(nbad), sweeps=[int(x) for x in sw],
-             cos2_q50_90_max=[float(f"{v:.3g}") for v in qs],
+        total = (t_pipe + t_warm + t_post) * 1e3
+
+        def q(v):
+            return [float(f"{x:.3g}") for x in
+                    np.percentile(v, [50, 90, 100])]
+        emit(min_seg=min_seg, levels=levels, pre=pre, exit_exp=texp,
+             post=post, n_flagged=int(nbad),
+             sweeps=[int(x) for x in sw],
+             cos2_in=q(cos2_in), cos2_kernel_out=q(cos2_kout),
+             cos2_final=q(cos2_post),
              pipe_ms=round(t_pipe * 1e3, 2),
              warm_ms=round(t_warm * 1e3, 2),
+             post_ms=round(t_post * 1e3, 2),
              total_ms=round(total, 2),
              est_decomps_s=round(B / (total / 1e3), 1))
 

@@ -451,3 +451,97 @@ def test_guard_flags_nan_panel():
     assert flag.tolist() == [False, True]
     assert jnp.allclose(out[1], a[1])
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_angle_correct_handles_near_degenerate_and_gapped():
+    # the exact-angle parallel correction must reduce BOTH well-gapped
+    # couplings (like _rot_correct) AND near-degenerate cluster mixing
+    # (which first-order correction clips out), while preserving the
+    # panel's G-invariant at guard grade
+    import numpy as np
+    from xitorch_tpu.ops.jacobi_eigh import _angle_correct
+
+    n = 96
+    lam = np.linspace(1.0, 8.0, n)
+    lam[40:46] = 4.0 + 1e-5 * np.arange(6)       # tight cluster
+    lam = jnp.asarray(np.sort(lam), jnp.float32)
+    q0, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(31),
+                                            (n, n), jnp.float32))
+    a = (q0 * lam) @ q0.T
+    k = np.zeros((n, n), np.float32)
+    rng = np.random.default_rng(7)
+    kk = rng.normal(size=(n, n)).astype(np.float32)
+    k += 2e-3 * (kk - kk.T)                      # global small mixing
+    kc = rng.normal(size=(6, 6)).astype(np.float32)
+    k[40:46, 40:46] += 0.4 * (kc - kc.T)         # big in-cluster mixing
+    q = q0 @ jax.scipy.linalg.expm(jnp.asarray(k))
+    p = (q.T @ a)[None]
+
+    def max_cos2(g):
+        nrm = jnp.sum(g * g, axis=-1)
+        gram = jnp.einsum("bik,bjk->bij", g, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        den = jnp.maximum(nrm[:, :, None] * nrm[:, None, :], 1e-30)
+        r = gram * gram / den
+        return jnp.max(jnp.where(jnp.eye(n, dtype=bool), 0.0, r))
+
+    c0 = float(max_cos2(p))
+    assert c0 > 1e-3                             # cluster IS mixed hard
+    out = _angle_correct(p, passes=4)
+    c1 = float(max_cos2(out))
+    assert c1 < c0 * 1e-3, (c0, c1)
+    hi = jax.lax.Precision.HIGHEST
+    gtg = jnp.matmul(jnp.swapaxes(out, -2, -1), out, precision=hi)
+    a2 = (a @ a)[None]
+    ginv = float(jnp.sqrt(jnp.sum((gtg - a2) ** 2)
+                          / jnp.sum(a2 * a2)))
+    assert ginv < 5e-6, ginv
+
+
+def test_angle_correct_zero_and_degenerate_rows_stay_finite():
+    # atan2(0, 0) = 0 keeps exactly-degenerate uncoupled pairs and zero
+    # (padding) rows finite and untouched
+    from xitorch_tpu.ops.jacobi_eigh import _angle_correct
+
+    n = 16
+    d = jnp.eye(n, dtype=jnp.float32) * 3.0
+    p = d.at[5, 5].set(2.0).at[7, 7].set(2.0).at[9].set(0.0)[None]
+    out = _angle_correct(p, passes=2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # rows may be re-sorted by norm; compare as sets via sorted norms
+    n0 = jnp.sort(jnp.sum(p * p, axis=-1), axis=-1)
+    n1 = jnp.sort(jnp.sum(out * out, axis=-1), axis=-1)
+    assert jnp.allclose(n0, n1, rtol=1e-5)
+
+
+def test_angle_correct_damps_pathological_cluster():
+    # a panel whose every pair is strongly mixed (worst case for the
+    # simultaneous update) must still contract monotonically-ish and
+    # keep R orthogonal via the spectral-norm damping
+    from xitorch_tpu.ops.jacobi_eigh import _angle_correct
+    import numpy as np
+
+    n = 32
+    lam = jnp.asarray(1.0 + 1e-5 * np.arange(n), jnp.float32)  # one big cluster
+    q0, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(5),
+                                            (n, n), jnp.float32))
+    a = (q0 * lam) @ q0.T
+    p = a[None]                                  # Q = I: fully mixed
+
+    def max_cos2(g):
+        nrm = jnp.sum(g * g, axis=-1)
+        gram = jnp.einsum("bik,bjk->bij", g, g,
+                          precision=jax.lax.Precision.HIGHEST)
+        den = jnp.maximum(nrm[:, :, None] * nrm[:, None, :], 1e-30)
+        r = gram * gram / den
+        return jnp.max(jnp.where(jnp.eye(n, dtype=bool), 0.0, r))
+
+    c0 = float(max_cos2(p))
+    out = _angle_correct(p, passes=8)
+    c1 = float(max_cos2(out))
+    assert c1 < c0, (c0, c1)
+    hi = jax.lax.Precision.HIGHEST
+    gtg = jnp.matmul(jnp.swapaxes(out, -2, -1), out, precision=hi)
+    a2 = (a @ a)[None]
+    ginv = float(jnp.sqrt(jnp.sum((gtg - a2) ** 2) / jnp.sum(a2 * a2)))
+    assert ginv < 5e-6, ginv

@@ -196,6 +196,177 @@ def _rot_correct(g0: jnp.ndarray, passes: int = 2,
     return g0
 
 
+def _angle_correct(g0: jnp.ndarray, passes: int = 3,
+                   theta_max: float = 0.3, kmax: float = 0.6,
+                   ns_steps: int = 4) -> jnp.ndarray:
+    """Exact-angle parallel Jacobi correction of a warm panel — all-pairs
+    rotation angles extracted from the full Gram on the MXU, iterated.
+
+    Like ``_rot_correct`` but with the EXACT pairwise Jacobi angle
+    ``theta_ij = atan2(2 T_ij, t_j - t_i) / 2`` instead of the clipped
+    first-order ``E_ij = T_ij / (t_j - t_i)``: near-degenerate pairs —
+    the ones first-order correction must clip out and the windowed
+    local solvers (``_block_rr``/``_windowed_local``/``_gram_windowed``)
+    were built to chase — get their bounded ``|theta| <= pi/4`` rotation
+    instead of being skipped, so ONE correction primitive covers every
+    pair at every index distance.  Rows are sorted ascending by norm
+    first (norm = shifted eigenvalue estimate) so ``t_j >= t_i`` for
+    ``j > i`` keeps the principal angle in ``[-pi/4, pi/4]``.
+
+    All angles are applied SIMULTANEOUSLY as ``R = polar(I + K)`` with
+    ``K`` the skew matrix from the strict upper triangle: an isolated
+    pair is killed to ``O(theta^3)`` (polar(I+K) = exp(K) + O(K^3) for
+    skew K), while overlapping rotations inside a near-degenerate
+    cluster interfere at second order and contract across passes — this
+    is a damped parallel (all-pairs) Jacobi iteration.  ``||K||_F`` is
+    clamped to ``kmax`` per matrix so the 3 Newton-Schulz polar steps
+    stay inside their convergence region (``sigma(I + K) <= sqrt(1 +
+    ||K||_2^2)`` must stay well under sqrt(3)); damping slows a
+    pathological cluster, never breaks it — R is orthogonal to f32
+    rounding either way, the sweep kernel's G-invariant survives, and
+    the downstream ``_guard_warm_start`` + cold fallback still certify
+    the chain end-to-end.
+
+    Cost: ``9 * passes`` batched (n, n) HIGHEST matmuls plus one atan2
+    field — ~1.4 ms per pass at B=64, n=256 on a v5e, vs ~8 ms per VPU
+    sweep it saves and ~15 ms for the Gram-windowed local solve it
+    replaces (the small-row Pallas kernel there runs the VPU at 64/128
+    lane occupancy; this stays on the MXU).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    n = g0.shape[-1]
+    dt = g0.dtype
+    eye = jnp.eye(n, dtype=dt)
+    rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    upper = cols > rows
+    tiny = jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
+    tmax = jnp.asarray(theta_max, dt)
+    for _ in range(passes):
+        # re-sort EVERY pass: large rotations change row norms, and the
+        # principal-angle bound |theta| <= pi/4 needs t_j >= t_i on the
+        # upper triangle — without it atan2's branch hands back ~pi/2
+        # row swaps that oscillate instead of contracting
+        t0 = jnp.sum(g0 * g0, axis=-1)
+        idx = jnp.argsort(t0, axis=-1)
+        g0 = jnp.take_along_axis(g0, idx[..., None], axis=-2)
+        T = jnp.matmul(g0, jnp.swapaxes(g0, -2, -1), precision=hi)
+        t = jnp.diagonal(T, axis1=-2, axis2=-1)
+        denom = t[..., None, :] - t[..., :, None]           # t_j - t_i
+        theta = 0.5 * jnp.arctan2(2.0 * T, denom)
+        # clip: inside a near-degenerate cluster every pairwise angle is
+        # ~pi/4 and the simultaneous update interferes at O(theta^2);
+        # stepping at most theta_max per pass keeps the parallel
+        # iteration contracting (and keeps ||K||_2 small for the polar)
+        theta = jnp.clip(theta, -tmax, tmax)
+        theta = jnp.where(upper, theta, jnp.asarray(0.0, dt))
+        K = theta - jnp.swapaxes(theta, -2, -1)
+        # per-matrix spectral-norm estimate of K (3 power steps on
+        # -K^2 from a fixed dense start; x1.25 margin for estimate
+        # error).  The F-norm is useless here: a dense field of 32k
+        # incoherent ~1e-2 angles has ||K||_F ~ 4 but ||K||_2 ~ 0.1,
+        # and F-damping froze exactly the batches this pass exists for
+        v = jnp.ones((n, 1), dt) + 0.5 * jnp.sin(
+            jnp.arange(n, dtype=dt))[:, None]
+        v = jnp.broadcast_to(v, K.shape[:-2] + (n, 1))
+        for _p in range(3):
+            v = jnp.matmul(K, jnp.matmul(K, v, precision=hi), precision=hi)
+            v = -v / jnp.maximum(
+                jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True)), tiny)
+        kv = jnp.matmul(K, v, precision=hi)
+        knorm = 1.25 * jnp.sqrt(jnp.sum(kv * kv, axis=(-2, -1)))[
+            ..., None, None]
+        scale = jnp.minimum(jnp.asarray(1.0, dt),
+                            jnp.asarray(kmax, dt) / jnp.maximum(knorm, tiny))
+        R = eye + scale * K
+        for _ns in range(ns_steps):
+            RtR = jnp.matmul(jnp.swapaxes(R, -2, -1), R, precision=hi)
+            R = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision=hi)
+        g0 = jnp.matmul(jnp.swapaxes(R, -2, -1), g0, precision=hi)
+    return g0
+
+
+def _angle_correct_win(p: jnp.ndarray, bs: int = 64, passes: int = 8,
+                       theta_max: float = 0.4, kmax: float = 0.6,
+                       ns_steps: int = 3) -> jnp.ndarray:
+    """Windowed T-space variant of ``_angle_correct``: the parallel
+    exact-angle Jacobi iteration restricted to aligned ``bs``-row
+    windows of the (row-norm-sorted) warm panel, with the Gram formed
+    ONCE per window and the accumulated rotation applied back in one
+    matmul.
+
+    Rationale: a shallow DC stop leaves DENSE O(1) mixing only *inside*
+    its min_seg segments, which are aligned power-of-two index ranges —
+    after the norm sort they sit whole inside an aligned ``bs`` window
+    (segments <= bs).  Iterating in window-Gram space makes each pass
+    ``(n/bs)^2``-times cheaper than a full-size pass (64x at n=256,
+    bs=64), so the many damped passes that dense in-segment mixing
+    needs cost ~0.2 ms each instead of ~1.4 ms.  Between-window
+    couplings are small-angle by construction and are left for one or
+    two full-size ``_angle_correct`` passes after this.
+
+    Per pass, inside each window: re-sort rows by the Gram diagonal
+    (principal-angle bound), extract clipped exact angles, damp by a
+    spectral-norm estimate, Newton-Schulz-orthogonalize ``R = I + K``,
+    update ``T <- R^T T R`` and accumulate ``W <- W R``.  W is
+    orthogonal to f32 rounding, so the panel's G-invariant survives and
+    the downstream guard still certifies the chain.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    B, n, _ = p.shape
+    dt = p.dtype
+    if n < bs or n % bs:
+        return _angle_correct(p, passes=min(passes, 4),
+                              theta_max=theta_max, kmax=kmax,
+                              ns_steps=ns_steps)
+    t0 = jnp.sum(p * p, axis=-1)
+    idx = jnp.argsort(t0, axis=-1)
+    p = jnp.take_along_axis(p, idx[..., None], axis=-2)
+    nb = n // bs
+    core = p.reshape(B * nb, bs, n)
+    T = jnp.matmul(core, jnp.swapaxes(core, -2, -1), precision=hi)
+    eye = jnp.eye(bs, dtype=dt)
+    rows = lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    upper = cols > rows
+    tiny = jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
+    tmax = jnp.asarray(theta_max, dt)
+    W = jnp.broadcast_to(eye, T.shape)
+    for _ in range(passes):
+        t = jnp.diagonal(T, axis1=-2, axis2=-1)
+        order = jnp.argsort(t, axis=-1)
+        T = jnp.take_along_axis(T, order[..., None], axis=-2)
+        T = jnp.take_along_axis(T, order[..., None, :], axis=-1)
+        W = jnp.take_along_axis(W, order[..., None, :], axis=-1)
+        t = jnp.diagonal(T, axis1=-2, axis2=-1)
+        denom = t[..., None, :] - t[..., :, None]
+        theta = 0.5 * jnp.arctan2(2.0 * T, denom)
+        theta = jnp.clip(theta, -tmax, tmax)
+        theta = jnp.where(upper, theta, jnp.asarray(0.0, dt))
+        K = theta - jnp.swapaxes(theta, -2, -1)
+        v = jnp.ones((bs, 1), dt) + 0.5 * jnp.sin(
+            jnp.arange(bs, dtype=dt))[:, None]
+        v = jnp.broadcast_to(v, K.shape[:-2] + (bs, 1))
+        for _pw in range(3):
+            v = jnp.matmul(K, jnp.matmul(K, v, precision=hi), precision=hi)
+            v = -v / jnp.maximum(
+                jnp.sqrt(jnp.sum(v * v, axis=-2, keepdims=True)), tiny)
+        kv = jnp.matmul(K, v, precision=hi)
+        knorm = 1.25 * jnp.sqrt(jnp.sum(kv * kv, axis=(-2, -1)))[
+            ..., None, None]
+        scale = jnp.minimum(jnp.asarray(1.0, dt),
+                            jnp.asarray(kmax, dt) / jnp.maximum(knorm, tiny))
+        R = eye + scale * K
+        for _ns in range(ns_steps):
+            RtR = jnp.matmul(jnp.swapaxes(R, -2, -1), R, precision=hi)
+            R = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision=hi)
+        T = jnp.matmul(jnp.swapaxes(R, -2, -1),
+                       jnp.matmul(T, R, precision=hi), precision=hi)
+        W = jnp.matmul(W, R, precision=hi)
+    core = jnp.matmul(jnp.swapaxes(W, -2, -1), core, precision=hi)
+    return core.reshape(B, n, n)
+
+
 def _block_rr(p: jnp.ndarray, width: int = 16, stages: int = 2
               ) -> jnp.ndarray:
     """Blocked Rayleigh-Ritz finisher for a warm panel — batched small
