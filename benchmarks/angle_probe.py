@@ -105,6 +105,16 @@ def cos2max_each(g):
 
 
 def main():
+    # DC Newton-Schulz schedule trims (the single-shot kernel reads the
+    # module constants at trace time): XT_DC_SIGN_Q / XT_DC_POLAR_Q
+    for env, attr in [("XT_DC_SIGN_Q", "_N_QUINTIC_SIGN"),
+                      ("XT_DC_POLAR_Q", "_N_QUINTIC_POLAR"),
+                      ("XT_DC_SIGN_C", "_N_CUBIC_SIGN"),
+                      ("XT_DC_POLAR_C", "_N_CUBIC_POLAR")]:
+        v = os.environ.get(env)
+        if v is not None:
+            setattr(DK, attr, int(v))
+            emit(override=attr, value=int(v))
     emit(backend=jax.default_backend())
     key = jax.random.PRNGKey(1256)
     a = jax.random.normal(key, (B, N, N), jnp.float32) / N ** 0.5
@@ -113,23 +123,25 @@ def main():
     tol_strict = float(jnp.finfo(jnp.float32).eps) * 4.0 * math.sqrt(N)
     emit(tol2_strict=tol_strict * tol_strict)
 
-    grid = [(2, 8, 3, 8, 1),
-            (2, 8, 4, 8, 1),
-            (2, 8, 3, 9, 1),
-            (2, 8, 2, 8, 1),
-            (4, 7, 4, 8, 1),
-            (2, 8, 3, 0, 0)]
+    # (min_seg, levels, match_passes, drop_passes, exit_exp, post, m_cap)
+    grid = [(2, 8, 6, 2, 8, 1, 8),
+            (2, 8, 6, 2, 8, 1, 4),
+            (2, 8, 4, 2, 8, 1, 4),
+            (2, 8, 6, 2, 2, 0, 8),
+            (2, 8, 0, 0, 0, 0, 8)]
     if len(sys.argv) > 1:
         grid = [tuple(c) for c in json.loads(sys.argv[1])]
 
     t_panel_cold = None
-    for min_seg, levels, pre, texp, post in grid:
+    for min_seg, levels, mp, dp, texp, post, mcap in grid:
         tol_exit = tol_strict if texp == 0 else math.sqrt(10.0 ** -texp)
 
-        def pipe(x, _ms=min_seg, _lv=levels, _p=pre):
+        def pipe(x, _ms=min_seg, _lv=levels, _m=mp, _d=dp):
             g0 = DK.dc_precondition_tpu(x, levels=_lv, min_seg=_ms)
-            if _p:
-                g0 = JE._angle_correct(g0, passes=_p)
+            if _m:
+                g0 = JE._match_correct(g0, passes=_m)
+            if _d:
+                g0 = JE._angle_correct(g0, passes=_d, mode="drop")
             g_in, bad = JE._guard_warm_start(x, g0)
             score = jnp.where(bad, jnp.asarray(1e9, jnp.float32),
                               cos2max_each(g_in))
@@ -137,12 +149,13 @@ def main():
             return jnp.take(g_in, perm, axis=0), jnp.sum(bad)
 
         def postfn(g, _q=post):
-            return JE._angle_correct(g, passes=_q, ns_steps=2)
+            return JE._angle_correct(g, passes=_q, ns_steps=2,
+                                     mode="drop", theta_max=0.05)
 
         warm, nbad = jax.jit(pipe)(a_shift)
         cos2_in = f64_cos2max(warm)
-        gt, sw = jax.jit(lambda g, _t=tol_exit: JE._pallas_g_panel(
-            g, 18, _t, False, False, return_sweeps=True))(warm)
+        gt, sw = jax.jit(lambda g, _t=tol_exit, _mc=mcap: JE._pallas_g_panel(
+            g, 18, _t, False, False, return_sweeps=True, m_cap=_mc))(warm)
         cos2_kout = f64_cos2max(gt)
         sw = np.asarray(sw)
         cos2_post = cos2_kout
@@ -152,8 +165,8 @@ def main():
             cos2_post = f64_cos2max(gp)
             t_post = timed(postfn, gt)
         t_pipe = timed(lambda x: pipe(x)[0], a_shift)
-        t_warm = timed(lambda g, _t=tol_exit: JE._pallas_g_panel(
-            g, 18, _t, False, False), warm)
+        t_warm = timed(lambda g, _t=tol_exit, _mc=mcap: JE._pallas_g_panel(
+            g, 18, _t, False, False, m_cap=_mc), warm)
         if t_panel_cold is None:
             t_panel_cold = timed(lambda g: JE._pallas_g_panel(
                 g, 18, tol_strict, False, False), a_shift)
@@ -163,8 +176,8 @@ def main():
         def q(v):
             return [float(f"{x:.3g}") for x in
                     np.percentile(v, [50, 90, 100])]
-        emit(min_seg=min_seg, levels=levels, pre=pre, exit_exp=texp,
-             post=post, n_flagged=int(nbad),
+        emit(min_seg=min_seg, levels=levels, mp=mp, dp=dp, exit_exp=texp,
+             post=post, m_cap=mcap, n_flagged=int(nbad),
              sweeps=[int(x) for x in sw],
              cos2_in=q(cos2_in), cos2_kernel_out=q(cos2_kout),
              cos2_final=q(cos2_post),

@@ -198,12 +198,13 @@ def _rot_correct(g0: jnp.ndarray, passes: int = 2,
 
 def _angle_correct(g0: jnp.ndarray, passes: int = 3,
                    theta_max: float = 0.3, kmax: float = 0.6,
-                   ns_steps: int = 4) -> jnp.ndarray:
+                   ns_steps: int = 4, mode: str = "drop") -> jnp.ndarray:
     """Exact-angle parallel Jacobi correction of a warm panel — all-pairs
     rotation angles extracted from the full Gram on the MXU, iterated.
 
-    Like ``_rot_correct`` but with the EXACT pairwise Jacobi angle
-    ``theta_ij = atan2(2 T_ij, t_j - t_i) / 2`` instead of the clipped
+    Like ``_rot_correct`` but with the EXACT pairwise Jacobi rotation
+    (the classical stable tangent ``t = sign(tau) / (|tau| + sqrt(1 +
+    tau^2))``, ``tau = (t_j - t_i) / (2 T_ij)``) instead of the clipped
     first-order ``E_ij = T_ij / (t_j - t_i)``: near-degenerate pairs —
     the ones first-order correction must clip out and the windowed
     local solvers (``_block_rr``/``_windowed_local``/``_gram_windowed``)
@@ -253,12 +254,38 @@ def _angle_correct(g0: jnp.ndarray, passes: int = 3,
         T = jnp.matmul(g0, jnp.swapaxes(g0, -2, -1), precision=hi)
         t = jnp.diagonal(T, axis1=-2, axis2=-1)
         denom = t[..., None, :] - t[..., :, None]           # t_j - t_i
-        theta = 0.5 * jnp.arctan2(2.0 * T, denom)
-        # clip: inside a near-degenerate cluster every pairwise angle is
-        # ~pi/4 and the simultaneous update interferes at O(theta^2);
-        # stepping at most theta_max per pass keeps the parallel
-        # iteration contracting (and keeps ||K||_2 small for the polar)
-        theta = jnp.clip(theta, -tmax, tmax)
+        # classical stable Jacobi tangent: tau = (t_j - t_i) / (2 T_ij),
+        # tan(theta) = sign(tau) / (|tau| + sqrt(1 + tau^2)) — pure f32
+        # arithmetic.  NOT atan2: the TPU VPU's atan2 is a fast
+        # approximation whose ~1e-3 rad angle noise re-injects cos^2 ~
+        # 1e-6 mixing into an already-converged panel (measured on v5e:
+        # post-pass LIFTED kernel-exit mixing 1.3e-10 -> 2e-7).  tan
+        # overshoots the angle by O(theta^3) under the small-angle map
+        # R = I + K, which the next pass absorbs.
+        live = jnp.abs(T) > tiny
+        tau = denom / jnp.where(live, 2.0 * T, jnp.asarray(1.0, dt))
+        theta = jnp.where(
+            live,
+            jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+            jnp.asarray(0.0, dt))
+        # sign(0)=0 would drop the valid theta=pi/4 rotation of an
+        # exactly-degenerate coupled pair (tau=0); restore it
+        theta = jnp.where(live & (tau == 0.0), jnp.asarray(1.0, dt), theta)
+        # big angles = near-degenerate pairs.  mode="drop" (default)
+        # ZEROES them: their mixing is gauge-invisible anyway (a
+        # near-degenerate pair at internal rotation phi shows cos ~ phi
+        # * relgap, tiny) and keeping them — even clipped — dominates
+        # ||K||_2 and triggers the damping that strangles the whole
+        # pass (hardware-measured on a v5e DC(2,8) panel: clip-mode
+        # scale ~0.3 stalled the well-gapped field at cos^2 ~1e-6;
+        # the true stubborn pairs had relgap ~0.1 and theta ~1e-2).
+        # mode="clip" keeps a theta_max step toward resolving them —
+        # useful when the panel is far from converged.
+        if mode == "drop":
+            theta = jnp.where(jnp.abs(theta) > tmax,
+                              jnp.asarray(0.0, dt), theta)
+        else:
+            theta = jnp.clip(theta, -tmax, tmax)
         theta = jnp.where(upper, theta, jnp.asarray(0.0, dt))
         K = theta - jnp.swapaxes(theta, -2, -1)
         # per-matrix spectral-norm estimate of K (3 power steps on
@@ -282,6 +309,81 @@ def _angle_correct(g0: jnp.ndarray, passes: int = 3,
         for _ns in range(ns_steps):
             RtR = jnp.matmul(jnp.swapaxes(R, -2, -1), R, precision=hi)
             R = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision=hi)
+        g0 = jnp.matmul(jnp.swapaxes(R, -2, -1), g0, precision=hi)
+    return g0
+
+
+def _match_correct(g0: jnp.ndarray, passes: int = 4,
+                   theta_floor: float = 5e-3,
+                   cos2_floor: Optional[float] = None) -> jnp.ndarray:
+    """Matched exact-Givens correction: per pass, rotate only a MATCHING
+    of mutually-strongest pairs — disjoint 2x2 rotations, so there is NO
+    simultaneous-update interference, no clipping, no damping, and no
+    Newton-Schulz polish: R is a direct sum of exact Givens rotations
+    (c^2 + s^2 = 1 to rounding) and the panel's G-invariant is preserved
+    by construction.
+
+    This is the piece the all-pairs ``_angle_correct`` cannot do: the DC
+    preconditioner's *clusters* (hardware-measured ``||K||_2 ~ 1.8`` on a
+    v5e DC(2,8) Wishart panel — boundary smearing + the rank-safety
+    blend) make the simultaneous update interfere at O(1), so it stalls
+    at ~3x contraction per pass even in f64 (measured).  A matching
+    resolves each cluster like a tournament: every pass exactly zeroes
+    the strongest coupling of every row that agrees with its partner.
+
+    Pair selection: per row, the largest ``|theta|`` partner (stable
+    Jacobi tangent); kept when the choice is mutual and above
+    ``theta_floor`` AND above the pair-cosine noise floor
+    ``cos2_floor`` (default ``(4 eps sqrt(n))^2``, the sweep kernel's
+    own reachable floor — rotating by noise-driven angles between
+    converged near-degenerate rows is pointless).  Cost per pass: one
+    HIGHEST Gram + one structured-R apply (2 batched matmuls) +
+    elementwise — ~0.4 ms at B=64, n=256.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    n = g0.shape[-1]
+    dt = g0.dtype
+    if cos2_floor is None:
+        cf = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(n)
+        cos2_floor = cf * cf
+    eye = jnp.eye(n, dtype=dt)
+    iot = jnp.arange(n)
+    tiny = jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
+    for _ in range(passes):
+        T = jnp.matmul(g0, jnp.swapaxes(g0, -2, -1), precision=hi)
+        t = jnp.diagonal(T, axis1=-2, axis2=-1)
+        denom = t[..., None, :] - t[..., :, None]           # t_j - t_i
+        live = jnp.abs(T) > tiny
+        tau = denom / jnp.where(live, 2.0 * T, jnp.asarray(1.0, dt))
+        theta = jnp.where(
+            live,
+            jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+            jnp.asarray(0.0, dt))
+        # exactly-degenerate coupled pair (tau = 0): restore the valid
+        # theta = pi/4 rotation ANTISYMMETRICALLY (+1 upper / -1 lower;
+        # a symmetric +1 would build a singular [[c,s],[s,c]] block)
+        sgn = jnp.where(
+            lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            > lax.broadcasted_iota(jnp.int32, (n, n), 0),
+            jnp.asarray(1.0, dt), jnp.asarray(-1.0, dt))
+        theta = jnp.where(live & (tau == 0.0), sgn, theta)
+        # elsewhere the tangent field is antisymmetric already
+        # (tau_ji = -tau_ij)
+        cos2 = T * T / jnp.maximum(
+            t[..., :, None] * t[..., None, :], tiny)
+        w = jnp.abs(theta)
+        w = jnp.where((w > theta_floor) & (cos2 > cos2_floor), w, 0.0)
+        w = w * (1.0 - eye)
+        jb = jnp.argmax(w, axis=-1)                         # (B, n)
+        best = jnp.take_along_axis(w, jb[..., None], axis=-1)[..., 0]
+        part_of_jb = jnp.take_along_axis(jb, jb, axis=-1)   # jb[jb[i]]
+        matched = (part_of_jb == iot[None, :]) & (best > 0.0)
+        tan = jnp.take_along_axis(theta, jb[..., None], axis=-1)[..., 0]
+        tan = jnp.where(matched, tan, jnp.asarray(0.0, dt))
+        c = 1.0 / jnp.sqrt(1.0 + tan * tan)
+        s = tan * c
+        P = jax.nn.one_hot(jb, n, dtype=dt) * matched[..., None].astype(dt)
+        R = c[..., :, None] * eye + s[..., :, None] * P
         g0 = jnp.matmul(jnp.swapaxes(R, -2, -1), g0, precision=hi)
     return g0
 
@@ -340,7 +442,14 @@ def _angle_correct_win(p: jnp.ndarray, bs: int = 64, passes: int = 8,
         W = jnp.take_along_axis(W, order[..., None, :], axis=-1)
         t = jnp.diagonal(T, axis1=-2, axis2=-1)
         denom = t[..., None, :] - t[..., :, None]
-        theta = 0.5 * jnp.arctan2(2.0 * T, denom)
+        # stable Jacobi tangent, not atan2 — see _angle_correct
+        live = jnp.abs(T) > tiny
+        tau = denom / jnp.where(live, 2.0 * T, jnp.asarray(1.0, dt))
+        theta = jnp.where(
+            live,
+            jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+            jnp.asarray(0.0, dt))
+        theta = jnp.where(live & (tau == 0.0), jnp.asarray(1.0, dt), theta)
         theta = jnp.clip(theta, -tmax, tmax)
         theta = jnp.where(upper, theta, jnp.asarray(0.0, dt))
         K = theta - jnp.swapaxes(theta, -2, -1)
