@@ -33,6 +33,7 @@ import numpy as np
 from jax import lax
 
 JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+LAB = importlib.import_module("xitorch_tpu.ops._finisher_lab")
 DK = importlib.import_module("xitorch_tpu.ops.dc_kernel")
 
 HI = jax.lax.Precision.HIGHEST
@@ -139,9 +140,9 @@ def main():
         def pipe(x, _ms=min_seg, _lv=levels, _m=mp, _d=dp):
             g0 = DK.dc_precondition_tpu(x, levels=_lv, min_seg=_ms)
             if _m:
-                g0 = JE._match_correct(g0, passes=_m)
+                g0 = LAB._match_correct(g0, passes=_m)
             if _d:
-                g0 = JE._angle_correct(g0, passes=_d, mode="drop")
+                g0 = LAB._angle_correct(g0, passes=_d, mode="drop")
             g_in, bad = JE._guard_warm_start(x, g0)
             score = jnp.where(bad, jnp.asarray(1e9, jnp.float32),
                               cos2max_each(g_in))
@@ -149,7 +150,7 @@ def main():
             return jnp.take(g_in, perm, axis=0), jnp.sum(bad)
 
         def postfn(g, _q=post):
-            return JE._angle_correct(g, passes=_q, ns_steps=2,
+            return LAB._angle_correct(g, passes=_q, ns_steps=2,
                                      mode="drop", theta_max=0.05)
 
         warm, nbad = jax.jit(pipe)(a_shift)

@@ -24,6 +24,7 @@ import numpy as np
 from jax import lax
 
 JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+LAB = importlib.import_module("xitorch_tpu.ops._finisher_lab")
 DK = importlib.import_module("xitorch_tpu.ops.dc_kernel")
 
 HI = jax.lax.Precision.HIGHEST
@@ -112,9 +113,9 @@ def main():
                  _e=emx / 100.0):
             g0 = DK.dc_precondition_tpu(x, levels=_lv, min_seg=_ms)
             if _w > 0:
-                g0 = JE._windowed_local(g0, tol, False, width=_w)
+                g0 = LAB._windowed_local(g0, tol, False, width=_w)
             elif _w < 0:
-                g0 = JE._gram_windowed(g0, tol, False, width=-_w)
+                g0 = LAB._gram_windowed(g0, tol, False, width=-_w)
             if _p:
                 g0 = JE._rot_correct(g0, passes=_p, emax=_e)
             g_in, bad = JE._guard_warm_start(x, g0)

@@ -340,7 +340,7 @@ def test_block_rr_solves_degenerate_clusters():
     # panel's G-invariant P^T P to rounding (block rotations + row sort
     # are orthogonal), including clusters straddling a block boundary
     # (caught by the offset stage)
-    from xitorch_tpu.ops.jacobi_eigh import _block_rr
+    from xitorch_tpu.ops._finisher_lab import _block_rr
     import numpy as np
 
     n, w = 96, 16
@@ -385,7 +385,7 @@ def test_block_rr_solves_degenerate_clusters():
 
 
 def test_block_rr_small_n_noop():
-    from xitorch_tpu.ops.jacobi_eigh import _block_rr
+    from xitorch_tpu.ops._finisher_lab import _block_rr
 
     p = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16), jnp.float32)
     out = _block_rr(p, width=16, stages=2)      # n < 2*width
@@ -401,7 +401,7 @@ def test_gram_windowed_reduces_coupling_keeps_invariant():
     # apply), and (c) no-op when n < 2*width
     import importlib
 
-    JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+    LAB = importlib.import_module("xitorch_tpu.ops._finisher_lab")
     from xitorch_tpu.ops.dc_kernel import dc_precondition_tpu
 
     n = 128
@@ -422,7 +422,7 @@ def test_gram_windowed_reduces_coupling_keeps_invariant():
 
     tol = float(jnp.finfo(jnp.float32).eps) * 4.0 * (n ** 0.5)
     c0 = jnp.max(max_cos2(g0))
-    out = JE._gram_windowed(g0, tol, True, width=32)
+    out = LAB._gram_windowed(g0, tol, True, width=32)
     c1 = jnp.max(max_cos2(out))
     assert float(c1) < float(c0) * 0.1, (float(c0), float(c1))   # (a)
     hi = jax.lax.Precision.HIGHEST
@@ -432,7 +432,7 @@ def test_gram_windowed_reduces_coupling_keeps_invariant():
                     / jnp.sum(a2 * a2, axis=(-2, -1)))
     assert float(jnp.max(ginv)) < 5e-6, ginv                     # (b)
     p = jax.random.normal(jax.random.PRNGKey(0), (2, 48, 48), jnp.float32)
-    assert jnp.allclose(JE._gram_windowed(p, tol, True, width=32), p)  # (c)
+    assert jnp.allclose(LAB._gram_windowed(p, tol, True, width=32), p)  # (c)
 
 
 def test_guard_flags_nan_panel():
@@ -459,7 +459,7 @@ def test_angle_correct_handles_near_degenerate_and_gapped():
     # (which first-order correction clips out), while preserving the
     # panel's G-invariant at guard grade
     import numpy as np
-    from xitorch_tpu.ops.jacobi_eigh import _angle_correct
+    from xitorch_tpu.ops._finisher_lab import _angle_correct
 
     n = 96
     lam = np.linspace(1.0, 8.0, n)
@@ -501,7 +501,7 @@ def test_angle_correct_handles_near_degenerate_and_gapped():
 def test_angle_correct_zero_and_degenerate_rows_stay_finite():
     # atan2(0, 0) = 0 keeps exactly-degenerate uncoupled pairs and zero
     # (padding) rows finite and untouched
-    from xitorch_tpu.ops.jacobi_eigh import _angle_correct
+    from xitorch_tpu.ops._finisher_lab import _angle_correct
 
     n = 16
     d = jnp.eye(n, dtype=jnp.float32) * 3.0
@@ -518,7 +518,7 @@ def test_angle_correct_damps_pathological_cluster():
     # a panel whose every pair is strongly mixed (worst case for the
     # simultaneous update) must still contract monotonically-ish and
     # keep R orthogonal via the spectral-norm damping
-    from xitorch_tpu.ops.jacobi_eigh import _angle_correct
+    from xitorch_tpu.ops._finisher_lab import _angle_correct
     import numpy as np
 
     n = 32
