@@ -86,6 +86,10 @@ def suite_plain(mats):
     # (8th/9th gaps ~1e-4), so tighter f32 residuals are unreachable and a
     # tighter setting just measures max_niter
     for method, opts in [("exacteig", {}),
+                         # method=None: the shape-aware default route
+                         # (k << n on TPU -> chebfsi with scale-aware
+                         # min_eps; linalg/symeig._auto_symeig_method)
+                         (None, {}),
                          ("chebfsi", {"min_eps": 1e-3, "max_niter": 40,
                                       "nguess": 32, "degree": 24}),
                          # davidson is iteration-count bound on this bulk
@@ -97,7 +101,7 @@ def suite_plain(mats):
         fK = jax.jit(lambda m: run_k(m, method, K, **opts))
         per = _timed_pair(f1, fK, mats)
         _emit("batched symeig (%s) eigendecomps/sec, B=%d n=%d neig=%d"
-              % (method, B, N, NEIG), per)
+              % (method or "default-auto", B, N, NEIG), per)
 
 
 def suite_gen_m(mats, mmats, with_ref):
@@ -159,6 +163,10 @@ def suite_svd(gmats, with_ref):
     s0 = np.linalg.svd(np.asarray(gmats, np.float64), compute_uv=False)
     s0 = s0[:, :NEIG][:, ::-1]
     for method, opts in [("exacteig", {}),
+                         # method=None: the top-k routing contract
+                         # (svd k << r on TPU -> Gram + chebfsi via the
+                         # symeig shape-aware default)
+                         (None, {}),
                          ("chebfsi", {"min_eps": 1e-3, "max_niter": 60,
                                       "nguess": 32, "degree": 24})]:
         A = LinearOperator.m(gmats)
@@ -172,7 +180,7 @@ def suite_svd(gmats, with_ref):
         fK = jax.jit(lambda m: run_k(m, method, K, **opts))
         per = _timed_pair(f1, fK, gmats)
         _emit("batched svd (%s) decomps/sec, B=%d n=%d k=%d"
-              % (method, B, N, NEIG), per)
+              % (method or "default-auto", B, N, NEIG), per)
 
     if with_ref:
         _ref_svd(gmats)

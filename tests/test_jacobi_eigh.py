@@ -545,3 +545,41 @@ def test_angle_correct_damps_pathological_cluster():
     a2 = (a @ a)[None]
     ginv = float(jnp.sqrt(jnp.sum((gtg - a2) ** 2) / jnp.sum(a2 * a2)))
     assert ginv < 5e-6, ginv
+
+
+def test_jacobi_svd_rank_deficient_orthonormal_completion():
+    # numerically-zero singular values used to leave ZERO columns in U/V
+    # on the kernel path (ADVICE r3): the completion must restore
+    # orthonormal factors while keeping the nonzero part exact
+    import numpy as np
+
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_svd
+
+    rng = np.random.default_rng(7)
+    # rank-5 (24, 16) + a matrix with two EXACT zero columns
+    lowrank = (rng.standard_normal((3, 24, 5))
+               @ rng.standard_normal((3, 5, 16))).astype(np.float32)
+    zc = rng.standard_normal((24, 16)).astype(np.float32)
+    zc[:, 3] = 0.0
+    zc[:, 11] = 0.0
+    a = jnp.asarray(np.concatenate([lowrank, zc[None]], axis=0))
+
+    u, s, v = jacobi_svd(a, interpret=True)
+    eye = jnp.eye(16, dtype=jnp.float32)
+    orth_u = jnp.max(jnp.abs(
+        jnp.einsum("bmi,bmj->bij", u, u,
+                   precision=jax.lax.Precision.HIGHEST) - eye))
+    orth_v = jnp.max(jnp.abs(
+        jnp.einsum("bmi,bmj->bij", v, v,
+                   precision=jax.lax.Precision.HIGHEST) - eye))
+    assert float(orth_u) < 5e-6, float(orth_u)
+    assert float(orth_v) < 5e-6, float(orth_v)
+    # values vs f64 oracle (ascending)
+    sref = np.sort(np.linalg.svd(np.asarray(a, np.float64),
+                                 compute_uv=False), axis=-1)
+    smax = sref[:, -1:]
+    assert np.max(np.abs(np.asarray(s) - sref) / smax) < 1e-5
+    # reconstruction (null columns contribute s ~ 0)
+    rec = jnp.einsum("bmi,bi,bni->bmn", u, s, v,
+                     precision=jax.lax.Precision.HIGHEST)
+    assert float(jnp.max(jnp.abs(rec - a))) < 1e-4 * float(smax.max())

@@ -591,3 +591,102 @@ def test_exacteig_batched_M_unbatched_A():
     R = jnp.einsum("ij,bjk->bik", Am, evec) \
         - jnp.einsum("bij,bjk->bik", Mm, evec) * ev[:, None, :]
     assert jnp.max(jnp.abs(R)) < 1e-8
+
+
+# ------------------------------------------------------------------
+# shape-aware default routing (TPU-first; VERDICT r3 item 2)
+# ------------------------------------------------------------------
+
+def test_auto_routing_rules(monkeypatch):
+    """The documented routing contract of _auto_symeig_method."""
+    from xitorch_tpu.linalg.symeig import _auto_symeig_method
+
+    a = jnp.eye(256, dtype=jnp.float32)
+    A = LinearOperator.m(a, is_hermitian=True)
+    small = LinearOperator.m(jnp.eye(64, dtype=jnp.float32),
+                             is_hermitian=True)
+    cplx = LinearOperator.m(jnp.eye(256, dtype=jnp.complex128),
+                            is_hermitian=True)
+
+    # CPU backend: always the reference default
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert _auto_symeig_method(A, 8, None) == "exacteig"
+
+    # TPU backend: route k << n standard real asks to chebfsi
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _auto_symeig_method(A, 8, None) == "chebfsi"
+    assert _auto_symeig_method(A, 16, None) == "chebfsi"   # 16*16=256 <= 256
+    assert _auto_symeig_method(A, 17, None) == "exacteig"  # k not << n
+    assert _auto_symeig_method(A, 256, None) == "exacteig"
+    assert _auto_symeig_method(small, 2, None) == "exacteig"  # n < 128
+    assert _auto_symeig_method(A, 8, A) == "exacteig"      # generalized
+    assert _auto_symeig_method(cplx, 8, None) == "exacteig"  # complex
+
+
+def test_auto_routed_symeig_accuracy_gate(monkeypatch, rng):
+    """Accuracy gate for the silently-routed chebfsi default: values and
+    gradients vs the f64 dense oracle at config-2-like k << n shapes."""
+    n, k = 128, 8
+    a64 = make_sym(rng, (3,), n) + 3.0 * jnp.eye(n, dtype=jnp.float64)
+    oracle = np.linalg.eigvalsh(np.asarray(a64))[:, :k]
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    A = LinearOperator.m(a64, is_hermitian=True)
+    evals, evecs = symeig(A, k, "lowest")          # method=None -> routed
+    assert_allclose(evals, jnp.asarray(oracle), rtol=1e-9, atol=1e-9)
+    # eigenpair residual at oracle grade
+    resid = A.mm(evecs) - evecs * evals[..., None, :]
+    assert float(jnp.max(jnp.abs(resid))) < 1e-8
+    # f32: scale-aware min_eps must reach exacteig-grade residuals
+    a32 = (100.0 * a64).astype(jnp.float32)
+    A32 = LinearOperator.m(a32, is_hermitian=True)
+    evals32, evecs32 = symeig(A32, k, "lowest")
+    scale = float(jnp.max(jnp.abs(a32)))
+    oracle32 = np.linalg.eigvalsh(np.asarray(a32, np.float64))[:, :k]
+    assert float(jnp.max(jnp.abs(evals32 - jnp.asarray(
+        oracle32, jnp.float32)))) < 5e-5 * scale
+
+    # gradients keep the degeneracy-safe IFT contract on the routed path
+    def loss(mat):
+        Ao = LinearOperator.m(mat, is_hermitian=True)
+        ev, _ = symeig(Ao, k, "lowest")
+        return jnp.sum(ev)
+
+    g = jax.grad(loss)(a64[0])
+    d = make_sym(rng, (), n)
+    eps = 1e-6
+    fd = (loss(a64[0] + eps * d) - loss(a64[0] - eps * d)) / (2 * eps)
+    assert abs(float(jnp.sum(g * d) - fd)) < 1e-6 * max(1.0, abs(float(fd)))
+
+
+def test_auto_routed_svd_topk_accuracy_gate(monkeypatch, rng):
+    """Default svd(A, k) with k << r routes through the Gram + chebfsi on
+    TPU; values vs the f64 oracle, orthonormal factors, gradient flows."""
+    m, n, k = 160, 128, 8
+    a = jnp.asarray(rng.standard_normal((2, m, n)))
+    sref = np.linalg.svd(np.asarray(a), compute_uv=False)[..., :k]
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    A = LinearOperator.m(a)
+    u, s, vh = svd(A, k)                            # method=None -> routed
+    # package convention: ascending tail slice -> compare sorted
+    assert_allclose(jnp.sort(s, axis=-1)[..., ::-1], jnp.asarray(sref),
+                    rtol=1e-8, atol=1e-10)
+    eye = jnp.eye(k, dtype=a.dtype)
+    assert float(jnp.max(jnp.abs(
+        jnp.einsum("...rm,...rc->...mc", u, u) - eye))) < 1e-8
+    assert float(jnp.max(jnp.abs(
+        jnp.einsum("...mr,...cr->...mc", vh, vh) - eye))) < 1e-8
+    # A vh^T = u s
+    assert float(jnp.max(jnp.abs(
+        A.mm(jnp.swapaxes(vh, -2, -1)) - u * s[..., None, :]))) < 1e-7
+
+    def loss(mat):
+        _, sv, _ = svd(LinearOperator.m(mat), k)
+        return jnp.sum(sv)
+
+    g = jax.grad(loss)(a[0])
+    d = jnp.asarray(rng.standard_normal((m, n)))
+    eps = 1e-6
+    fd = (loss(a[0] + eps * d) - loss(a[0] - eps * d)) / (2 * eps)
+    assert abs(float(jnp.sum(g * d) - fd)) < 1e-6 * max(1.0, abs(float(fd)))

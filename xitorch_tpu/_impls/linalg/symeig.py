@@ -20,6 +20,7 @@ TPU-native redesign of /root/reference/xitorch/_impls/linalg/symeig.py:
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -307,10 +308,28 @@ def davidson(A: LinearOperator, neig: int, mode: str,
         return M.mm(X) if M is not None else X
 
     def rayleigh_ritz(V):
-        # V: (*B, na, s) M-orthonormal
+        # V: (*B, na, s) M-orthonormal — except columns that a
+        # rank-deficient subspace zeroed out in the Cholesky-QR (e.g. a
+        # residual block with dependent columns).  Those dead columns
+        # produce zero rows/cols of T, whose 0 eigenvalues sort FIRST on
+        # an SPD spectrum in "lowest" mode and the Ritz block then locks
+        # onto junk directions every iteration (a measured deadlock at
+        # n=10, nguess=neig: the same deterministic construction recurred
+        # for 2000 iterations).  Penalize them so they always sort last.
         AV = A.mm(V)
         T = _dot_hi(jnp.swapaxes(V, -2, -1).conj(), AV)  # (*B, s, s)
         T = (T + jnp.swapaxes(T, -2, -1).conj()) * 0.5
+        # junk = any column whose M-norm deviates from 1: a singular
+        # Cholesky-QR leaves a CONTINUUM of junk norms (measured 0.11,
+        # 0.6, ...), not clean zeros, so a small-norm test misses them
+        cn = jnp.real(jnp.sum(V.conj() * mmM(V), axis=-2))  # (*B, s)
+        dead = (jnp.abs(cn - 1.0) > 0.1).astype(T.real.dtype)
+        big = 10.0 * (jnp.max(jnp.abs(T), axis=(-2, -1), keepdims=True)
+                      + 1.0)
+        # sign-aware: the eigh below runs on sign*T, so the penalty must
+        # land at +big THERE for junk to sort last in both modes
+        T = T + (jnp.eye(T.shape[-1], dtype=T.dtype)
+                 * (sign * big * dead[..., None, :]).astype(T.dtype))
         evalT, evecT = jnp.linalg.eigh(sign * T)
         evalT = sign * evalT
         # for "lowest": ascending lowest block; for "uppest": eigh of -T
@@ -412,7 +431,7 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
             max_niter: int = 60,
             nguess: Optional[int] = None,
             v_init: str = "randn",
-            min_eps: float = 1e-6,
+            min_eps: Optional[float] = 1e-6,
             degree: int = 24,
             polish: int = 2,
             fast_filter: bool = False,
@@ -573,6 +592,24 @@ def chebfsi(A: LinearOperator, neig: int, mode: str,
     lam_est = jnp.sum(pv.conj() * Apv, axis=-2, keepdims=True).real
     slack = _mnorm(minv(Apv) - lam_est.astype(dtype) * pv)
     b_up = (jnp.abs(lam_est) + slack) * 1.01  # (*B,1,1) >= max |lambda|
+
+    if min_eps is None:
+        # scale-aware tolerance (the auto-routed default,
+        # linalg/symeig._auto_symeig_method): min_eps is an ABSOLUTE
+        # residual bound, so a fixed 1e-6 on an operator with large
+        # ||A|| is unreachable in f32 and burns max_niter for nothing.
+        # Target: sqrt(eps)*||A||.  EigenVALUE accuracy is quadratic in
+        # the residual (lam err ~ resid^2/gap), so this already matches
+        # the dense route's eps*||A||-grade VALUES while converging in
+        # a few filter rounds (an eps-grade residual target measured
+        # 957 decomps/s vs 3,487 at this setting on a v5e config-2
+        # batch — the linear filter convergence pays ~20 extra rounds
+        # for accuracy the values don't gain).  Callers wanting
+        # eps-grade eigenVECTOR residuals pass min_eps explicitly.
+        # b_up is a traced per-batch spectral bound, so this is a
+        # traced scalar — legal in the while_loop conditions and info.
+        eps_w = float(jnp.finfo(jnp.asarray(b_up).real.dtype).eps)
+        min_eps = math.sqrt(eps_w) * jnp.max(b_up)
 
     def cheb_filter(X, a, b, a0):
         """Scaled Chebyshev filter of fixed ``degree`` damping [a, b] and

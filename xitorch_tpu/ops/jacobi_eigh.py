@@ -611,7 +611,8 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     128-lane boundary so its manual HBM DMA slices stay aligned) runs
     the MXU spectral divide-and-conquer sort first
     (``ops/dc_kernel.py``) and hands the sweep kernel
-    ``G0 = Q^T A_shift`` instead of ``A_shift``.  The sweep kernel's G-invariant (G = R^T A_shift with R
+    ``G0 = Q^T A_shift`` instead of ``A_shift``.  The sweep kernel's
+    G-invariant (G = R^T A_shift with R
     orthogonal at every stage) makes this transparent: eigenvalue/vector
     extraction, polish and sorting are unchanged, and a bad or soft
     preconditioner costs extra sweeps, never correctness.  Design: with
@@ -771,6 +772,52 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     return lam.reshape(*batch, n), V.reshape(*batch, n, n)
 
 
+def _complete_null_columns(Q: jnp.ndarray, good: jnp.ndarray) -> jnp.ndarray:
+    """Replace the columns of ``Q`` (B, m, r) flagged bad by ``good``
+    (B, r) bool with an orthonormal completion of the good columns.
+
+    Numerically-zero singular values leave ZERO rows in the Hestenes G
+    panel, hence zero (or junk-direction) columns in U and V — while the
+    XLA svd path returns orthonormal null-space completions.  This
+    restores the common contract: bad slots get a fixed quasi-random fill
+    projected against the good columns (2 matmuls) and orthonormalized
+    among themselves by a masked CholQR.  All mask arithmetic — which
+    columns are bad is data-dependent and this runs under jit.
+    """
+    B, mdim, r = Q.shape
+    dt = Q.dtype
+    hi = jax.lax.Precision.HIGHEST
+    g = good.astype(dt)
+    # deterministic full-rank fill (no RNG on the kernel path)
+    iot_m = jnp.arange(mdim, dtype=dt)[:, None]
+    iot_r = jnp.arange(r, dtype=dt)[None, :]
+    F = jnp.sin(iot_m * (0.7391 * iot_r + 1.137) + 0.31 * iot_r)
+    F = jnp.broadcast_to(F / math.sqrt(mdim), (B, mdim, r))
+    Qg = Q * g[:, None, :]
+    C = jnp.matmul(jnp.swapaxes(Qg, -2, -1), F, precision=hi)
+    F = F - jnp.matmul(Qg, C, precision=hi)
+    # masked CholQR among the bad columns: good slots pinned to identity
+    # so the factorization stays SPD; small relative ridge guards the
+    # (improbable) near-dependence of two projected fill columns
+    b = 1.0 - g
+    Fb = F * b[:, None, :]
+    # CholQR2: the deterministic fill's columns can correlate, so one
+    # CholQR leaves ~cond(G)*eps non-orthogonality (measured 1.3e-2 on a
+    # rank-5 f32 panel); the second pass starts near-orthonormal and
+    # lands at ~eps
+    for _ in range(2):
+        G = jnp.matmul(jnp.swapaxes(Fb, -2, -1), Fb, precision=hi)
+        G = (G * (b[:, :, None] * b[:, None, :])
+             + jnp.eye(r, dtype=dt) * g[:, None, :]
+             + jnp.eye(r, dtype=dt) * jnp.asarray(
+                 16 * jnp.finfo(dt).eps / mdim, dt) * b[:, None, :])
+        L = jnp.linalg.cholesky(G)
+        Y = jax.scipy.linalg.solve_triangular(
+            L, jnp.swapaxes(Fb, -2, -1), lower=True)   # L^-1 Fb^T
+        Fb = jnp.swapaxes(Y, -2, -1)
+    return Qg + Fb * b[:, None, :]
+
+
 def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
                tol: Optional[float] = None, interpret: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -860,6 +907,21 @@ def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
     wn = jnp.sqrt(jnp.sum(W * W, axis=-2))             # (B, r) = |A^T u_i|
     V = W / jnp.maximum(wn, tiny)[..., None, :]
     s = lam                                            # already ascending
+    # numerically-zero singular values (s <= ~eps*s_max): their G rows are
+    # zero (or rounding junk), so the normalized U/V columns are zero or
+    # arbitrary non-orthogonal directions — unlike the XLA svd path, which
+    # returns orthonormal null-space completions.  Restore that contract
+    # (directions stay arbitrary, as documented; orthonormality does not).
+    good = lam > (jnp.asarray(4.0 * jnp.finfo(dt).eps * math.sqrt(m_), dt)
+                  * lam[..., -1:] + tiny)
+    U = _complete_null_columns(U, good)
+    V = _complete_null_columns(V, good)
+    # one Newton orthonormalization on V as well: its good columns are
+    # only pairwise-orthogonal to the kernel exit tolerance (V never saw
+    # the U polish), measured ~3e-5 at f32 — one NS step squares that to
+    # rounding and matches the XLA path's orthonormal-V contract
+    VtV = jnp.matmul(jnp.swapaxes(V, -2, -1), V, precision=hi)
+    V = jnp.matmul(V, 1.5 * eye_r - 0.5 * VtV, precision=hi)
     return (U.reshape(*batch, m_, n_), s.reshape(*batch, n_),
             V.reshape(*batch, n_, n_))
 
