@@ -20,7 +20,7 @@ if _os.environ.get("XT_CPU") == "1":  # run on CPU when the TPU tunnel is down
 import jax.numpy as jnp
 import optax
 
-from xitorch_tpu.models.deq import init_deq, deq_loss, deq_forward
+from xitorch_tpu.models.deq import init_deq, deq_loss
 
 
 def main():

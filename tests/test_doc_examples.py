@@ -12,10 +12,9 @@ import re
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import xitorch_tpu as xt
-from xitorch_tpu.linalg import solve, symeig
+from xitorch_tpu.linalg import solve
 from xitorch_tpu.optimize import equilibrium, rootfinder
 
 DOC_DIR = os.path.join(os.path.dirname(__file__), "..", "doc")

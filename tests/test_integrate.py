@@ -268,7 +268,8 @@ def test_mcquad_mh_multichain_convergence():
 
 @pytest.mark.parametrize("method", ["trapz", "simpson", "cspline"])
 def test_squad_integrate_cumsum(method):
-    x = jnp.asarray(np.sort(np.concatenate([[0.0, 1.0], np.random.default_rng(3).uniform(0, 1, 29)])))
+    x = jnp.asarray(np.sort(np.concatenate(
+        [[0.0, 1.0], np.random.default_rng(3).uniform(0, 1, 29)])))
     y = jnp.sin(3 * x) + 0.5 * x
     exact_cum = (1 - jnp.cos(3 * x)) / 3 + 0.25 * x ** 2
     sq = SQuad(x, method=method)

@@ -1,7 +1,6 @@
 """jac/hess LinearOperator tests (model: reference xitorch/_tests/test_jac.py)."""
 import jax
 import jax.numpy as jnp
-import pytest
 
 from xitorch_tpu.grad import jac, hess
 from tests.utils import assert_allclose

@@ -17,7 +17,6 @@ def test_deq_forward_and_implicit_grad():
     out = jax.jit(deq_forward)(params, x)
     assert out.shape == (8, 2)
     # fixed point property
-    from xitorch_tpu.models.deq import _cell
     # re-solve to extract z*: forward determinism
     loss, grads = jax.value_and_grad(deq_loss)(params, x, y)
     assert bool(jnp.isfinite(loss))
@@ -195,8 +194,6 @@ def test_operator_dim_sharded_eigensolver():
 def test_neural_ode_training_step():
     """Continuous-depth model: forward via rk45, grads through trajectory."""
     from xitorch_tpu.models.node import init_node, node_loss
-    import optax
-
     params = init_node(jax.random.PRNGKey(0), d_in=4, hidden=12, d_out=2,
                        dtype=jnp.float64)
     x = jax.random.normal(jax.random.PRNGKey(1), (16, 4), jnp.float64)

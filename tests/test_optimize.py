@@ -4,7 +4,6 @@ forward + 1st + 2nd order gradients must match the dense implicit solution.
 """
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pytest
 
 from xitorch_tpu.optimize import rootfinder, equilibrium, minimize

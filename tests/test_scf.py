@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from xitorch_tpu.models.scf import scf_density, scf_energy, HamiltonianOp, _density
+from xitorch_tpu.models.scf import scf_density, scf_energy, _density
 from tests.utils import assert_allclose
 
 

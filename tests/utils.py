@@ -1,8 +1,6 @@
 """Shared test helpers: gradient checks (1st and 2nd order) via finite
 differences — the oracle role of torch's gradcheck/gradgradcheck in the
 reference test suite (xitorch/_tests/utils.py:9-42)."""
-import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.test_util import check_grads
 

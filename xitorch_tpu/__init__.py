@@ -33,4 +33,6 @@ from xitorch_tpu.version import __version__  # noqa: F401
 get_pure_function = make_pure
 
 # subpackages importable as attributes (import xitorch_tpu; xitorch_tpu.linalg.solve)
-from xitorch_tpu import linalg, optimize, integrate, interpolate, grad, parallel, debug, utils  # noqa: F401,E402
+from xitorch_tpu import (  # noqa: F401,E402
+    linalg, optimize, integrate, interpolate, grad, parallel, debug, utils,
+)

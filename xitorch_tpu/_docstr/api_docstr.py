@@ -42,7 +42,9 @@ def get_methods_docstr(cls_or_func: Callable,
                   or (p.default is not inspect.Parameter.empty
                       and pname not in ignore_kwargs)]
         arglist = ", ".join(
-            "%s=%s" % (p.name, repr(p.default) if p.default is not inspect.Parameter.empty else "...")
+            "%s=%s" % (p.name,
+                       repr(p.default)
+                       if p.default is not inspect.Parameter.empty else "...")
             for p in params)
         fullsig = "%s(..., %s)" % (getattr(cls_or_func, "__name__", "fn"), arglist)
         docstr = inspect.cleandoc(method.__doc__ or "")
