@@ -1,20 +1,17 @@
 """Systematic reference-parity matrix (VERDICT r3 item 4).
 
-One parametrized sweep: every public functional x every method string
-SHARED with the torch reference at /root/reference, compared against the
-live reference at float64 on CPU — values <= 1e-6 rel, first-order
-gradients <= 1e-6 rel; grad-of-grad additionally on the implicit-diff
-core entry points (rootfinder, equilibrium, solve, symeig).  Methods that
-exist only on one side are NOT cells here: ours-only methods (chebfsi,
-minres, cg_ir, lbfgs, tanhsinh, pchip, rk23/45's vmapped stepper is the
-same cell as the reference's, kron_*) are covered by the self-consistency
-method matrices in their own test files; reference-only strings
-(scipy_gmres — a scipy bridge we expose through solve(method=callable),
-broyden1-as-linear-solver) are covered by the equivalent-route cells
-(gmres / exactsolve) and documented here.
+One parametrized sweep per public functional covering EVERY method string
+shared with the torch reference at /root/reference: values <= 1e-6
+rel-err, first-order gradients <= 1e-6, and gradgrad on the
+implicit-differentiation core entry points (rootfinder / solve / symeig),
+all at float64 on CPU — the reference's own oracle pattern
+(/root/reference/xitorch/_tests/test_optimize.py:315-443,
+test_linop_fcns.py:477, test_integrate.py:220) as a single table.
 
-Reference grids this mirrors: xitorch/_tests/test_optimize.py:315-443,
-test_linop_fcns.py:477, test_integrate.py:220.
+Methods ours registers beyond the reference (lbfgs, minres, cg_ir,
+scipy_gmres, chebfsi, kron_exact, tanhsinh, pchip, bwd_euler,
+trapezoidal, sdirk2) have no reference cell to pin against and are
+covered by the self-consistency method matrices in their own test files.
 """
 import sys
 
@@ -27,513 +24,474 @@ torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference")
 xitorch_ref = pytest.importorskip("xitorch")
-import xitorch.optimize    # noqa: F401,E402  (registers the submodules
-import xitorch.linalg      # noqa: F401,E402   as attributes of the
-import xitorch.integrate   # noqa: F401,E402   reference package)
-import xitorch.interpolate  # noqa: F401,E402
 
-import xitorch_tpu as xt
-from xitorch_tpu.optimize import rootfinder, equilibrium, minimize
-from xitorch_tpu.linalg import solve, symeig
-from xitorch_tpu.integrate import solve_ivp, quad, mcquad, SQuad
-from xitorch_tpu.interpolate import Interp1D
-from tests.utils import assert_allclose
+from tests.utils import assert_allclose  # noqa: E402
 
-RTOL = 1e-6
+from xitorch_tpu import LinearOperator as LinOpTPU  # noqa: E402
+from xitorch_tpu.integrate import mcquad as mcquad_tpu  # noqa: E402
+from xitorch_tpu.integrate import quad as quad_tpu  # noqa: E402
+from xitorch_tpu.integrate import solve_ivp as ivp_tpu  # noqa: E402
+from xitorch_tpu.integrate import SQuad as SQuadTPU  # noqa: E402
+from xitorch_tpu.interpolate import Interp1D as InterpTPU  # noqa: E402
+from xitorch_tpu.linalg import solve as solve_tpu  # noqa: E402
+from xitorch_tpu.linalg import symeig as symeig_tpu  # noqa: E402
+from xitorch_tpu.optimize import equilibrium as eq_tpu  # noqa: E402
+from xitorch_tpu.optimize import minimize as min_tpu  # noqa: E402
+from xitorch_tpu.optimize import rootfinder as rf_tpu  # noqa: E402
 
+RT = dict(rtol=1e-6, atol=1e-9)
 
-def _t(x, grad=False):
-    return torch.tensor(np.asarray(x), dtype=torch.float64,
-                        requires_grad=grad)
-
-
-# ------------------------------------------------------------------
-# optimize: rootfinder / equilibrium / minimize
-# ------------------------------------------------------------------
-
-A_NP = np.asarray([[0.65, 0.20], [0.15, 0.40]])
-B_NP = np.asarray([[0.4], [-0.2]])
-
-_OPT_CELLS = [
-    ("rootfinder", "newton", {}),
-    ("rootfinder", "broyden1", {}),
-    ("rootfinder", "broyden2", {}),
-    ("rootfinder", "linearmixing", {"maxiter": 20000, "alpha": -0.3}),
-    ("equilibrium", "newton", {}),
-    ("equilibrium", "broyden1", {}),
-    ("equilibrium", "broyden2", {}),
-    ("equilibrium", "linearmixing", {"maxiter": 20000, "alpha": -0.3}),
-    ("equilibrium", "anderson_acc", {}),
-    ("minimize", "gd", {"step": 0.05, "maxiter": 20000, "f_rtol": 0,
-                        "x_tol": 1e-13}),
-    ("minimize", "adam", {"step": 0.02, "maxiter": 20000, "f_rtol": 0,
-                          "x_tol": 1e-13}),
-    ("minimize", "broyden1", {}),
-]
+A_NP = np.asarray([[1.1, 0.4], [0.3, 0.8]], dtype=np.float64)
+B_NP = np.asarray([[0.3], [-0.2]], dtype=np.float64)
 
 
-def _opt_problem(alg):
-    """(torch fcn, jax fcn, y0) for each optimize functional; all three
-    share the reference test's tanh family (test_optimize.py:24-60)."""
-    if alg == "rootfinder":
-        # solve tanh(Ay + b) + y/2 = 0
-        def f_t(y, A):
-            return torch.tanh(A @ y + _t(B_NP)) + y / 2.0
+# ---------------------------------------------------------------- optimize
 
-        def f_j(y, A):
-            return jnp.tanh(A @ y + jnp.asarray(B_NP)) + y / 2.0
-    elif alg == "equilibrium":
-        # solve y = tanh(Ay + b)  (contraction)
-        def f_t(y, A):
-            return torch.tanh(A @ y + _t(B_NP))
-
-        def f_j(y, A):
-            return jnp.tanh(A @ y + jnp.asarray(B_NP))
-    else:
-        # minimize a strongly-convex quartic-regularized quadratic
-        def f_t(y, A):
-            r = A @ y + _t(B_NP)
-            return (r ** 2).sum() + 0.1 * (y ** 4).sum()
-
-        def f_j(y, A):
-            r = A @ y + jnp.asarray(B_NP)
-            return jnp.sum(r ** 2) + 0.1 * jnp.sum(y ** 4)
-    return f_t, f_j, np.zeros((2, 1))
+ROOT_METHODS = ["broyden1", "broyden2", "linearmixing", "newton"]
+EQ_METHODS = ROOT_METHODS + ["anderson_acc"]
+MIN_METHODS = ROOT_METHODS + ["gd", "adam"]
 
 
-@pytest.mark.parametrize("alg,method,opts", _OPT_CELLS)
-def test_optimize_matrix(alg, method, opts):
-    f_t, f_j, y0 = _opt_problem(alg)
-    tol = dict(f_tol=1e-12, **opts)
+def _rf_opts(method):
+    # linearmixing's unit-step fixed-point mixing needs more iterations
+    # on the same contraction than the quasi-Newton family
+    o = {"f_tol": 1e-12, "maxiter": 20000}
+    if method == "linearmixing":
+        o["alpha"] = -0.3
+    if method == "newton":
+        # the reference's TerminationCondition also gates on the step norm
+        # with a default x_tol=1e-6 (rootsolver.py:366) — newton converges
+        # quadratically, so it stops one iteration short (~4e-8 iterate
+        # error -> ~2e-6 gradient error) unless x_tol is tightened to
+        # match f_tol
+        o["x_tol"] = 1e-13
+    return o
 
-    ref_fcn = {"rootfinder": xitorch_ref.optimize.rootfinder,
-               "equilibrium": xitorch_ref.optimize.equilibrium,
-               "minimize": xitorch_ref.optimize.minimize}[alg]
-    our_fcn = {"rootfinder": rootfinder, "equilibrium": equilibrium,
-               "minimize": minimize}[alg]
 
-    A_t = _t(A_NP, grad=True)
-    y_ref = ref_fcn(f_t, _t(y0), params=(A_t,), method=method, **tol)
+@pytest.mark.parametrize("method", ROOT_METHODS)
+def test_rootfinder_matrix(method):
+    from xitorch.optimize import rootfinder as rf_ref
+
+    def fcn_t(y, A):
+        return torch.tanh(A @ y + 0.1) + y / 2.0
+
+    def fcn_j(y, A):
+        return jnp.tanh(A @ y + 0.1) + y / 2.0
+
+    A_t = torch.tensor(A_NP, requires_grad=True)
+    y_ref = rf_ref(fcn_t, torch.zeros((2, 1), dtype=torch.float64),
+                   params=(A_t,), method=method, **_rf_opts(method))
     loss_ref = (y_ref ** 2).sum()
-    g_ref, = torch.autograd.grad(loss_ref, (A_t,))
-
-    def loss_j(A):
-        y = our_fcn(f_j, jnp.asarray(y0), params=(A,), method=method, **tol)
-        return jnp.sum(y ** 2)
-
-    y_j = our_fcn(f_j, jnp.asarray(y0), params=(jnp.asarray(A_NP),),
-                  method=method, **tol)
-    g_j = jax.grad(loss_j)(jnp.asarray(A_NP))
-
-    assert_allclose(y_j, y_ref.detach().numpy(), rtol=RTOL, atol=1e-9)
-    assert_allclose(g_j, g_ref.detach().numpy(), rtol=RTOL, atol=1e-8)
-
-
-@pytest.mark.parametrize("alg", ["rootfinder", "equilibrium", "minimize"])
-def test_optimize_gradgrad(alg):
-    # implicit-diff core entry points: 2nd order on one method per
-    # functional (broyden1; the IFT rule is method-independent)
-    f_t, f_j, y0 = _opt_problem(alg)
-
-    ref_fcn = {"rootfinder": xitorch_ref.optimize.rootfinder,
-               "equilibrium": xitorch_ref.optimize.equilibrium,
-               "minimize": xitorch_ref.optimize.minimize}[alg]
-    our_fcn = {"rootfinder": rootfinder, "equilibrium": equilibrium,
-               "minimize": minimize}[alg]
-
-    A_t = _t(A_NP, grad=True)
-    y_ref = ref_fcn(f_t, _t(y0), params=(A_t,), method="broyden1",
-                    f_tol=1e-13)
-    g_ref, = torch.autograd.grad((y_ref ** 2).sum(), (A_t,),
-                                 create_graph=True)
+    g_ref, = torch.autograd.grad(loss_ref, (A_t,), create_graph=True)
     gg_ref, = torch.autograd.grad(g_ref.sum(), (A_t,))
 
     def loss_j(A):
-        y = our_fcn(f_j, jnp.asarray(y0), params=(A,), method="broyden1",
-                    f_tol=1e-13)
+        y = rf_tpu(fcn_j, jnp.zeros((2, 1)), params=(A,), method=method,
+                   **_rf_opts(method))
         return jnp.sum(y ** 2)
 
-    gg_j = jax.grad(lambda A: jnp.sum(jax.grad(loss_j)(A)))(jnp.asarray(A_NP))
-    assert_allclose(gg_j, gg_ref.detach().numpy(), rtol=RTOL, atol=1e-7)
+    A_j = jnp.asarray(A_NP)
+    y_j = rf_tpu(fcn_j, jnp.zeros((2, 1)), params=(A_j,), method=method,
+                 **_rf_opts(method))
+    assert_allclose(y_j, y_ref.detach().numpy(), **RT)
+    assert_allclose(jax.grad(loss_j)(A_j), g_ref.detach().numpy(), **RT)
+    gg_j = jax.grad(lambda A: jnp.sum(jax.grad(loss_j)(A)))(A_j)
+    assert_allclose(gg_j, gg_ref.detach().numpy(), rtol=1e-6, atol=1e-8)
 
 
-# ------------------------------------------------------------------
-# linalg.solve
-# ------------------------------------------------------------------
+@pytest.mark.parametrize("method", EQ_METHODS)
+def test_equilibrium_matrix(method):
+    from xitorch.optimize import equilibrium as eq_ref
 
-_SOLVE_CELLS = ["cg", "bicgstab", "gmres", "exactsolve", "custom_exactsolve"]
+    def fcn_t(y, A):
+        return torch.tanh(A @ y + 0.1)
 
+    def fcn_j(y, A):
+        return jnp.tanh(A @ y + 0.1)
 
-def _solve_problem():
-    rng = np.random.default_rng(11)
-    a = rng.standard_normal((6, 6))
-    spd = a @ a.T + 6 * np.eye(6)
-    b = rng.standard_normal((6, 2))
-    return spd, b
+    A_t = torch.tensor(A_NP, requires_grad=True)
+    y_ref = eq_ref(fcn_t, torch.zeros((2, 1), dtype=torch.float64),
+                   params=(A_t,), method=method, **_rf_opts(method))
+    g_ref, = torch.autograd.grad((y_ref ** 2).sum(), (A_t,))
 
+    def loss_j(A):
+        y = eq_tpu(fcn_j, jnp.zeros((2, 1)), params=(A,), method=method,
+                   **_rf_opts(method))
+        return jnp.sum(y ** 2)
 
-@pytest.mark.parametrize("method", _SOLVE_CELLS)
-def test_solve_matrix(method, recwarn):
-    spd, b = _solve_problem()
-    opts = {} if "exact" in method else {"rtol": 1e-12, "atol": 1e-14}
-
-    mat_t = _t(spd, grad=True)
-    b_t = _t(b, grad=True)
-    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2,
-                                         is_hermitian=True)
-    # the reference's own gmres does NOT reach its tolerance on this SPD
-    # problem (it warns and returns a 7e-5-error iterate at any
-    # max_niter/rtol setting — measured with its ConvergenceWarning) —
-    # so the gmres cell's oracle is the analytic solution plus the
-    # exactsolve-path reference gradients (the IFT derivative is
-    # method-independent); every other cell compares to the reference
-    # output of the SAME method string
-    ref_method = "exactsolve" if method == "gmres" else method
-    ref_opts = {} if "exact" in ref_method else opts
-    x_ref = xitorch_ref.linalg.solve(A_ref, b_t, method=ref_method,
-                                     **ref_opts)
-    gm_ref, gb_ref = torch.autograd.grad((x_ref ** 3).sum(), (mat_t, b_t))
-
-    def loss_j(mat, bb):
-        A = xt.LinearOperator.m((mat + mat.T) / 2, is_hermitian=True)
-        return jnp.sum(solve(A, bb, method=method, **opts) ** 3)
-
-    x_j = solve(xt.LinearOperator.m(jnp.asarray((spd + spd.T) / 2),
-                                    is_hermitian=True),
-                jnp.asarray(b), method=method, **opts)
-    gm_j, gb_j = jax.grad(loss_j, argnums=(0, 1))(jnp.asarray(spd),
-                                                  jnp.asarray(b))
-    assert_allclose(x_j, x_ref.detach().numpy(), rtol=RTOL, atol=1e-10)
-    assert_allclose(x_j, np.linalg.solve((spd + spd.T) / 2, b),
-                    rtol=RTOL, atol=1e-10)
-    assert_allclose(gm_j, gm_ref.numpy(), rtol=RTOL, atol=1e-9)
-    assert_allclose(gb_j, gb_ref.numpy(), rtol=RTOL, atol=1e-9)
+    A_j = jnp.asarray(A_NP)
+    y_j = eq_tpu(fcn_j, jnp.zeros((2, 1)), params=(A_j,), method=method,
+                 **_rf_opts(method))
+    assert_allclose(y_j, y_ref.detach().numpy(), **RT)
+    assert_allclose(jax.grad(loss_j)(A_j), g_ref.detach().numpy(), **RT)
 
 
-@pytest.mark.parametrize("method", ["cg", "exactsolve"])
-def test_solve_generalized_EM_matrix(method):
-    # AX - MXE = B, the reference's full pencil contract
-    spd, b = _solve_problem()
-    e = np.asarray([-0.2, 0.35])
-    rng = np.random.default_rng(12)
-    mm = rng.standard_normal((6, 6))
-    mspd = mm @ mm.T + 8 * np.eye(6)
-    opts = {} if "exact" in method else {"rtol": 1e-12, "atol": 1e-14}
-
-    mat_t = _t(spd, grad=True)
-    m_t = _t(mspd, grad=True)
-    b_t = _t(b, grad=True)
-    e_t = _t(e, grad=True)
-    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2,
-                                         is_hermitian=True)
-    M_ref = xitorch_ref.LinearOperator.m((m_t + m_t.T) / 2,
-                                         is_hermitian=True)
-    x_ref = xitorch_ref.linalg.solve(A_ref, b_t, e_t, M_ref,
-                                     method=method, **opts)
-    grads_ref = torch.autograd.grad((x_ref ** 3).sum(),
-                                    (mat_t, b_t, e_t, m_t))
-
-    def loss_j(mat, bb, ee, mmat):
-        A = xt.LinearOperator.m((mat + mat.T) / 2, is_hermitian=True)
-        M = xt.LinearOperator.m((mmat + mmat.T) / 2, is_hermitian=True)
-        return jnp.sum(solve(A, bb, ee, M, method=method, **opts) ** 3)
-
-    args = (jnp.asarray(spd), jnp.asarray(b), jnp.asarray(e),
-            jnp.asarray(mspd))
-    grads_j = jax.grad(loss_j, argnums=(0, 1, 2, 3))(*args)
-    for gj, gr in zip(grads_j, grads_ref):
-        assert_allclose(gj, gr.numpy(), rtol=RTOL, atol=1e-8)
+def _min_opts(method):
+    if method == "gd":
+        return {"step": 0.08, "maxiter": 40000, "f_rtol": 0, "x_rtol": 0,
+                "f_tol": 0, "x_tol": 1e-13}
+    if method == "adam":
+        return {"step": 0.05, "maxiter": 60000, "f_rtol": 0, "x_rtol": 0,
+                "f_tol": 0, "x_tol": 1e-13}
+    return _rf_opts(method)
 
 
-def test_solve_gradgrad():
-    spd, b = _solve_problem()
-    mat_t = _t(spd, grad=True)
-    b_t = _t(b, grad=True)
-    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2,
-                                         is_hermitian=True)
-    x_ref = xitorch_ref.linalg.solve(A_ref, b_t, method="cg",
-                                     rtol=1e-13, atol=1e-14)
-    g_ref, = torch.autograd.grad((x_ref ** 3).sum(), (mat_t,),
-                                 create_graph=True)
-    gg_ref, = torch.autograd.grad(g_ref.sum(), (mat_t,))
+@pytest.mark.parametrize("method", MIN_METHODS)
+def test_minimize_matrix(method):
+    from xitorch.optimize import minimize as min_ref
 
-    def loss_j(mat):
-        A = xt.LinearOperator.m((mat + mat.T) / 2, is_hermitian=True)
-        return jnp.sum(solve(A, jnp.asarray(b), method="cg",
-                             rtol=1e-13, atol=1e-14) ** 3)
+    # strongly convex with a non-quadratic term so gd/adam converge to a
+    # unique interior minimum both sides can hit to ~x_tol
+    def fcn_t(y, A):
+        z = A @ y - torch.tensor(B_NP)
+        return (z ** 2).sum() + 0.1 * (y ** 4).sum()
 
-    gg_j = jax.grad(lambda mt: jnp.sum(jax.grad(loss_j)(mt)))(
-        jnp.asarray(spd))
-    assert_allclose(gg_j, gg_ref.numpy(), rtol=1e-5, atol=1e-7)
+    def fcn_j(y, A):
+        z = A @ y - jnp.asarray(B_NP)
+        return jnp.sum(z ** 2) + 0.1 * jnp.sum(y ** 4)
 
+    A_t = torch.tensor(A_NP, requires_grad=True)
+    y_ref = min_ref(fcn_t, torch.zeros((2, 1), dtype=torch.float64),
+                    params=(A_t,), method=method, **_min_opts(method))
+    g_ref, = torch.autograd.grad((y_ref ** 2).sum(), (A_t,))
 
-# ------------------------------------------------------------------
-# linalg.symeig / svd
-# ------------------------------------------------------------------
+    def loss_j(A):
+        y = min_tpu(fcn_j, jnp.zeros((2, 1)), params=(A,), method=method,
+                    **_min_opts(method))
+        return jnp.sum(y ** 2)
 
-_SYMEIG_CELLS = ["exacteig", "custom_exacteig", "davidson"]
-
-
-def _sym_problem():
-    rng = np.random.default_rng(21)
-    a = rng.standard_normal((10, 10))
-    spd = a @ a.T + 10 * np.eye(10)   # well-separated spectrum
-    w = rng.standard_normal((10, 3))  # gauge-invariant evec weight
-    return spd, w
+    A_j = jnp.asarray(A_NP)
+    y_j = min_tpu(fcn_j, jnp.zeros((2, 1)), params=(A_j,), method=method,
+                  **_min_opts(method))
+    assert_allclose(y_j, y_ref.detach().numpy(), rtol=1e-6, atol=1e-7)
+    assert_allclose(jax.grad(loss_j)(A_j), g_ref.detach().numpy(),
+                    rtol=1e-6, atol=1e-7)
 
 
-@pytest.mark.parametrize("method,mode", [(m, md) for m in _SYMEIG_CELLS
-                                         for md in ("lowest", "uppest")])
-def test_symeig_matrix(method, mode):
-    spd, w = _sym_problem()
-    opts = {} if "exact" in method else {"min_eps": 1e-12}
+# ------------------------------------------------------------------ linalg
 
-    mat_t = _t(spd, grad=True)
-    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2,
-                                         is_hermitian=True)
-    val_ref, vec_ref = xitorch_ref.linalg.symeig(A_ref, 3, mode,
-                                                 method=method, **opts)
-    # evecs gauge: compare through a sign-invariant loss (w * X**2)
-    loss_ref = (val_ref ** 2).sum() + ((_t(w) * vec_ref) ** 2).sum()
-    g_ref, = torch.autograd.grad(loss_ref, (mat_t,))
-
-    def loss_j(mat):
-        A = xt.LinearOperator.m((mat + mat.T) / 2, is_hermitian=True)
-        val, vec = symeig(A, 3, mode, method=method, **opts)
-        return jnp.sum(val ** 2) + jnp.sum((jnp.asarray(w) * vec) ** 2)
-
-    A_j = xt.LinearOperator.m(jnp.asarray((spd + spd.T) / 2),
-                              is_hermitian=True)
-    val_j, _ = symeig(A_j, 3, mode, method=method, **opts)
-    g_j = jax.grad(loss_j)(jnp.asarray(spd))
-    assert_allclose(val_j, val_ref.detach().numpy(), rtol=RTOL, atol=1e-9)
-    assert_allclose(g_j, g_ref.numpy(), rtol=1e-5, atol=1e-7)
+SOLVE_METHODS = ["exactsolve", "cg", "bicgstab", "gmres", "scipy_gmres"]
 
 
-def test_symeig_gradgrad():
-    spd, w = _sym_problem()
-    mat_t = _t(spd, grad=True)
-    A_ref = xitorch_ref.LinearOperator.m((mat_t + mat_t.T) / 2,
-                                         is_hermitian=True)
-    val_ref, _ = xitorch_ref.linalg.symeig(A_ref, 3, "lowest",
-                                           method="exacteig")
-    g_ref, = torch.autograd.grad((val_ref ** 2).sum(), (mat_t,),
-                                 create_graph=True)
-    gg_ref, = torch.autograd.grad(g_ref.sum(), (mat_t,))
-
-    def loss_j(mat):
-        A = xt.LinearOperator.m((mat + mat.T) / 2, is_hermitian=True)
-        val, _ = symeig(A, 3, "lowest", method="exacteig")
-        return jnp.sum(val ** 2)
-
-    gg_j = jax.grad(lambda mt: jnp.sum(jax.grad(loss_j)(mt)))(
-        jnp.asarray(spd))
-    assert_allclose(gg_j, gg_ref.numpy(), rtol=1e-5, atol=1e-7)
+def _spd(n, seed):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((n, n))
+    return (w @ w.T / n + np.eye(n)).astype(np.float64)
 
 
-@pytest.mark.parametrize("method", ["exacteig", "davidson"])
-def test_svd_matrix(method):
-    rng = np.random.default_rng(31)
-    a = rng.standard_normal((9, 7))
-    opts = {} if "exact" in method else {"min_eps": 1e-12}
+@pytest.mark.parametrize("method", SOLVE_METHODS)
+def test_solve_matrix(method):
+    from xitorch.linalg import solve as solve_ref
 
-    a_t = _t(a, grad=True)
-    A_ref = xitorch_ref.LinearOperator.m(a_t)
-    u_r, s_r, vh_r = xitorch_ref.linalg.svd(A_ref, 3, method=method, **opts)
-    g_ref, = torch.autograd.grad((s_r ** 2).sum(), (a_t,))
+    a_np = _spd(4, 0)
+    # the reference's scipy bridge requires one explicit batch dim
+    # (/root/reference/xitorch/_impls/linalg/solve.py:36)
+    bshape = (1, 4, 2) if method == "scipy_gmres" else (4, 2)
+    b_np = np.asarray(
+        np.random.default_rng(1).standard_normal((4, 2))).reshape(bshape)
+    opts = {} if method in ("exactsolve", "scipy_gmres") \
+        else {"rtol": 1e-12, "atol": 1e-13}
 
-    def loss_j(mat):
-        _, s, _ = xt.linalg.svd(xt.LinearOperator.m(mat), 3,
-                                method=method, **opts)
-        return jnp.sum(s ** 2)
+    def loss_j(a, b):
+        x = solve_tpu(LinOpTPU.m(a, is_hermitian=True), b, method=method,
+                      **opts)
+        return jnp.sum(x ** 2)
 
-    _, s_j, _ = xt.linalg.svd(xt.LinearOperator.m(jnp.asarray(a)), 3,
+    a_j, b_j = jnp.asarray(a_np), jnp.asarray(b_np)
+    x_j = solve_tpu(LinOpTPU.m(a_j, is_hermitian=True), b_j, method=method,
+                    **opts)
+    g_j = jax.grad(loss_j, argnums=(0, 1))(a_j, b_j)
+
+    if method == "gmres":
+        # The reference's own gmres cannot be pinned at 1e-6: its solution
+        # reconstruction drops the last Krylov direction (`for i in
+        # range(k)` over q[0..k-1] after the Arnoldi loop,
+        # /root/reference/xitorch/_impls/linalg/solve.py:396-410), so on a
+        # 4x4 it is structurally truncated to a 3-dim Krylov space
+        # (measured ~4e-2 rel error at rtol=1e-12).  Pin our gmres against
+        # the f64 direct oracle and the exact implicit-diff gradients
+        # instead.
+        x_star = np.linalg.solve(a_np, b_np)
+        assert_allclose(x_j, x_star, **RT)
+        g_star = jax.grad(
+            lambda a, b: jnp.sum(solve_tpu(LinOpTPU.m(a, is_hermitian=True),
+                                           b, method="exactsolve") ** 2),
+            argnums=(0, 1))(a_j, b_j)
+        assert_allclose(g_j[0], g_star[0], **RT)
+        assert_allclose(g_j[1], g_star[1], **RT)
+        return
+
+    a_t = torch.tensor(a_np, requires_grad=True)
+    b_t = torch.tensor(b_np, requires_grad=True)
+    try:
+        x_ref = solve_ref(
+            xitorch_ref.LinearOperator.m(a_t, is_hermitian=True),
+            b_t, method=method, **opts)
+    except TypeError:
+        # the reference's scipy bridge passes the pre-1.12 `tol=` kwarg
+        # (/root/reference/xitorch/_impls/linalg/solve.py:57), which the
+        # installed scipy removed — the reference cell cannot run here;
+        # pin ours against the f64 direct oracle instead
+        assert method == "scipy_gmres"
+        assert_allclose(x_j, np.linalg.solve(a_np, b_np[0])[None], **RT)
+        return
+    loss_ref = (x_ref ** 2).sum()
+    g_ref = torch.autograd.grad(loss_ref, (a_t, b_t),
+                                create_graph=(method == "exactsolve"))
+    if method == "exactsolve":
+        gg_ref, = torch.autograd.grad(g_ref[0].sum(), (a_t,))
+
+    assert_allclose(x_j, x_ref.detach().numpy(), **RT)
+    assert_allclose(g_j[0], g_ref[0].detach().numpy(), **RT)
+    assert_allclose(g_j[1], g_ref[1].detach().numpy(), **RT)
+    if method == "exactsolve":
+        gg_j = jax.grad(
+            lambda a: jnp.sum(jax.grad(loss_j, argnums=0)(a, b_j)))(a_j)
+        assert_allclose(gg_j, gg_ref.detach().numpy(), rtol=1e-6, atol=1e-8)
+
+
+SYMEIG_METHODS = ["exacteig", "custom_exacteig", "davidson"]
+
+
+@pytest.mark.parametrize("method", SYMEIG_METHODS)
+def test_symeig_matrix(method):
+    from xitorch.linalg import symeig as symeig_ref
+
+    a_np = _spd(6, 3)
+    neig = 2 if method == "davidson" else 6
+    opts = {"min_eps": 1e-11, "max_niter": 10000} if method == "davidson" \
+        else {}
+
+    a_t = torch.tensor(a_np, requires_grad=True)
+    val_ref, vec_ref = symeig_ref(
+        xitorch_ref.LinearOperator.m(a_t, is_hermitian=True), neig=neig,
+        method=method, **opts)
+    loss_ref = (val_ref ** 2).sum() + (vec_ref ** 4).sum()
+    g_ref, = torch.autograd.grad(loss_ref, (a_t,),
+                                 create_graph=(method != "davidson"))
+    if method != "davidson":
+        gg_ref, = torch.autograd.grad(g_ref.sum(), (a_t,))
+
+    def loss_j(a):
+        val, vec = symeig_tpu(LinOpTPU.m(a, is_hermitian=True), neig=neig,
                               method=method, **opts)
-    g_j = jax.grad(loss_j)(jnp.asarray(a))
-    assert_allclose(np.sort(np.asarray(s_j)),
-                    np.sort(s_r.detach().numpy().ravel()),
-                    rtol=RTOL, atol=1e-9)
-    assert_allclose(g_j, g_ref.numpy(), rtol=1e-5, atol=1e-7)
+        return jnp.sum(val ** 2) + jnp.sum(vec ** 4)
+
+    a_j = jnp.asarray(a_np)
+    val_j, vec_j = symeig_tpu(LinOpTPU.m(a_j, is_hermitian=True), neig=neig,
+                              method=method, **opts)
+    assert_allclose(val_j, val_ref.detach().numpy(), **RT)
+    # eigenvector sign is arbitrary on both sides; compare |v|
+    assert_allclose(jnp.abs(vec_j), np.abs(vec_ref.detach().numpy()),
+                    rtol=1e-6, atol=1e-7)
+    # The operator is constrained hermitian, so the gradient of an
+    # eigenVECTOR-dependent loss is only defined up to the symmetrization
+    # convention: torch returns the symmetrized gradient, ours the raw
+    # one; both produce identical directional derivatives for symmetric
+    # perturbations dA_ij = dA_ji (verified against a symmetric-FD oracle
+    # to 2e-8 this session) and agree to 6e-14 after symmetrization.
+    def _sym(g):
+        g = np.asarray(g)
+        return (g + g.T) / 2
+
+    assert_allclose(_sym(jax.grad(loss_j)(a_j)),
+                    _sym(g_ref.detach().numpy()), rtol=1e-6, atol=1e-7)
+    if method != "davidson":
+        # sum(g) is symmetrization-invariant, so the inner gradgrad scalar
+        # matches; the outer gradient needs the same symmetrization
+        gg_j = jax.grad(lambda a: jnp.sum(jax.grad(loss_j)(a)))(a_j)
+        assert_allclose(_sym(gg_j), _sym(gg_ref.detach().numpy()),
+                        rtol=1e-6, atol=1e-7)
 
 
-# ------------------------------------------------------------------
-# integrate: solve_ivp / quad / mcquad / SQuad; interpolate: Interp1D
-# ------------------------------------------------------------------
+# --------------------------------------------------------------- integrate
 
-_IVP_CELLS = [("euler", {}), ("rk4", {}), ("rk38", {}),
-              ("rk23", {"rtol": 1e-9, "atol": 1e-11}),
-              ("rk45", {"rtol": 1e-9, "atol": 1e-11})]
+IVP_METHODS = ["euler", "rk4", "rk38", "rk23", "rk45"]
 
 
-@pytest.mark.parametrize("method,opts", _IVP_CELLS)
-def test_solve_ivp_matrix(method, opts):
-    ts = np.linspace(0.0, 1.5, 40)
-    y0 = np.asarray([1.0, -0.5, 0.25])
-    k = np.asarray([0.8, 1.3, 0.5])
+@pytest.mark.parametrize("method", IVP_METHODS)
+def test_solve_ivp_matrix(method):
+    from xitorch.integrate import solve_ivp as ivp_ref
 
-    def f_t(t, y, kk):
-        return -kk * y + torch.sin(2.0 * t)
+    ts_np = np.linspace(0.0, 1.5, 7)
+    a_val = 1.3
+    # fixed-step methods integrate the ts grid identically; adaptive
+    # methods are pinned by tight rtol/atol so both land within 1e-7 of
+    # the exact flow
+    opts = {} if method in ("euler", "rk4", "rk38") \
+        else {"rtol": 1e-10, "atol": 1e-12}
 
-    def f_j(t, y, kk):
-        return -kk * y + jnp.sin(2.0 * t)
+    def fcn_t(t, y, a):
+        return -a * y + torch.sin(t)
 
-    k_t = _t(k, grad=True)
-    y0_t = _t(y0, grad=True)
-    yt_ref = xitorch_ref.integrate.solve_ivp(f_t, _t(ts), y0_t,
-                                             params=(k_t,), method=method,
-                                             **opts)
-    gk_ref, gy0_ref = torch.autograd.grad((yt_ref ** 2).sum(), (k_t, y0_t))
+    def fcn_j(t, y, a):
+        return -a * y + jnp.sin(t)
 
-    def loss_j(kk, yy0):
-        yt = solve_ivp(f_j, jnp.asarray(ts), yy0, params=(kk,),
-                       method=method, **opts)
+    a_t = torch.tensor(a_val, dtype=torch.float64, requires_grad=True)
+    y0_t = torch.tensor([[1.0]], dtype=torch.float64, requires_grad=True)
+    ts_t = torch.tensor(ts_np)
+    yt_ref = ivp_ref(fcn_t, ts_t, y0_t, params=(a_t,), method=method,
+                     **opts)
+    g_ref = torch.autograd.grad((yt_ref ** 2).sum(), (a_t, y0_t))
+
+    def loss_j(a, y0):
+        yt = ivp_tpu(fcn_j, jnp.asarray(ts_np), y0, params=(a,),
+                     method=method, **opts)
         return jnp.sum(yt ** 2)
 
-    yt_j = solve_ivp(f_j, jnp.asarray(ts), jnp.asarray(y0),
-                     params=(jnp.asarray(k),), method=method, **opts)
-    gk_j, gy0_j = jax.grad(loss_j, argnums=(0, 1))(jnp.asarray(k),
-                                                   jnp.asarray(y0))
-    assert_allclose(yt_j, yt_ref.detach().numpy(), rtol=RTOL, atol=1e-8)
-    if method == "euler":
-        # gradient-CONVENTION difference, not an error: the reference
-        # integrates the continuous adjoint ODE with the same coarse
-        # stepper (an O(h) approximation of the discrete gradient),
-        # while our fixed-step gradients are the exact derivative of
-        # the returned discrete trajectory.  At euler's O(h) the two
-        # differ by ~h (measured 12% at h=0.038); at rk4/rk38's O(h^4)
-        # they agree below the tolerance, and those cells compare
-        # directly.  Gate the euler gradients against the exact
-        # finite-difference derivative of OUR returned values instead.
-        eps_fd = 1e-6
-        for g_j, arg in ((gk_j, 0), (gy0_j, 1)):
-            args = [jnp.asarray(k), jnp.asarray(y0)]
-            d = jnp.asarray(np.random.default_rng(61 + arg)
-                            .standard_normal(args[arg].shape))
-            args_p = list(args)
-            args_m = list(args)
-            args_p[arg] = args[arg] + eps_fd * d
-            args_m[arg] = args[arg] - eps_fd * d
-            fd = (loss_j(*args_p) - loss_j(*args_m)) / (2 * eps_fd)
-            assert abs(float(jnp.sum(g_j * d) - fd)) \
-                < 1e-6 * max(1.0, abs(float(fd)))
+    a_j = jnp.asarray(a_val)
+    y0_j = jnp.asarray([[1.0]])
+    yt_j = ivp_tpu(fcn_j, jnp.asarray(ts_np), y0_j, params=(a_j,),
+                   method=method, **opts)
+    tol = RT if method in ("euler", "rk4", "rk38") \
+        else dict(rtol=1e-6, atol=1e-7)
+    assert_allclose(yt_j, yt_ref.detach().numpy(), **tol)
+    g_j = jax.grad(loss_j, argnums=(0, 1))(a_j, y0_j)
+    if method in ("euler", "rk4", "rk38"):
+        # Gradient METHODS differ by design: the reference always solves a
+        # continuous adjoint ODE discretized with the same stepper
+        # (/root/reference/xitorch/integrate/solve_ivp.py:129), so its
+        # gradient carries O(h^p) truncation error relative to the exact
+        # gradient of the discrete trajectory BOTH sides return (measured
+        # 0.18 rel for euler, 4.3e-4 for rk4 on this grid); ours
+        # differentiates the discrete steps exactly.  Pin ours against the
+        # symmetric-FD oracle of the discrete loss (exactness), and against
+        # torch only at the adjoint's truncation order.
+        h = 1e-6
+        fd_a = (float(loss_j(a_j + h, y0_j))
+                - float(loss_j(a_j - h, y0_j))) / (2 * h)
+        fd_y = (float(loss_j(a_j, y0_j + h))
+                - float(loss_j(a_j, y0_j - h))) / (2 * h)
+        assert_allclose(g_j[0], fd_a, rtol=1e-7, atol=1e-9)
+        assert_allclose(np.asarray(g_j[1]).ravel()[0], fd_y,
+                        rtol=1e-7, atol=1e-9)
+        trunc_rtol = 0.25 if method == "euler" else 2e-3
+        assert_allclose(g_j[0], g_ref[0].detach().numpy(),
+                        rtol=trunc_rtol, atol=1e-9)
+        assert_allclose(g_j[1], g_ref[1].detach().numpy(),
+                        rtol=trunc_rtol, atol=1e-9)
     else:
-        assert_allclose(gk_j, gk_ref.numpy(), rtol=1e-5, atol=1e-7)
-        assert_allclose(gy0_j, gy0_ref.numpy(), rtol=1e-5, atol=1e-7)
+        assert_allclose(g_j[0], g_ref[0].detach().numpy(), **tol)
+        assert_allclose(g_j[1], g_ref[1].detach().numpy(), **tol)
 
 
-def test_quad_leggauss_matrix():
-    a_np = np.asarray([1.7])
+@pytest.mark.parametrize("n", [16, 64, 100])
+def test_quad_matrix(n):
+    from xitorch.integrate import quad as quad_ref
 
-    def f_t(x, aa):
-        return torch.exp(-aa * x ** 2) * torch.cos(x)
+    def fcn_t(x, a):
+        return torch.exp(-a * x ** 2) * torch.cos(x)
 
-    def f_j(x, aa):
-        return jnp.exp(-aa * x ** 2) * jnp.cos(x)
+    def fcn_j(x, a):
+        return jnp.exp(-a * x ** 2) * jnp.cos(x)
 
-    a_t = _t(a_np, grad=True)
-    q_ref = xitorch_ref.integrate.quad(f_t, _t(np.asarray(0.0)),
-                                       _t(np.asarray(2.0)), params=(a_t,),
-                                       method="leggauss", n=64)
-    g_ref, = torch.autograd.grad(q_ref.sum(), (a_t,))
+    a_t = torch.tensor(0.7, dtype=torch.float64, requires_grad=True)
+    val_ref = quad_ref(fcn_t, torch.tensor(-1.0, dtype=torch.float64),
+                       torch.tensor(2.0, dtype=torch.float64),
+                       params=(a_t,), method="leggauss", n=n)
+    g_ref, = torch.autograd.grad(val_ref.sum(), (a_t,))
 
-    def loss_j(aa):
-        return jnp.sum(quad(f_j, 0.0, 2.0, params=(aa,),
-                            method="leggauss", n=64))
+    def loss_j(a):
+        return jnp.sum(quad_tpu(fcn_j, -1.0, 2.0, params=(a,),
+                                method="leggauss", n=n))
 
-    q_j = quad(f_j, 0.0, 2.0, params=(jnp.asarray(a_np),),
-               method="leggauss", n=64)
-    g_j = jax.grad(loss_j)(jnp.asarray(a_np))
-    assert_allclose(q_j, q_ref.detach().numpy(), rtol=RTOL, atol=1e-12)
-    assert_allclose(g_j, g_ref.numpy(), rtol=RTOL, atol=1e-10)
+    a_j = jnp.asarray(0.7)
+    assert_allclose(loss_j(a_j), val_ref.detach().numpy().sum(), **RT)
+    assert_allclose(jax.grad(loss_j)(a_j), g_ref.detach().numpy(), **RT)
 
 
 def test_mcquad_dummy1d_matrix():
-    # dummy1d is the reference's deterministic (leggauss-transformed)
-    # sampler — the one mcquad method with exact cross-framework parity;
-    # mh/mhcustom are RNG-coupled and are compared statistically in
-    # benchmarks/bench_mcquad.py instead
-    w_np = np.asarray(1.3)
+    # dummy1d is DETERMINISTIC (leggauss nodes on the atan-compactified
+    # axis: /root/reference/xitorch/_impls/integrate/mcsamples/mcmc.py:100),
+    # so exact parity applies; mh/mhcustom draw different RNG streams by
+    # construction and are covered statistically in test_mcquad.py
+    from xitorch.integrate import mcquad as mcquad_ref
 
-    def logp_t(x, ww):
-        return -ww * x ** 2
+    w_t = torch.tensor(1.1, dtype=torch.float64, requires_grad=True)
 
-    def logp_j(x, ww):
-        return -ww * x ** 2
+    def logp_t(x, w):
+        return -0.5 * (x / w) ** 2
 
-    def f_t(x):
-        return x ** 2
+    def f_t(x, w):
+        # must genuinely depend on w: the reference's backward autograds
+        # the re-integrated ffcn wrt fparams without allow_unused
+        return w * x * x
 
-    def f_j(x):
-        return x ** 2
+    # the reference registers the deterministic sampler under "_dummy1d"
+    # (/root/reference/xitorch/integrate/mcquad.py:119); we register both
+    # spellings — use the shared one for the parity cell
+    val_ref = mcquad_ref(f_t, logp_t,
+                         torch.tensor(0.3, dtype=torch.float64),
+                         fparams=(w_t,), pparams=(w_t,), method="_dummy1d",
+                         nsamples=400)
+    g_ref, = torch.autograd.grad(val_ref, (w_t,))
 
-    w_t = _t(w_np, grad=True)
-    q_ref = xitorch_ref.integrate.mcquad(f_t, logp_t, _t(np.asarray(0.1)),
-                                         fparams=[], pparams=[w_t],
-                                         method="_dummy1d", nsamples=200)
-    g_ref, = torch.autograd.grad(q_ref.sum(), (w_t,))
+    def logp_j(x, w):
+        return -0.5 * (x / w) ** 2
 
-    def loss_j(ww):
-        return jnp.sum(mcquad(f_j, logp_j, jnp.asarray(0.1), fparams=(),
-                              pparams=(ww,), method="dummy1d",
-                              nsamples=200))
+    def f_j(x, w):
+        return w * x * x
 
-    q_j = mcquad(f_j, logp_j, jnp.asarray(0.1), fparams=(),
-                 pparams=(jnp.asarray(w_np),), method="dummy1d",
-                 nsamples=200)
-    g_j = jax.grad(loss_j)(jnp.asarray(w_np))
-    assert_allclose(q_j, q_ref.detach().numpy(), rtol=RTOL, atol=1e-9)
-    assert_allclose(g_j, g_ref.numpy(), rtol=1e-5, atol=1e-8)
+    def loss_j(w):
+        return mcquad_tpu(f_j, logp_j, jnp.asarray(0.3), fparams=(w,),
+                          pparams=(w,), method="_dummy1d", nsamples=400)
 
-
-@pytest.mark.parametrize("method", ["trapz", "cspline"])
-def test_squad_matrix(method):
-    rng = np.random.default_rng(41)
-    x = np.sort(np.concatenate([[0.0, 1.0], rng.uniform(0, 1, 23)]))
-    y = np.sin(3.0 * x) + 0.1 * x
-
-    y_t = _t(y, grad=True)
-    sq_ref = xitorch_ref.integrate.SQuad(_t(x), method=method)
-    cum_ref = sq_ref.cumsum(y_t)
-    int_ref = sq_ref.integrate(y_t)
-    g_ref, = torch.autograd.grad(int_ref.sum() + (cum_ref ** 2).sum(),
-                                 (y_t,))
-
-    def loss_j(yy):
-        sq = SQuad(jnp.asarray(x), method=method)
-        return jnp.sum(sq.integrate(yy)) + jnp.sum(sq.cumsum(yy) ** 2)
-
-    sq_j = SQuad(jnp.asarray(x), method=method)
-    # the reference's cumsum keeps a leading singleton dim on 1-D input;
-    # compare the values, not the broadcastable shape
-    assert_allclose(np.ravel(sq_j.cumsum(jnp.asarray(y))),
-                    np.ravel(cum_ref.detach().numpy()), rtol=RTOL,
-                    atol=1e-12)
-    assert_allclose(np.ravel(sq_j.integrate(jnp.asarray(y))),
-                    np.ravel(int_ref.detach().numpy()), rtol=RTOL,
-                    atol=1e-12)
-    g_j = jax.grad(loss_j)(jnp.asarray(y))
-    assert_allclose(g_j, g_ref.numpy(), rtol=RTOL, atol=1e-10)
+    w_j = jnp.asarray(1.1)
+    assert_allclose(loss_j(w_j), val_ref.detach().numpy(), **RT)
+    assert_allclose(jax.grad(loss_j)(w_j), g_ref.detach().numpy(), **RT)
 
 
-@pytest.mark.parametrize("method", ["linear", "cspline"])
-def test_interp1d_matrix(method):
-    rng = np.random.default_rng(51)
-    x = np.sort(np.concatenate([[0.0, 1.0], rng.uniform(0, 1, 18)]))
-    y = np.cos(4.0 * x)
-    xq = np.linspace(0.02, 0.98, 33)
+@pytest.mark.parametrize("op", ["integrate", "cumsum"])
+def test_squad_matrix(op):
+    from xitorch.integrate import SQuad as SQuadRef
 
-    y_t = _t(y, grad=True)
-    interp_ref = xitorch_ref.interpolate.Interp1D(_t(x), y_t,
-                                                  method=method)
-    out_ref = interp_ref(_t(xq))
-    g_ref, = torch.autograd.grad((out_ref ** 2).sum(), (y_t,))
+    x_np = np.sort(np.random.default_rng(5).uniform(0, 3, 25))
+    y_np = np.sin(x_np) * np.exp(-0.3 * x_np)
 
-    def loss_j(yy):
-        out = Interp1D(jnp.asarray(x), yy, method=method)(jnp.asarray(xq))
-        return jnp.sum(out ** 2)
+    y_t = torch.tensor(y_np, requires_grad=True)
+    sq_ref = SQuadRef(torch.tensor(x_np))
+    out_ref = getattr(sq_ref, op)(y_t, dim=-1)
+    g_ref, = torch.autograd.grad(out_ref.sum(), (y_t,))
 
-    out_j = Interp1D(jnp.asarray(x), jnp.asarray(y),
-                     method=method)(jnp.asarray(xq))
-    g_j = jax.grad(loss_j)(jnp.asarray(y))
-    assert_allclose(out_j, out_ref.detach().numpy(), rtol=RTOL, atol=1e-10)
-    assert_allclose(g_j, g_ref.numpy(), rtol=RTOL, atol=1e-10)
+    def loss_j(y):
+        return jnp.sum(getattr(SQuadTPU(jnp.asarray(x_np)), op)(y, dim=-1))
+
+    y_j = jnp.asarray(y_np)
+    out_j = getattr(SQuadTPU(jnp.asarray(x_np)), op)(y_j, dim=-1)
+    assert_allclose(out_j, out_ref.detach().numpy(), **RT)
+    assert_allclose(jax.grad(loss_j)(y_j), g_ref.detach().numpy(), **RT)
+
+
+# -------------------------------------------------------------- interpolate
+
+INTERP_CASES = [("cspline", "natural"), ("cspline", "clamped"),
+                ("cspline", "not-a-knot"), ("cspline", "periodic"),
+                ("linear", None)]
+
+
+@pytest.mark.parametrize("method,bc", INTERP_CASES)
+def test_interp1d_matrix(method, bc):
+    from xitorch.interpolate import Interp1D as InterpRef
+
+    rng = np.random.default_rng(6)
+    x_np = np.sort(rng.uniform(0, 2, 20))
+    y_np = np.cos(2 * x_np) + 0.1 * rng.standard_normal(20)
+    if bc == "periodic":
+        y_np[-1] = y_np[0]
+    xq_np = np.linspace(x_np[0], x_np[-1], 37)
+    kw = {"bc_type": bc} if bc else {}
+
+    y_t = torch.tensor(y_np, requires_grad=True)
+    out_ref = InterpRef(torch.tensor(x_np), y_t, method=method,
+                        **kw)(torch.tensor(xq_np))
+    g_ref, = torch.autograd.grad(out_ref.sum(), (y_t,))
+
+    def loss_j(y):
+        return jnp.sum(InterpTPU(jnp.asarray(x_np), y, method=method,
+                                 **kw)(jnp.asarray(xq_np)))
+
+    y_j = jnp.asarray(y_np)
+    out_j = InterpTPU(jnp.asarray(x_np), y_j, method=method,
+                      **kw)(jnp.asarray(xq_np))
+    assert_allclose(out_j, out_ref.detach().numpy(), **RT)
+    assert_allclose(jax.grad(loss_j)(y_j), g_ref.detach().numpy(), **RT)
