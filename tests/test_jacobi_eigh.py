@@ -583,3 +583,51 @@ def test_jacobi_svd_rank_deficient_orthonormal_completion():
     rec = jnp.einsum("bmi,bi,bni->bmn", u, s, v,
                      precision=jax.lax.Precision.HIGHEST)
     assert float(jnp.max(jnp.abs(rec - a))) < 1e-4 * float(smax.max())
+
+
+def test_deflated_eigh_quality_and_stress():
+    """Deflated path (DC sort -> leaf solves -> offset stage -> finisher):
+    quality must match the cold sweep on Wishart, clustered, exactly
+    degenerate, and padded (n not a 64-multiple) inputs."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for n in (200, 256):
+        B = 4
+        w = rng.standard_normal((B, n, n)).astype(np.float32) / np.sqrt(n)
+        a = (w @ np.swapaxes(w, -1, -2)
+             + 0.05 * np.eye(n, dtype=np.float32)).astype(np.float32)
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        lamc = np.sort(np.concatenate([np.linspace(0.1, 1, n - 16),
+                                       np.full(16, 0.55)]))
+        a[0] = ((q * lamc) @ q.T).astype(np.float32)
+        lamd = np.repeat(np.linspace(0.2, 2.0, (n + 3) // 4), 4)[:n]
+        q2, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a[1] = ((q2 * np.sort(lamd)) @ q2.T).astype(np.float32)
+
+        lam0 = np.linalg.eigvalsh(a.astype(np.float64))
+        lam, V = jacobi_eigh(jnp.asarray(a), interpret=True, deflate=True)
+        lam = np.asarray(lam, np.float64)
+        V = np.asarray(V, np.float64)
+        scale = np.abs(lam0).max(axis=-1, keepdims=True)
+        assert np.max(np.abs(lam - lam0) / scale) < 2e-5
+        r = a.astype(np.float64) @ V - V * lam[:, None, :]
+        colres = np.linalg.norm(r, axis=1) / np.linalg.norm(
+            a, axis=(1, 2))[:, None]
+        assert colres.max() < 2e-5, colres.max()
+        for i in range(B):
+            orth = np.linalg.norm(V[i].T @ V[i] - np.eye(n))
+            assert orth < 5e-5, orth
+
+
+def test_deflated_eigh_rejects_complex_and_gate():
+    import importlib
+
+    JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
+
+    a = jnp.eye(64, dtype=jnp.complex64)[None]
+    with pytest.raises(ValueError, match="deflate"):
+        jacobi_eigh(a, deflate=True)
+    # auto gate: None window means deflate stays off unless requested
+    assert JE._DEFLATE_WIN is None or (
+        isinstance(JE._DEFLATE_WIN, tuple) and len(JE._DEFLATE_WIN) == 2)

@@ -110,6 +110,12 @@ _VMEM_BUDGET = 14 * 1024 * 1024  # of the ~16 MB scoped VMEM
 # rank-deficiency failure mode this guards against measured 1e-5..1e-3.
 _GUARD_RTOL = 5e-6
 
+# Auto window (lo, hi) for the DC-deflated path (None = opt-in only via
+# deflate=True).  Set from on-chip measurement: the deflated pipeline
+# must beat BOTH the cold sweep and the DC warm start on throughput at
+# matched quality before it becomes a default.
+_DEFLATE_WIN: Optional[Tuple[int, int]] = None
+
 
 def _guard_warm_start(a_shift: jnp.ndarray, g0: jnp.ndarray,
                       rtol: float = _GUARD_RTOL) -> jnp.ndarray:
@@ -140,6 +146,7 @@ def _guard_warm_start(a_shift: jnp.ndarray, g0: jnp.ndarray,
 
 
 _ROT_EMAX = 0.1  # |E_ij| clip for the first-order rotational correction
+_REFINE_EMAX = 0.02  # tighter clip for the unshifted Rayleigh refinement
 
 
 def _rot_correct(g0: jnp.ndarray, passes: int = 2,
@@ -194,6 +201,77 @@ def _rot_correct(g0: jnp.ndarray, passes: int = 2,
             R = jnp.matmul(R, 1.5 * eye - 0.5 * RtR, precision=hi)
         g0 = jnp.matmul(jnp.swapaxes(R, -2, -1), g0, precision=hi)
     return g0
+
+
+def _leaf_block_solve(panel: jnp.ndarray, start: int, nb: int, bs: int,
+                      *, max_sweeps: int, interpret: bool) -> jnp.ndarray:
+    """Diagonalize ``nb`` consecutive (bs, bs) diagonal T-blocks of a warm
+    panel in place (rows ``[start, start + nb*bs)``).
+
+    The panel is ``P = R^T A_shift`` (row i is ``r_i^T A_shift``) for some
+    orthogonal R; ``T = R^T A_shift R`` is its implicit Gram square root.
+    The row-block Gram ``(P P^T)_bb = (T^2)_bb = T_bb^2 + sum_k T_bk T_kb``
+    differs from ``T_bb^2`` only at *second order* in the inter-block
+    coupling ``delta`` that the block-diagonal approximation itself
+    neglects at first order — so squaring costs no leading-order accuracy
+    and saves materializing R (the DC kernel only exports the panel).
+    ``T_bb`` is PSD (a principal block of the orthogonally-conjugated PSD
+    ``A_shift``), hence eigenvectors of ``T_bb^2`` are eigenvectors of
+    ``T_bb`` in the same ascending order.  The block rotation
+    ``P_bb <- W^T P_bb`` preserves the panel's G-invariant (W orthogonal
+    to the leaf solver's ~2e-7), so `_guard_warm_start` downstream keeps
+    full correctness authority.
+
+    Cost at B=64, n=256, bs=64: one (B*nb, bs, n) HIGHEST Gram + the
+    batched bs-leaf Jacobi solve (~10.9 ms measured, deflate_probe.py)
+    + one (bs, bs)@(bs, n) HIGHEST rotation — vs ~8 ms for each full-n
+    VPU sweep the solved blocks no longer need.
+    """
+    B = panel.shape[0]
+    n = panel.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    rows = panel[:, start:start + nb * bs, :].reshape(B * nb, bs, n)
+    M = jnp.matmul(rows, jnp.swapaxes(rows, -1, -2), precision=hi)
+    _, W = jacobi_eigh(M, max_sweeps=max_sweeps, interpret=interpret,
+                       precondition=False, deflate=False)
+    new = jnp.matmul(jnp.swapaxes(W, -1, -2), rows, precision=hi)
+    new = new.reshape(B, nb * bs, n)
+    return jnp.concatenate(
+        [panel[:, :start], new, panel[:, start + nb * bs:]], axis=1)
+
+
+def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
+                    interpret: bool, levels: int = 2,
+                    two_stage: bool = True) -> jnp.ndarray:
+    """DC-deflated warm panel: spectral divide-and-conquer sort, then
+    *solve* the decoupled diagonal blocks with the Jacobi kernel at leaf
+    size instead of warm-starting full-n sweeps (a leaf sweep costs
+    ``(bs/n)^2`` of a full sweep per row, and the leaves stack into
+    fuller grid programs).
+
+    Stage 1 diagonalizes the ``2**levels`` DC segments; stage 2 repeats
+    on blocks offset by ``bs/2``, so any near-degenerate cluster that a
+    segment boundary cut (the one coupling family DC cannot separate and
+    first-order corrections cannot touch — FINISHER_NOTES.md) is interior
+    to some stage-2 block and gets solved by exact 2x2 rotations at leaf
+    cost.  Remaining coupling: pairs further than ``bs/2`` apart in the
+    sorted spectrum (well-gapped — `_rot_correct` kills them at first
+    order) and clusters wider than ``bs/2`` eigenvalues (left to the
+    finisher kernel, which certifies convergence either way).
+    """
+    B, n, _ = a_shift.shape
+    ns = 2 ** levels
+    bs = n // ns
+    from .dc_kernel import dc_precondition_tpu
+    g0 = dc_precondition_tpu(a_shift, levels=levels, min_seg=2,
+                             interpret=interpret)
+    panel = _leaf_block_solve(g0, 0, ns, bs, max_sweeps=max_sweeps,
+                              interpret=interpret)
+    if two_stage:
+        panel = _leaf_block_solve(panel, bs // 2, ns - 1, bs,
+                                  max_sweeps=max_sweeps,
+                                  interpret=interpret)
+    return panel
 
 
 def _panel_bytes(n: int, width: int) -> int:
@@ -574,24 +652,29 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     return g[:B]
 
 
-def _padded_n(n: int, precondition: bool) -> int:
+def _padded_n(n: int, precondition: bool, deflate: bool = False) -> int:
     """Internal working size for an (n, n) input: the sweep kernel needs
     a multiple of 16; the preconditioned path past the single-shot DC
     window additionally needs 128-lane alignment (the per-level DC
     kernel DMAs (npad, npad) HBM slices by hand and Mosaic memref_slice
-    rejects unaligned minor dims, e.g. 704).  Padding eigenvalues are
-    placed above the spectrum and sliced off after the sort."""
+    rejects unaligned minor dims, e.g. 704); the deflated path needs
+    ``2**levels`` equal segments whose leaf size is itself a multiple of
+    16 (levels=2 -> a 64 multiple).  Padding eigenvalues are placed
+    above the spectrum and sliced off after the sort."""
     from .dc_kernel import _PER_LEVEL_ALIGN, _PER_LEVEL_MIN_N
 
     npad = max(16, -(-n // 16) * 16)
-    if precondition and npad > _PER_LEVEL_MIN_N:
+    if deflate:
+        npad = max(64, -(-n // 64) * 64)
+    elif precondition and npad > _PER_LEVEL_MIN_N:
         npad = -(-n // _PER_LEVEL_ALIGN) * _PER_LEVEL_ALIGN
     return npad
 
 
 def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
                 tol: Optional[float] = None, interpret: bool = False,
-                precondition: Optional[bool] = None
+                precondition: Optional[bool] = None,
+                deflate: Optional[bool] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched symmetric/hermitian eigendecomposition, ``jnp.linalg.eigh``
     contract.
@@ -678,7 +761,18 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
             "the complex path packs [Re|Im] planes which the segment "
             "bookkeeping does not model) — leave precondition=None/False")
 
-    npad = _padded_n(n, precondition)
+    if deflate is None:
+        deflate = (_DEFLATE_WIN is not None and not iscomplex
+                   and _DEFLATE_WIN[0] <= n <= _DEFLATE_WIN[1])
+    elif deflate and iscomplex:
+        raise ValueError(
+            "jacobi_eigh: deflate=True is not supported for complex input "
+            "(the DC kernel operates on real symmetric matrices) — leave "
+            "deflate=None/False")
+    if deflate:
+        precondition = False  # the deflated path runs its own DC
+
+    npad = _padded_n(n, precondition, deflate)
     if npad != n:
         pad = npad - n
         a = jnp.pad(a, ((0, 0), (0, pad), (0, pad)))
@@ -700,7 +794,23 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
         gt = lax.complex(gt2[..., :npad], gt2[..., npad:])
     else:
         g_in = a
-        if precondition:
+        if deflate:
+            # DC-deflated warm panel: the DC sort's decoupled diagonal
+            # blocks are SOLVED at leaf size (plus an offset stage for
+            # boundary clusters) instead of warm-starting full-n sweeps;
+            # see _deflated_panel.  The same correction / guard /
+            # fallback-clustering tail as the warm path then applies —
+            # the finisher kernel certifies convergence, so a soft DC
+            # split costs sweeps, never correctness.
+            g0 = _deflated_panel(a, max_sweeps=max_sweeps,
+                                 interpret=interpret)
+            g0 = _rot_correct(g0)
+            g_in, bad = _guard_warm_start(a, g0)
+            perm = jnp.argsort(bad.astype(jnp.int32), stable=True)
+            gt = _pallas_g_panel(jnp.take(g_in, perm, axis=0), max_sweeps,
+                                 tol, interpret, complexpair=False)
+            gt = jnp.take(gt, jnp.argsort(perm), axis=0)
+        elif precondition:
             from .dc_kernel import dc_precondition_tpu
             # depth: split every segment down to pairs; a 2-block is
             # solved EXACTLY by its first tournament rotation, so the
@@ -766,6 +876,42 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 18,
     V = jnp.matmul(V, 1.5 * eye_n - 0.5 * VtV, precision=hi)
     AV = jnp.matmul(a0, V, precision=hi)
     lam = jnp.real(jnp.sum(V.conj() * AV, axis=-2))
+    if deflate:
+        # Rayleigh-Ritz rotation on the UNSHIFTED input: the Gram gauge
+        # certifies pair cosines <= tol in the sigma-SHIFTED-squared
+        # metric, where the Gershgorin margin inflates mid-spectrum
+        # relative gaps by ~(sigma/lambda)^2 — gauge-level mixing then
+        # maps to vector error ~ tol/relgap(lambda'^2).  The cold sweep
+        # escapes via quadratic overshoot below tol; the deflated panel
+        # ENTERS the finisher just under tol and exits at the floor
+        # (measured colres 3.4e-5 vs cold 1.6e-6 at n=200).  One
+        # gap-clipped first-order rotation against H = V^T A V (honest
+        # unshifted gaps) lands the residual back at the HIGHEST-matmul
+        # noise floor ~eps*sqrt(n); near-degenerate pairs are clipped —
+        # within-cluster mixing shares the eigenvalue and never shows in
+        # the residual.  Cost: ~9 batched (n, n) matmuls ~ 1 ms at B=64,
+        # n=256, vs the ~8 ms finisher sweep the deflation saved.
+        H = jnp.matmul(jnp.swapaxes(V, -2, -1), AV, precision=hi)
+        denom = lam[..., None, :] - lam[..., :, None]
+        # tighter clip than _ROT_EMAX: on HONEST gaps the E field near
+        # clusters is dense enough that |E_ij| <= 0.1 still lets
+        # ||E||_2 reach O(1) and underconverge the 3-step NS polar
+        # (measured orth 2.2e-4 / lam_err 2.5e-5 at emax=0.1 on a
+        # 16-wide cluster; 9.7e-6 / 2.0e-6 at 0.02)
+        live = jnp.logical_and(
+            jnp.abs(H) <= _REFINE_EMAX * jnp.abs(denom),
+            jnp.abs(denom) > jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+        E = jnp.where(live, H / jnp.where(live, denom, 1.0),
+                      jnp.asarray(0.0, dt))
+        R = eye_n + E
+        for _ns in range(3):
+            RtR = jnp.matmul(jnp.swapaxes(R, -2, -1), R, precision=hi)
+            R = jnp.matmul(R, 1.5 * eye_n - 0.5 * RtR, precision=hi)
+        V = jnp.matmul(V, R, precision=hi)
+        VtV = jnp.matmul(jnp.swapaxes(V, -2, -1), V, precision=hi)
+        V = jnp.matmul(V, 1.5 * eye_n - 0.5 * VtV, precision=hi)
+        AV = jnp.matmul(a0, V, precision=hi)
+        lam = jnp.real(jnp.sum(V.conj() * AV, axis=-2))
     order = jnp.argsort(lam, axis=-1)
     lam = jnp.take_along_axis(lam, order, axis=-1)
     V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
