@@ -266,3 +266,41 @@ class TestJacobiPreconditioned:
 
         g = jax.grad(f)(A)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestReturnT:
+    def test_t_export_invariants(self):
+        """return_t exports the UNMASKED first-power T = Q^T A Q:
+        G0 G0^T == T^2 (orthogonal Q), T symmetric, spectrum preserved,
+        and the G panel identical to the return_t=False call."""
+        rng = np.random.default_rng(7)
+        B, n = 3, 128
+        w = rng.standard_normal((B, n, n)).astype(np.float32) / np.sqrt(n)
+        a = (w @ np.swapaxes(w, -1, -2)
+             + 0.05 * np.eye(n, dtype=np.float32)).astype(np.float32)
+        a_j = jnp.asarray(a)
+
+        g_only = dc_precondition_tpu(a_j, levels=2, min_seg=2,
+                                     interpret=True)
+        g, t = dc_precondition_tpu(a_j, levels=2, min_seg=2,
+                                   interpret=True, return_t=True)
+        assert np.allclose(np.asarray(g), np.asarray(g_only))
+
+        t64 = np.asarray(t, np.float64)
+        g64 = np.asarray(g, np.float64)
+        # symmetry
+        assert np.abs(t64 - np.swapaxes(t64, -1, -2)).max() < 1e-4
+        # spectrum preserved (orthogonal conjugation)
+        lam_a = np.linalg.eigvalsh(a.astype(np.float64))
+        lam_t = np.linalg.eigvalsh(t64)
+        scale = np.abs(lam_a).max()
+        assert np.abs(lam_a - lam_t).max() / scale < 1e-4
+        # G-invariant: G0 G0^T = Q^T A^2 Q = T^2
+        gg = g64 @ np.swapaxes(g64, -1, -2)
+        tt = t64 @ t64
+        assert np.abs(gg - tt).max() / (scale ** 2) < 1e-4
+
+    def test_return_t_rejects_per_level(self):
+        a = jnp.eye(128, dtype=jnp.float32)[None]
+        with pytest.raises(ValueError, match="return_t"):
+            dc_precondition_tpu(a, levels=2, per_level=True, return_t=True)

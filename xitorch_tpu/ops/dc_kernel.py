@@ -69,8 +69,8 @@ def _dot_t(a, b, prec=None):
         preferred_element_type=a.dtype, precision=prec)
 
 
-def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
-               min_seg: int):
+def _dc_kernel(a_ref, om_ref, g_ref, t_ref=None, *, n: int, m: int,
+               levels: int, min_seg: int):
     dt = a_ref.dtype
     hi = lax.Precision.HIGHEST
     qa, qb, qc = (jnp.asarray(v, dt) for v in _QUINTIC)
@@ -197,7 +197,17 @@ def _dc_kernel(a_ref, om_ref, g_ref, *, n: int, m: int, levels: int,
 
             TQ = _dot(T, Q, prec=hi)
             T = _dot_t(Q, TQ, prec=hi)
-            T = 0.5 * (T + _dot_t(T, eyem)) * seg_eqf
+            T = 0.5 * (T + _dot_t(T, eyem))
+            if t_ref is not None:
+                # export the UNMASKED first-power conjugated matrix
+                # T = Q^T A Q (last level's write wins): the deflated
+                # eigh path solves exact diagonal T-blocks at leaf size
+                # and its offset stage needs the cross-segment entries
+                # the carry masking below intentionally drops.  The
+                # carry itself stays masked — subsequent levels' median
+                # splits assume segment-local T.
+                t_ref[k, :, :] = T
+            T = T * seg_eqf
             # accumulate the warm panel in the output ref instead of
             # carrying Q_tot: G0 <- Q^T G0 keeps the VMEM live set one
             # plane smaller (the n=704 budget is 8 planes total)
@@ -513,19 +523,36 @@ def _dc_per_level_impl(a: jnp.ndarray, om: jnp.ndarray, levels: int,
 def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
                         min_seg: int = 2,
                         interpret: bool = False,
-                        per_level: Optional[bool] = None) -> jnp.ndarray:
+                        per_level: Optional[bool] = None,
+                        return_t: bool = False):
     """``G0 = Q^T a`` warm-start panels for (B, n, n) symmetric ``a``
     (the Jacobi caller passes the shifted, padded matrix).
 
     ``per_level`` (default: auto — n > 512) streams the level recursion
     through HBM one level per kernel launch, fitting VMEM for
-    512 < n <= 1024; the single-shot kernel is faster below that."""
+    512 < n <= 1024; the single-shot kernel is faster below that.
+
+    ``return_t`` additionally returns the UNMASKED first-power
+    conjugated matrix ``T = Q^T a Q`` from the final level (for the
+    deflated eigh path, which solves exact diagonal T-blocks at leaf
+    size — the panel's own Gram is ``T^2``, whose diagonal blocks carry
+    O(delta^2) cross-term contamination).  Note that with ``levels > 2``
+    the exported T has exact diagonal blocks at every level but its
+    cross-segment entries are only exact across the FINAL level's
+    sibling boundaries (coarser-level couplings were masked out of the
+    carry in earlier iterations); the deflated path uses ``levels=2``.
+    Single-shot kernel only."""
     from jax.experimental import pallas as pl
 
     B, n, _ = a.shape
     om = jax.random.normal(jax.random.PRNGKey(1803), (n, n), a.dtype)
     if per_level is None:
         per_level = n > _PER_LEVEL_MIN_N
+    if return_t and per_level:
+        raise ValueError(
+            "dc_precondition_tpu: return_t is only supported on the "
+            "single-shot kernel (n <= %d); the per-level kernel's T "
+            "carry is masked in HBM between levels" % _PER_LEVEL_MIN_N)
     if per_level:
         if n > _PER_LEVEL_MAX_N and not interpret:
             raise ValueError(
@@ -567,12 +594,18 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
 
     kernel = functools.partial(_dc_kernel, n=n, m=m, levels=levels,
                                min_seg=min_seg)
-    return pl.pallas_call(
+    out_specs = spec((m, n, n), lambda b: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, n, n), a.dtype)
+    if return_t:
+        out_specs = [out_specs, spec((m, n, n), lambda b: (b, 0, 0))]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B, n, n), a.dtype)]
+    out = pl.pallas_call(
         kernel,
         grid=(B // m,),
         in_specs=[spec((m, n, n), lambda b: (b, 0, 0)),
                   spec((n, n), lambda b: (0, 0))],
-        out_specs=spec((m, n, n), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, n), a.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(a, om)
+    return (out[0], out[1]) if return_t else out

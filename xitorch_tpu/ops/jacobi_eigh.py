@@ -203,74 +203,94 @@ def _rot_correct(g0: jnp.ndarray, passes: int = 2,
     return g0
 
 
-def _leaf_block_solve(panel: jnp.ndarray, start: int, nb: int, bs: int,
-                      *, max_sweeps: int, interpret: bool) -> jnp.ndarray:
-    """Diagonalize ``nb`` consecutive (bs, bs) diagonal T-blocks of a warm
-    panel in place (rows ``[start, start + nb*bs)``).
+def _leaf_block_solve(panel: jnp.ndarray, T: jnp.ndarray, start: int,
+                      nb: int, bs: int, *, max_sweeps: int,
+                      interpret: bool
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Diagonalize ``nb`` consecutive (bs, bs) diagonal blocks of the
+    EXACT first-power ``T = R^T A_shift R`` (rows ``[start,
+    start + nb*bs)``) and rotate the matching panel rows in place.
 
-    The panel is ``P = R^T A_shift`` (row i is ``r_i^T A_shift``) for some
-    orthogonal R; ``T = R^T A_shift R`` is its implicit Gram square root.
-    The row-block Gram ``(P P^T)_bb = (T^2)_bb = T_bb^2 + sum_k T_bk T_kb``
-    differs from ``T_bb^2`` only at *second order* in the inter-block
-    coupling ``delta`` that the block-diagonal approximation itself
-    neglects at first order — so squaring costs no leading-order accuracy
-    and saves materializing R (the DC kernel only exports the panel).
-    ``T_bb`` is PSD (a principal block of the orthogonally-conjugated PSD
-    ``A_shift``), hence eigenvectors of ``T_bb^2`` are eigenvectors of
-    ``T_bb`` in the same ascending order.  The block rotation
-    ``P_bb <- W^T P_bb`` preserves the panel's G-invariant (W orthogonal
-    to the leaf solver's ~2e-7), so `_guard_warm_start` downstream keeps
-    full correctness authority.
+    Solving the exact ``T_bb`` (not the panel's own row-block Gram
+    ``(P P^T)_bb = (T^2)_bb = T_bb^2 + sum_k T_bk T_kb``) matters: the
+    Gram's cross-term ``O(delta^2)`` contamination (``delta`` ~ the
+    soft DC split's boundary coupling, measured up to ~0.1) re-injects
+    ~delta^2/gap mixing INSIDE the leaf — measured in-block pair
+    cosines stuck at 4.5e-3 on the squared route, which is above
+    cluster gaps and kept the finisher at the warm path's 5-6 sweeps
+    (deflate_e2e_probe.py).  The exact blocks come from the DC kernel's
+    ``return_t`` export at one extra HBM write.
 
-    Cost at B=64, n=256, bs=64: one (B*nb, bs, n) HIGHEST Gram + the
-    batched bs-leaf Jacobi solve (~10.9 ms measured, deflate_probe.py)
-    + one (bs, bs)@(bs, n) HIGHEST rotation — vs ~8 ms for each full-n
-    VPU sweep the solved blocks no longer need.
+    The block rotation ``P_bb <- W^T P_bb`` preserves the panel's
+    G-invariant (W orthogonal to the leaf solver's ~2e-7), so
+    `_guard_warm_start` downstream keeps full correctness authority.
+
+    Returns the updated panel and the (B, nb, bs, bs) block rotations
+    (for conjugating T into the new basis between stages).
     """
     B = panel.shape[0]
     n = panel.shape[-1]
     hi = jax.lax.Precision.HIGHEST
     rows = panel[:, start:start + nb * bs, :].reshape(B * nb, bs, n)
-    M = jnp.matmul(rows, jnp.swapaxes(rows, -1, -2), precision=hi)
-    _, W = jacobi_eigh(M, max_sweeps=max_sweeps, interpret=interpret,
+    blocks = jnp.stack(
+        [T[:, s:s + bs, s:s + bs]
+         for s in range(start, start + nb * bs, bs)], axis=1)
+    blocks = blocks.reshape(B * nb, bs, bs)
+    _, W = jacobi_eigh(blocks, max_sweeps=max_sweeps, interpret=interpret,
                        precondition=False, deflate=False)
     new = jnp.matmul(jnp.swapaxes(W, -1, -2), rows, precision=hi)
     new = new.reshape(B, nb * bs, n)
-    return jnp.concatenate(
+    panel = jnp.concatenate(
         [panel[:, :start], new, panel[:, start + nb * bs:]], axis=1)
+    return panel, W.reshape(B, nb, bs, bs)
 
 
 def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
                     interpret: bool, levels: int = 2,
                     two_stage: bool = True) -> jnp.ndarray:
     """DC-deflated warm panel: spectral divide-and-conquer sort, then
-    *solve* the decoupled diagonal blocks with the Jacobi kernel at leaf
-    size instead of warm-starting full-n sweeps (a leaf sweep costs
-    ``(bs/n)^2`` of a full sweep per row, and the leaves stack into
-    fuller grid programs).
+    *solve* the decoupled diagonal blocks of the exact conjugated
+    ``T = Q^T A_shift Q`` with the Jacobi kernel at leaf size instead
+    of warm-starting full-n sweeps (a leaf sweep costs ``(bs/n)^2`` of
+    a full sweep per row, and the leaves stack into fuller grid
+    programs).
 
     Stage 1 diagonalizes the ``2**levels`` DC segments; stage 2 repeats
-    on blocks offset by ``bs/2``, so any near-degenerate cluster that a
-    segment boundary cut (the one coupling family DC cannot separate and
-    first-order corrections cannot touch — FINISHER_NOTES.md) is interior
-    to some stage-2 block and gets solved by exact 2x2 rotations at leaf
-    cost.  Remaining coupling: pairs further than ``bs/2`` apart in the
-    sorted spectrum (well-gapped — `_rot_correct` kills them at first
-    order) and clusters wider than ``bs/2`` eigenvalues (left to the
-    finisher kernel, which certifies convergence either way).
+    on blocks offset by ``bs/2`` against the stage-1-conjugated T, so
+    any near-degenerate cluster that a segment boundary cut (the one
+    coupling family DC cannot separate and first-order corrections
+    cannot touch — FINISHER_NOTES.md) is interior to some stage-2 block
+    and gets solved by exact 2x2 rotations at leaf cost.  Remaining
+    coupling: pairs further than ``bs/2`` apart in the DC-sorted
+    spectrum (well-gapped — `_rot_correct` kills them at first order)
+    and clusters wider than ``bs/2`` eigenvalues (left to the finisher
+    kernel, which certifies convergence either way).
+
+    ``levels`` is fixed at 2 by the T export contract (see
+    ``dc_precondition_tpu(return_t=True)``: cross-segment T entries are
+    only exact across the final level's sibling boundaries).
     """
     B, n, _ = a_shift.shape
     ns = 2 ** levels
     bs = n // ns
+    hi = jax.lax.Precision.HIGHEST
     from .dc_kernel import dc_precondition_tpu
-    g0 = dc_precondition_tpu(a_shift, levels=levels, min_seg=2,
-                             interpret=interpret)
-    panel = _leaf_block_solve(g0, 0, ns, bs, max_sweeps=max_sweeps,
-                              interpret=interpret)
+    g0, T = dc_precondition_tpu(a_shift, levels=levels, min_seg=2,
+                                interpret=interpret, return_t=True)
+    panel, W = _leaf_block_solve(g0, T, 0, ns, bs, max_sweeps=max_sweeps,
+                                 interpret=interpret)
     if two_stage:
-        panel = _leaf_block_solve(panel, bs // 2, ns - 1, bs,
-                                  max_sweeps=max_sweeps,
-                                  interpret=interpret)
+        # conjugate T into the stage-1 eigenbasis (W is block-diagonal
+        # over the full index range, so two HIGHEST matmuls suffice)
+        Wfull = jnp.zeros((B, n, n), panel.dtype)
+        for i in range(ns):
+            s = i * bs
+            Wfull = Wfull.at[:, s:s + bs, s:s + bs].set(W[:, i])
+        T1 = jnp.matmul(jnp.swapaxes(Wfull, -1, -2),
+                        jnp.matmul(T, Wfull, precision=hi), precision=hi)
+        panel, _ = _leaf_block_solve(panel, T1, bs // 2, ns - 1, bs,
+                                     max_sweeps=max_sweeps,
+                                     interpret=interpret)
     return panel
 
 
