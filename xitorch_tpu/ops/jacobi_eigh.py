@@ -68,6 +68,13 @@ SPD 790 decomps/s with the Gram-gauge exit vs 731/s for the lagged
 running-max exit and 533/s for XLA's eigh (1.5x), B=8 n=700 17.3/s vs
 7.9/s XLA (2.2x), quality after the MXU polish better than XLA's f32
 eigh (orth 2.4e-7, eigenpair residual ~2e-5, lam err 5.7e-6 at n=256).
+Round-4 HEAD numbers for the full default path (DC warm start +
+`_rot_correct` + guard): 1,083.4 decomps/s warm vs 868.5 cold at B=64
+n=256 (deflate_e2e_probe.py 2026-08-20); the opt-in `deflate=True`
+pipeline (exact first-power T-block leaf solves) measures 907.6/s at
+equal quality — see benchmarks/FINISHER_NOTES.md "Round-4 closure" for
+why the finisher's interference-limited ~2.4x/sweep decay caps every
+warm-start family at ~5 sweeps.
 The flat one-sided iteration is VPU-bound; blocked/MXU variants were
 analyzed and rejected (the (2b,2b)-Gram inner problem still costs
 ~1.2*b/n of the flat VPU work plus lane-permute overhead — no win at
