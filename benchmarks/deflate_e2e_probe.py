@@ -1,10 +1,13 @@
-"""End-to-end deflated-eigh chip probe (VERDICT r3 item 1 closure).
+"""End-to-end deflated-eigh chip probe (VERDICT r3/r4 item 1 closure).
 
 Measures at config-2 (B=64, n=256, f32 Wishart SPD):
 * amortized ms/batch of jacobi_eigh under {cold, warm DC, deflated}
 * finisher sweep counts on the deflated panel + guard bad-rate
 * quality of the deflated output vs an f64 host oracle
-* deflated variants: two_stage on/off
+
+Round-4 pipeline: DC(levels=2, refine=1) -> segment-aligned masked
+window solves -> boundary windows -> rot_correct -> guard -> finisher
+(measured 0 finisher sweeps on CPU, vs 8-10 cold).
 
 Target: <= 35.7 ms/batch (config-2 exacteig >= 1,792 decomps/s = 10x the
 CPU torch reference).  Run ALONE on the chip (the tunnel serializes).
@@ -88,11 +91,11 @@ def main():
     a = mats()
     ac = mats(clustered=True)
 
-    # --- timing: cold / warm / deflated(one|two stage)
+    # --- timing: cold / warm / deflated
     variants = [
         ("cold", dict(precondition=False, deflate=False)),
         ("warm_dc", dict(precondition=True, deflate=False)),
-        ("deflate_2stage", dict(deflate=True)),
+        ("deflate", dict(deflate=True)),
     ]
     for tag, kw in variants:
         ms = amortized_ms(scan_wrap(lambda m, kw=kw: JE.jacobi_eigh(m, **kw)), a)
@@ -100,18 +103,8 @@ def main():
                           "decomps_per_s": round(B / ms * 1e3, 1)}),
               flush=True)
 
-    # one-stage variant (monkeypatch)
-    orig = JE._deflated_panel
-    JE._deflated_panel = lambda a_s, **kw: orig(
-        a_s, max_sweeps=kw.get("max_sweeps", 18),
-        interpret=kw.get("interpret", False), two_stage=False)
-    ms = amortized_ms(scan_wrap(lambda m: JE.jacobi_eigh(m, deflate=True)), a)
-    print(json.dumps({"stage": "deflate_1stage", "ms_per_batch": round(ms, 2),
-                      "decomps_per_s": round(B / ms * 1e3, 1)}), flush=True)
-    JE._deflated_panel = orig
-
     # --- finisher sweep counts + guard rate on the deflated panel
-    def panel_stats(x, two_stage):
+    def panel_stats(x):
         n = x.shape[-1]
         dt = x.dtype
         absa = jnp.abs(x)
@@ -121,7 +114,7 @@ def main():
         frob = jnp.sqrt(jnp.sum(absa * absa, axis=(-2, -1)))
         sigma = jnp.maximum(-lower, 0.0) + 0.01 * frob + 1e-30
         ash = x + sigma[:, None, None] * jnp.eye(n, dtype=dt)
-        g0 = orig(ash, max_sweeps=18, interpret=False, two_stage=two_stage)
+        g0 = JE._deflated_panel(ash, max_sweeps=18, interpret=False)
         g0 = JE._rot_correct(g0)
         g_in, bad = JE._guard_warm_start(ash, g0)
         perm = jnp.argsort(bad.astype(jnp.int32), stable=True)
@@ -132,13 +125,11 @@ def main():
         return jnp.sum(bad), sweeps
 
     for tag, x in (("wishart", a), ("clustered", ac)):
-        for ts in (True, False):
-            nbad, sweeps = jax.jit(panel_stats,
-                                   static_argnums=1)(x, ts)
-            print(json.dumps({"stage": "finisher_stats", "batch": tag,
-                              "two_stage": ts, "n_bad": int(nbad),
-                              "sweeps": np.asarray(sweeps).tolist()}),
-                  flush=True)
+        nbad, sweeps = jax.jit(panel_stats)(x)
+        print(json.dumps({"stage": "finisher_stats", "batch": tag,
+                          "n_bad": int(nbad),
+                          "sweeps": np.asarray(sweeps).tolist()}),
+              flush=True)
 
     # --- quality on chip (vs f64 host oracle)
     for tag, x in (("wishart", a), ("clustered", ac)):

@@ -69,8 +69,9 @@ def _dot_t(a, b, prec=None):
         preferred_element_type=a.dtype, precision=prec)
 
 
-def _dc_kernel(a_ref, om_ref, g_ref, t_ref=None, *, n: int, m: int,
-               levels: int, min_seg: int):
+def _dc_kernel(a_ref, om_ref, g_ref, t_ref=None, seg_ref=None, *,
+               n: int, m: int, levels: int, min_seg: int,
+               refine: int = 0):
     dt = a_ref.dtype
     hi = lax.Precision.HIGHEST
     qa, qb, qc = (jnp.asarray(v, dt) for v in _QUINTIC)
@@ -195,19 +196,42 @@ def _dc_kernel(a_ref, om_ref, g_ref, t_ref=None, *, n: int, m: int,
                 + jnp.asarray(1e-30, dt)
             Q = polar(Y / scale_r)
 
+            for _ in range(refine):
+                # subspace-refinement pass: re-project the orthonormal
+                # basis through the projector (low slots through P, high
+                # slots through I-P) and re-orthonormalize with a short
+                # HIGHEST cubic polar.  polar(Y) of the ill-conditioned
+                # probe leaks ~1e-3..1e-2 across the split (sigma_min
+                # tail 1e-4..1e-5 + the beta blend); one re-projection
+                # of the now well-conditioned Q collapses the deflated
+                # leaf field from 3.6e3 pairs above 1e-4 to ZERO above
+                # 1e-5 (measured, /tmp bisection 2026-08-20) — it fixes
+                # CONDITIONING, which sign-ramp sharpening cannot.
+                PQ = _dot(P, Q, prec=hi)
+                low_row = low_r & jnp.logical_not(froz_r)
+                Q = jnp.where(low_row, PQ, Q - PQ)
+                # frozen segments keep their identity columns
+                Q = jnp.where((froz_c | froz_r), eyem * seg_eqf, Q)
+                coln = jnp.sqrt(jnp.sum(Q * Q, axis=0, keepdims=True))
+                Q = Q / (coln + jnp.asarray(1e-20, dt))
+                for _c in range(3):
+                    G2 = _dot_t(Q, Q, prec=hi)
+                    Q = 1.5 * Q - 0.5 * _dot(Q, G2, prec=hi)
+
             TQ = _dot(T, Q, prec=hi)
             T = _dot_t(Q, TQ, prec=hi)
             T = 0.5 * (T + _dot_t(T, eyem))
             if t_ref is not None:
-                # export the UNMASKED first-power conjugated matrix
+                # export the full first-power conjugated matrix
                 # T = Q^T A Q (last level's write wins): the deflated
                 # eigh path solves exact diagonal T-blocks at leaf size
-                # and its offset stage needs the cross-segment entries
-                # the carry masking below intentionally drops.  The
-                # carry itself stays masked — subsequent levels' median
-                # splits assume segment-local T.
+                # and its boundary stage needs the cross-segment
+                # entries.  The carry is NOT masked between levels —
+                # every in-level use already applies seg_eqf (the C
+                # construction, the medians via diag) — so this export
+                # is exact at ALL segment boundaries, including
+                # coarser-level ones.
                 t_ref[k, :, :] = T
-            T = T * seg_eqf
             # accumulate the warm panel in the output ref instead of
             # carrying Q_tot: G0 <- Q^T G0 keeps the VMEM live set one
             # plane smaller (the n=704 budget is 8 planes total)
@@ -221,7 +245,13 @@ def _dc_kernel(a_ref, om_ref, g_ref, t_ref=None, *, n: int, m: int,
         g_ref[k, :, :] = a
         T0 = 0.5 * (a + _dot_t(a, eyem))
         carry = (T0, seg0_c, seg0_r)
-        lax.fori_loop(0, levels, level_body, carry)
+        _, segc_f, _ = lax.fori_loop(0, levels, level_body, carry)
+        if seg_ref is not None:
+            # final segment ids (column orientation): non-decreasing
+            # along the index — slot assignment is contiguous per level
+            # — so the deflated path recovers each segment's start/size
+            # with two masked sums
+            seg_ref[k, :, :] = segc_f
 
 
 # ---------------------------------------------------------------------------
@@ -524,7 +554,9 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
                         min_seg: int = 2,
                         interpret: bool = False,
                         per_level: Optional[bool] = None,
-                        return_t: bool = False):
+                        return_t: bool = False,
+                        return_seg: bool = False,
+                        refine: int = 0):
     """``G0 = Q^T a`` warm-start panels for (B, n, n) symmetric ``a``
     (the Jacobi caller passes the shifted, padded matrix).
 
@@ -532,27 +564,37 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
     through HBM one level per kernel launch, fitting VMEM for
     512 < n <= 1024; the single-shot kernel is faster below that.
 
-    ``return_t`` additionally returns the UNMASKED first-power
-    conjugated matrix ``T = Q^T a Q`` from the final level (for the
-    deflated eigh path, which solves exact diagonal T-blocks at leaf
-    size — the panel's own Gram is ``T^2``, whose diagonal blocks carry
-    O(delta^2) cross-term contamination).  Note that with ``levels > 2``
-    the exported T has exact diagonal blocks at every level but its
-    cross-segment entries are only exact across the FINAL level's
-    sibling boundaries (coarser-level couplings were masked out of the
-    carry in earlier iterations); the deflated path uses ``levels=2``.
-    Single-shot kernel only."""
+    ``return_t`` additionally returns the first-power conjugated matrix
+    ``T = Q^T a Q`` from the final level (for the deflated eigh path,
+    which solves exact diagonal T-blocks at leaf size — the panel's own
+    Gram is ``T^2``, whose diagonal blocks carry O(delta^2) cross-term
+    contamination).  The level carry is never masked, so the export is
+    exact at all segment boundaries.  ``return_seg`` additionally
+    returns the final (B, n, 1) int32 segment ids (non-decreasing along
+    the index) — the deflated path's leaf windows must be SEGMENT-
+    ALIGNED because median-rank drift makes boundary positions
+    data-dependent (measured 91/65/56/44 at n=256 against the nominal
+    64s).  Outputs are ordered ``(g, [t], [seg])``.
+
+    ``refine`` (default 0) runs that many subspace-refinement passes
+    per level: re-project the polar-orthonormalized basis through the
+    spectral projector and re-orthonormalize (HIGHEST cubic polar).
+    One pass collapses the deflated leaf field's cross-segment leakage
+    from ~1e-3..1e-2 (the ill-conditioned probe+polar extraction) to
+    ~1e-7 — see the kernel comment.  Single-shot kernel only for all
+    three options."""
     from jax.experimental import pallas as pl
 
     B, n, _ = a.shape
     om = jax.random.normal(jax.random.PRNGKey(1803), (n, n), a.dtype)
     if per_level is None:
         per_level = n > _PER_LEVEL_MIN_N
-    if return_t and per_level:
+    if (return_t or return_seg or refine) and per_level:
         raise ValueError(
-            "dc_precondition_tpu: return_t is only supported on the "
-            "single-shot kernel (n <= %d); the per-level kernel's T "
-            "carry is masked in HBM between levels" % _PER_LEVEL_MIN_N)
+            "dc_precondition_tpu: return_t/return_seg/refine are only "
+            "supported on the single-shot kernel (n <= %d); the "
+            "per-level kernel streams its carry through HBM"
+            % _PER_LEVEL_MIN_N)
     if per_level:
         if n > _PER_LEVEL_MAX_N and not interpret:
             raise ValueError(
@@ -592,20 +634,28 @@ def dc_precondition_tpu(a: jnp.ndarray, *, levels: int = 8,
             kwargs["memory_space"] = memspace
         return pl.BlockSpec(block, **kwargs)
 
-    kernel = functools.partial(_dc_kernel, n=n, m=m, levels=levels,
-                               min_seg=min_seg)
-    out_specs = spec((m, n, n), lambda b: (b, 0, 0))
-    out_shape = jax.ShapeDtypeStruct((B, n, n), a.dtype)
+    def kernel(a_ref, om_ref, *out_refs):
+        g_ref = out_refs[0]
+        t_ref = out_refs[1] if return_t else None
+        seg_ref = out_refs[-1] if return_seg else None
+        _dc_kernel(a_ref, om_ref, g_ref, t_ref, seg_ref, n=n, m=m,
+                   levels=levels, min_seg=min_seg, refine=refine)
+
+    out_specs = [spec((m, n, n), lambda b: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, n, n), a.dtype)]
     if return_t:
-        out_specs = [out_specs, spec((m, n, n), lambda b: (b, 0, 0))]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((B, n, n), a.dtype)]
+        out_specs.append(spec((m, n, n), lambda b: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, n, n), a.dtype))
+    if return_seg:
+        out_specs.append(spec((m, n, 1), lambda b: (b, 0, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, n, 1), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(B // m,),
         in_specs=[spec((m, n, n), lambda b: (b, 0, 0)),
                   spec((n, n), lambda b: (0, 0))],
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
         interpret=interpret,
     )(a, om)
-    return (out[0], out[1]) if return_t else out
+    return out

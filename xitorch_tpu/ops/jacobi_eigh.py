@@ -210,95 +210,181 @@ def _rot_correct(g0: jnp.ndarray, passes: int = 2,
     return g0
 
 
-def _leaf_block_solve(panel: jnp.ndarray, T: jnp.ndarray, start: int,
-                      nb: int, bs: int, *, max_sweeps: int,
-                      interpret: bool
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Diagonalize ``nb`` consecutive (bs, bs) diagonal blocks of the
-    EXACT first-power ``T = R^T A_shift R`` (rows ``[start,
-    start + nb*bs)``) and rotate the matching panel rows in place.
+@functools.lru_cache(maxsize=None)
+def _restore_perm_table(n: int, max_sweeps: int):
+    """Row-gather table undoing the sweep kernel's tournament drift.
 
-    Solving the exact ``T_bb`` (not the panel's own row-block Gram
-    ``(P P^T)_bb = (T^2)_bb = T_bb^2 + sum_k T_bk T_kb``) matters: the
-    Gram's cross-term ``O(delta^2)`` contamination (``delta`` ~ the
-    soft DC split's boundary coupling, measured up to ~0.1) re-injects
-    ~delta^2/gap mixing INSIDE the leaf — measured in-block pair
-    cosines stuck at 4.5e-3 on the squared route, which is above
-    cluster gaps and kept the finisher at the warm path's 5-6 sweeps
-    (deflate_e2e_probe.py).  The exact blocks come from the DC kernel's
-    ``return_t`` export at one extra HBM write.
+    The Brent-Luk shuffle (`_shuffle`) advances row contents one fixed
+    permutation ``sigma`` per round; its period is ``n - 1`` (slot 0 is
+    pinned, the rest form one cycle), but a sweep executes
+    ``ceil((n-1)/U)*U`` rounds — not a multiple of the period — so after
+    ``k`` sweeps the panel rows sit at ``sigma^(k*R)`` of their original
+    slots.  The eigh path never cares (it sorts by eigenvalue), but the
+    deflated path's masked window solves need PASS-THROUGH rows (zero
+    coupling — they never rotate, only ride the shuffle) back at their
+    original slots so the window rotation is exactly identity outside
+    its segment.  Entry ``[k, i]``: the slot holding original row ``i``
+    after ``k`` sweeps.  Trace-time only (numpy, cached)."""
+    import numpy as np
 
-    The block rotation ``P_bb <- W^T P_bb`` preserves the panel's
-    G-invariant (W orthogonal to the leaf solver's ~2e-7), so
-    `_guard_warm_start` downstream keeps full correctness authority.
+    h = n // 2
+    rounds = -(-(n - 1) // _UNROLL) * _UNROLL
+    table = np.zeros((max_sweeps + 1, n), np.int64)
+    for k in range(max_sweeps + 1):
+        track = np.arange(n)
+        for _ in range((rounds * k) % (n - 1)):
+            t, b = track[:h], track[h:]
+            track = np.concatenate(
+                [t[0:1], b[0:1], t[1:h - 1], b[1:], t[h - 1:h]])
+        # track[i] = original row now at slot i; invert for the gather
+        inv = np.empty(n, np.int64)
+        inv[track] = np.arange(n)
+        table[k] = inv
+    return table.astype(np.int32)
 
-    Returns the updated panel and the (B, nb, bs, bs) block rotations
-    (for conjugating T into the new basis between stages).
-    """
-    B = panel.shape[0]
-    n = panel.shape[-1]
-    hi = jax.lax.Precision.HIGHEST
-    rows = panel[:, start:start + nb * bs, :].reshape(B * nb, bs, n)
-    blocks = jnp.stack(
-        [T[:, s:s + bs, s:s + bs]
-         for s in range(start, start + nb * bs, bs)], axis=1)
-    blocks = blocks.reshape(B * nb, bs, bs)
-    _, W = jacobi_eigh(blocks, max_sweeps=max_sweeps, interpret=interpret,
-                       precondition=False, deflate=False)
-    new = jnp.matmul(jnp.swapaxes(W, -1, -2), rows, precision=hi)
-    new = new.reshape(B, nb * bs, n)
-    panel = jnp.concatenate(
-        [panel[:, :start], new, panel[:, start + nb * bs:]], axis=1)
-    return panel, W.reshape(B, nb, bs, bs)
+
+def _window_solve(blocks: jnp.ndarray, *, max_sweeps: int,
+                  interpret: bool, m_cap: Optional[int] = None
+                  ) -> jnp.ndarray:
+    """Orthogonal rotations diagonalizing (BB, w, w) symmetric blocks,
+    returned with rows = eigenvectors^T in ORIGINAL slot order (no
+    eigenvalue sort): a block row whose off-diagonal couplings are
+    exactly zero ("pass-through" — the deflated path's masked
+    out-of-segment slots) maps to exactly its own unit vector at its
+    own slot, so the rotation is identity there.
+
+    Pipeline: per-block Gershgorin PSD shift -> sweep kernel (with the
+    per-program executed-sweep-count export) -> tournament-drift
+    restore (`_restore_perm_table` gathered by each program's dynamic
+    sweep count) -> row normalization.  Rotating panel rows by the
+    result preserves the G-invariant (orthogonal to the kernel's
+    ~eps*sqrt(w)), so `_guard_warm_start` downstream keeps full
+    correctness authority."""
+    BB, w, _ = blocks.shape
+    dt = blocks.dtype
+    tol = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(w)
+    absb = jnp.abs(blocks)
+    diag = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+    offsum = jnp.sum(absb, axis=-1) - jnp.diagonal(absb, axis1=-2,
+                                                   axis2=-1)
+    lower = jnp.min(diag - offsum, axis=-1)
+    frob = jnp.sqrt(jnp.sum(absb * absb, axis=(-2, -1)))
+    sigma = (jnp.maximum(-lower, 0.0) + jnp.asarray(0.01, dt) * frob
+             + jnp.asarray(1e-30, dt))
+    shifted = blocks + sigma[:, None, None] * jnp.eye(w, dtype=dt)
+    gt, sweeps = _pallas_g_panel(shifted, max_sweeps, tol, interpret,
+                                 complexpair=False, return_sweeps=True,
+                                 m_cap=m_cap)
+    m = _mats_per_program(w, w, BB, m_cap)
+    table = jnp.asarray(_restore_perm_table(w, max_sweeps))
+    fix = table[sweeps[jnp.arange(BB) // m]]               # (BB, w)
+    gt = jnp.take_along_axis(gt, fix[:, :, None], axis=1)
+    nrm = jnp.sqrt(jnp.sum(gt * gt, axis=-1, keepdims=True))
+    return gt / jnp.maximum(nrm, jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+
+
+_BOUNDARY_HALF = 16  # boundary-window half-width (stage 2); clusters up
+# to 2*_BOUNDARY_HALF eigenvalues wide that a segment boundary cut are
+# solved exactly; wider ones are left to the finisher
 
 
 def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
-                    interpret: bool, levels: int = 2,
-                    two_stage: bool = True) -> jnp.ndarray:
-    """DC-deflated warm panel: spectral divide-and-conquer sort, then
-    *solve* the decoupled diagonal blocks of the exact conjugated
-    ``T = Q^T A_shift Q`` with the Jacobi kernel at leaf size instead
-    of warm-starting full-n sweeps (a leaf sweep costs ``(bs/n)^2`` of
-    a full sweep per row, and the leaves stack into fuller grid
-    programs).
+                    interpret: bool, levels: int = 2) -> jnp.ndarray:
+    """DC-deflated warm panel: spectral divide-and-conquer sort
+    (``refine=1`` — the probe+polar basis leak must be healed or leaf
+    cross-coupling floors at ~1e-3, see dc_kernel), then *solve* the
+    decoupled diagonal blocks of the exact conjugated
+    ``T = Q^T A_shift Q`` with the sweep kernel at window size instead
+    of warm-starting full-n sweeps (a window sweep costs ``(w/n)^3`` of
+    a full-n sweep, and the windows stack into fuller grid programs).
 
-    Stage 1 diagonalizes the ``2**levels`` DC segments; stage 2 repeats
-    on blocks offset by ``bs/2`` against the stage-1-conjugated T, so
-    any near-degenerate cluster that a segment boundary cut (the one
-    coupling family DC cannot separate and first-order corrections
-    cannot touch — FINISHER_NOTES.md) is interior to some stage-2 block
-    and gets solved by exact 2x2 rotations at leaf cost.  Remaining
-    coupling: pairs further than ``bs/2`` apart in the DC-sorted
-    spectrum (well-gapped — `_rot_correct` kills them at first order)
-    and clusters wider than ``bs/2`` eigenvalues (left to the finisher
-    kernel, which certifies convergence either way).
+    Stage 1 solves one masked window per DC segment, SEGMENT-ALIGNED:
+    boundaries are data-dependent (median-rank drift, measured
+    91/65/56/44 vs the nominal 64s at n=256), so windows are cut at
+    each segment's own start (`return_seg`) with out-of-segment slots
+    masked to pass-through — fixed-offset blocks would split dense
+    segments mid-cluster and stall the finisher.  Stage 2 solves small
+    unmasked windows astride each segment boundary, catching clusters
+    the split cut.  Remaining coupling: well-gapped far pairs
+    (`_rot_correct` kills them at first order) and clusters wider than
+    the boundary window (left to the finisher kernel, which certifies
+    convergence either way — a soft split costs sweeps, never
+    correctness).
 
-    ``levels`` is fixed at 2 by the T export contract (see
-    ``dc_precondition_tpu(return_t=True)``: cross-segment T entries are
-    only exact across the final level's sibling boundaries).
+    ``levels`` fixed at 2: 4 segments balance window cost
+    (``4*(3n/8)^3 ~ 0.2 n^3`` per window sweep) against DC depth.
     """
     B, n, _ = a_shift.shape
     ns = 2 ** levels
-    bs = n // ns
+    dt = a_shift.dtype
     hi = jax.lax.Precision.HIGHEST
     from .dc_kernel import dc_precondition_tpu
-    g0, T = dc_precondition_tpu(a_shift, levels=levels, min_seg=2,
-                                interpret=interpret, return_t=True)
-    panel, W = _leaf_block_solve(g0, T, 0, ns, bs, max_sweeps=max_sweeps,
-                                 interpret=interpret)
-    if two_stage:
-        # conjugate T into the stage-1 eigenbasis (W is block-diagonal
-        # over the full index range, so two HIGHEST matmuls suffice)
-        Wfull = jnp.zeros((B, n, n), panel.dtype)
-        for i in range(ns):
-            s = i * bs
-            Wfull = Wfull.at[:, s:s + bs, s:s + bs].set(W[:, i])
-        T1 = jnp.matmul(jnp.swapaxes(Wfull, -1, -2),
-                        jnp.matmul(T, Wfull, precision=hi), precision=hi)
-        panel, _ = _leaf_block_solve(panel, T1, bs // 2, ns - 1, bs,
-                                     max_sweeps=max_sweeps,
-                                     interpret=interpret)
-    return panel
+    g0, T, seg = dc_precondition_tpu(a_shift, levels=levels, min_seg=2,
+                                     interpret=interpret, return_t=True,
+                                     return_seg=True, refine=1)
+    seg = seg[:, :, 0]                                     # (B, n) int32
+    # window = 1.5x the nominal segment size, 16-aligned: covers the
+    # measured ~1.42x median-rank drift; an overflowing tail is left to
+    # the finisher (sweeps, never correctness)
+    w = min(n, max(32, -(-3 * n // (2 * ns * 16)) * 16))
+    starts = jnp.stack(
+        [jnp.clip(jnp.sum((seg < s).astype(jnp.int32), axis=-1), 0, n - w)
+         for s in range(ns)], axis=1)                      # (B, ns)
+
+    loc = jnp.arange(w, dtype=dt)
+
+    def slice_block(Tb, segb, st, sid):
+        blk = lax.dynamic_slice(Tb, (st, st), (w, w))
+        valid = lax.dynamic_slice(segb, (st,), (w,)) == sid
+        vv = valid[:, None] & valid[None, :]
+        # pass-through slots: exactly zero couplings + a positive
+        # diagonal (value irrelevant — they never rotate)
+        return (jnp.where(vv, blk, jnp.asarray(0.0, dt))
+                + jnp.diag(jnp.where(valid, jnp.asarray(0.0, dt),
+                                     1.0 + loc)))
+
+    blocks = jnp.stack(
+        [jax.vmap(slice_block, in_axes=(0, 0, 0, None))(
+            T, seg, starts[:, s], s) for s in range(ns)],
+        axis=1).reshape(B * ns, w, w)
+    R = _window_solve(blocks, max_sweeps=max_sweeps,
+                      interpret=interpret).reshape(B, ns, w, w)
+
+    def apply_rows(Pb, Rb, st):
+        rows = lax.dynamic_slice(Pb, (st, 0), (Rb.shape[0], Pb.shape[-1]))
+        return lax.dynamic_update_slice(
+            Pb, jnp.matmul(Rb, rows, precision=hi), (st, 0))
+
+    def apply_cols(Tb, Rb, st):
+        cols = lax.dynamic_slice(Tb, (0, st), (Tb.shape[0], Rb.shape[0]))
+        return lax.dynamic_update_slice(
+            Tb, jnp.matmul(cols, jnp.swapaxes(Rb, -1, -2), precision=hi),
+            (0, st))
+
+    # stage-1 rotations are identity outside their own segment, so the
+    # (possibly overlapping) window applications commute exactly
+    for s in range(ns):
+        g0 = jax.vmap(apply_rows)(g0, R[:, s], starts[:, s])
+        T = jax.vmap(apply_rows)(T, R[:, s], starts[:, s])
+        T = jax.vmap(apply_cols)(T, R[:, s], starts[:, s])
+
+    # stage 2: unmasked boundary windows on the stage-1-conjugated T.
+    # Rare overlapping windows (segments narrower than the window) make
+    # the later rotation act on a stale block — suboptimal, still
+    # orthogonal, so it costs finisher sweeps at worst.
+    bw = 2 * _BOUNDARY_HALF
+    if n > bw:
+        bstarts = jnp.clip(starts[:, 1:] - _BOUNDARY_HALF, 0, n - bw)
+        bblocks = jnp.stack(
+            [jax.vmap(lambda Tb, st: lax.dynamic_slice(
+                Tb, (st, st), (bw, bw)))(T, bstarts[:, s])
+             for s in range(ns - 1)],
+            axis=1).reshape(B * (ns - 1), bw, bw)
+        Rb = _window_solve(bblocks, max_sweeps=max_sweeps,
+                           interpret=interpret).reshape(B, ns - 1, bw, bw)
+        for s in range(ns - 1):
+            g0 = jax.vmap(apply_rows)(g0, Rb[:, s], bstarts[:, s])
+    return g0
 
 
 def _panel_bytes(n: int, width: int) -> int:
@@ -684,15 +770,15 @@ def _padded_n(n: int, precondition: bool, deflate: bool = False) -> int:
     a multiple of 16; the preconditioned path past the single-shot DC
     window additionally needs 128-lane alignment (the per-level DC
     kernel DMAs (npad, npad) HBM slices by hand and Mosaic memref_slice
-    rejects unaligned minor dims, e.g. 704); the deflated path needs
-    ``2**levels`` equal segments whose leaf size is itself a multiple of
-    16 (levels=2 -> a 64 multiple).  Padding eigenvalues are placed
+    rejects unaligned minor dims, e.g. 704).  The deflated path's
+    windows are segment-aligned (data-dependent starts), so it needs
+    only the base 16-multiple.  Padding eigenvalues are placed
     above the spectrum and sliced off after the sort."""
     from .dc_kernel import _PER_LEVEL_ALIGN, _PER_LEVEL_MIN_N
 
     npad = max(16, -(-n // 16) * 16)
     if deflate:
-        npad = max(64, -(-n // 64) * 64)
+        npad = max(64, npad)
     elif precondition and npad > _PER_LEVEL_MIN_N:
         npad = -(-n // _PER_LEVEL_ALIGN) * _PER_LEVEL_ALIGN
     return npad
