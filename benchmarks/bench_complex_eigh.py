@@ -39,12 +39,15 @@ JE = importlib.import_module("xitorch_tpu.ops.jacobi_eigh")
 K, NEIG = 8, 8
 
 
-def herm(key, b, n):
-    k1, k2 = jax.random.split(key)
-    a = (jax.random.normal(k1, (b, n, n), jnp.float32)
-         + 1j * jax.random.normal(k2, (b, n, n), jnp.float32)
-         ).astype(jnp.complex64) / math.sqrt(n)
-    return (a + jnp.swapaxes(a, -1, -2).conj()) / 2
+def herm_np(seed, b, n):
+    # host-side generation: the axon tunnel cannot transfer c64 arrays
+    # back to host (UNIMPLEMENTED), so matrices and the oracle live in
+    # numpy and only the timing body ships to the device
+    rng = np.random.default_rng(seed)
+    a = (rng.standard_normal((b, n, n)).astype(np.float32)
+         + 1j * rng.standard_normal((b, n, n)).astype(np.float32)
+         ).astype(np.complex64) / math.sqrt(n)
+    return (a + np.swapaxes(a, -1, -2).conj()) / 2
 
 
 def timed_pair(body, mats, rep=3):
@@ -70,7 +73,8 @@ def timed_pair(body, mats, rep=3):
 
 
 def measure(b, n, kernel_on):
-    mats = herm(jax.random.PRNGKey(n), b, n)
+    mats_np = herm_np(n, b, n)
+    mats = jnp.asarray(mats_np)
     old = JE.ENABLED
     JE.ENABLED = kernel_on
     try:
@@ -80,7 +84,7 @@ def measure(b, n, kernel_on):
 
         # accuracy gate vs the f64 numpy oracle before timing
         evals, evecs = jax.jit(body)(mats)
-        oracle = np.linalg.eigvalsh(np.asarray(mats, np.complex128)
+        oracle = np.linalg.eigvalsh(mats_np.astype(np.complex128)
                                     )[:, :NEIG]
         scale = float(np.max(np.abs(oracle))) + 1e-30
         err = float(np.max(np.abs(np.asarray(evals) - oracle))) / scale
@@ -102,8 +106,7 @@ def ref_cpu(b, n):
     import xitorch as xtr  # noqa: F401 (used via xtr.linalg below)
     import xitorch.linalg  # noqa: F401
     torch.set_num_threads(1)
-    mats = np.asarray(herm(jax.random.PRNGKey(n), b, n))
-    t_m = torch.tensor(mats, dtype=torch.complex64)
+    t_m = torch.tensor(herm_np(n, b, n), dtype=torch.complex64)
 
     def run():
         A = xtr.LinearOperator.m(t_m, is_hermitian=True)
@@ -118,15 +121,65 @@ def ref_cpu(b, n):
                       "value": round(b / min(ts), 1)}), flush=True)
 
 
+def measure_kernel_packed(b, n):
+    """The axon image cannot execute OR transfer c64 at all
+    (UNIMPLEMENTED even for a host->device copy of a c64 array), so the
+    full public complex path cannot run on this chip; real TPUs support
+    c64 via XLA decomposition.  What CAN be measured here is the
+    complex-pair Pallas kernel itself — the packed [Re A | -Im A] real
+    planes it operates on (jacobi_eigh's own packing, ops/jacobi_eigh.py
+    "if iscomplex") are host-packed and shipped as f32; the sweep kernel
+    is bit-identical to what a real TPU would run after packing."""
+    mats_np = herm_np(n, b, n)
+    planes = np.concatenate([mats_np.real, -mats_np.imag],
+                            axis=-1).astype(np.float32)
+    pj = jnp.asarray(planes)
+    tol = float(np.finfo(np.float32).eps) * 4.0 * math.sqrt(n)
+
+    def body(p):
+        gt2 = JE._pallas_g_panel(p, 18, tol, False, complexpair=True)
+        # eigenvalue extraction from row norms (real arithmetic): the
+        # full path's c64 polish cannot run on this image
+        return jnp.sqrt(jnp.sum(gt2 * gt2, axis=-1)), None
+
+    # quality gate: eigenvalues of the shifted matrix from row norms
+    # vs the f64 oracle (the kernel runs on the UNSHIFTED hermitian
+    # input here: PSD only after the caller's shift; emulate it)
+    absa = np.abs(mats_np)
+    diag = np.real(np.einsum("bii->bi", mats_np))
+    offsum = absa.sum(-1) - np.abs(diag)
+    sigma = (np.maximum(-(diag - offsum).min(-1), 0)
+             + 0.01 * np.linalg.norm(mats_np, axis=(1, 2)).real + 1e-30)
+    sh = mats_np + sigma[:, None, None] * np.eye(n, dtype=np.complex64)
+    planes_s = np.concatenate([sh.real, -sh.imag], axis=-1).astype(np.float32)
+    pjs = jnp.asarray(planes_s)
+    lam_shift = np.sort(np.asarray(jax.jit(lambda p: body(p)[0])(pjs)),
+                        axis=-1) - sigma[:, None]
+    oracle = np.linalg.eigvalsh(mats_np.astype(np.complex128))
+    scale = float(np.max(np.abs(oracle))) + 1e-30
+    err = float(np.max(np.abs(lam_shift - oracle))) / scale
+    per = timed_pair(lambda m: body(m), pjs)
+    print(json.dumps({
+        "metric": "batched c64 symeig PACKED-KERNEL decomps/sec",
+        "B": b, "n": n, "path": "jacobi-complex-kernel (sweep + eigenvalue "
+        "extraction; c64 polish excluded — this image cannot execute c64)",
+        "value": round(b / per, 1), "acc_err_rel": err}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--with-ref", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
-    measure(64, 256, kernel_on=True)     # complex-pair kernel window
-    measure(64, 256, kernel_on=False)    # XLA eigh, same matrices
-    measure(8, 700, kernel_on=True)      # past the window: XLA fallback
+    if jax.default_backend() == "cpu":
+        measure(64, 256, kernel_on=True)     # complex-pair kernel window
+        measure(64, 256, kernel_on=False)    # XLA eigh, same matrices
+        measure(8, 700, kernel_on=True)      # past the window: XLA fallback
+    else:
+        measure_kernel_packed(64, 256)
+        measure_kernel_packed(8, 448)        # top of the 9-plane VMEM
+        # window (n=512 under the old 5-plane model OOMed: 18.59 MB)
     if args.with_ref:
         ref_cpu(64, 256)
         ref_cpu(8, 700)

@@ -95,8 +95,9 @@ def test_use_jacobi_gate_off_tpu():
 def test_vmem_budget_gate_arithmetic(monkeypatch):
     # the dispatch gate must track the sweep kernel's own VMEM model:
     # real f32 fits through n=848 (5*848^2*4 = 14.38e6 <= 14 MiB) and
-    # not past it (npad=864 -> 14.93e6); complex caps at the validated
-    # 512 window
+    # not past it (npad=864 -> 14.93e6); the complex-pair kernel's live
+    # set is 9 (n, 2n) planes (the 5-plane model admitted n=512, which
+    # OOMed on hardware at 18.59 MB), capping npad at 448
     import importlib
 
     # ops/__init__ re-exports the function under the module's name, so
@@ -107,7 +108,7 @@ def test_vmem_budget_gate_arithmetic(monkeypatch):
                   (849, False), (864, False), (1024, False), (63, False)]:
         a = jnp.zeros((n, n), jnp.float32)
         assert mod.use_jacobi_for(a) == ok, (n, ok)
-    for n, ok in [(128, True), (512, True), (513, False)]:
+    for n, ok in [(128, True), (448, True), (449, False), (512, False)]:
         c = jnp.zeros((n, n), jnp.complex64)
         assert mod.use_jacobi_for(c) == ok, (n, ok)
     # a single matrix past the budget raises a clear error (not a Mosaic

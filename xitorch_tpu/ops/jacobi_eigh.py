@@ -98,8 +98,8 @@ __all__ = ["jacobi_eigh", "jacobi_svd", "use_jacobi_for",
            "use_jacobi_svd_for"]
 
 # global switch: xitorch_tpu._impls.linalg.symeig.degen_eigh dispatches the
-# dense decomposition here when `use_jacobi_for` approves (TPU, f32 real or
-# c64 hermitian n <= 512, f32 real n <= 848 — the VMEM-budget cap)
+# dense decomposition here when `use_jacobi_for` approves (TPU, f32 real
+# n <= 848, c64 hermitian n <= 448 — the VMEM-budget caps)
 ENABLED = True
 
 
@@ -244,12 +244,13 @@ def _restore_perm_table(n: int, max_sweeps: int):
 
 
 def _window_solve(blocks: jnp.ndarray, *, max_sweeps: int,
-                  interpret: bool, m_cap: Optional[int] = None
+                  interpret: bool, m_cap: Optional[int] = None,
+                  sort_valid: Optional[jnp.ndarray] = None
                   ) -> jnp.ndarray:
     """Orthogonal rotations diagonalizing (BB, w, w) symmetric blocks,
     returned with rows = eigenvectors^T in ORIGINAL slot order (no
-    eigenvalue sort): a block row whose off-diagonal couplings are
-    exactly zero ("pass-through" — the deflated path's masked
+    global eigenvalue sort): a block row whose off-diagonal couplings
+    are exactly zero ("pass-through" — the deflated path's masked
     out-of-segment slots) maps to exactly its own unit vector at its
     own slot, so the rotation is identity there.
 
@@ -259,7 +260,17 @@ def _window_solve(blocks: jnp.ndarray, *, max_sweeps: int,
     sweep count) -> row normalization.  Rotating panel rows by the
     result preserves the G-invariant (orthogonal to the kernel's
     ~eps*sqrt(w)), so `_guard_warm_start` downstream keeps full
-    correctness authority."""
+    correctness authority.
+
+    ``sort_valid`` ((BB, w) bool): reorder the rows at TRUE slots
+    ascending by eigenvalue among themselves (pass-through slots stay
+    pinned).  The deflated path needs this: the DC slot assignment is
+    spectral (segment s holds eigenvalues below segment s+1), and its
+    boundary windows find a missorted near-degenerate pair only if
+    each segment's solved rows sit in spectral order — the kernel's
+    natural row order is tournament-dynamics noise (measured on chip:
+    unsorted leaves left cross-segment pair cosines at 0.104 vs the
+    1.9e-6 guard floor, 4-5 finisher sweeps instead of 0)."""
     BB, w, _ = blocks.shape
     dt = blocks.dtype
     tol = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(w)
@@ -280,12 +291,32 @@ def _window_solve(blocks: jnp.ndarray, *, max_sweeps: int,
     fix = table[sweeps[jnp.arange(BB) // m]]               # (BB, w)
     gt = jnp.take_along_axis(gt, fix[:, :, None], axis=1)
     nrm = jnp.sqrt(jnp.sum(gt * gt, axis=-1, keepdims=True))
-    return gt / jnp.maximum(nrm, jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+    R = gt / jnp.maximum(nrm, jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+    if sort_valid is not None:
+        slot = jnp.arange(w)[None, :]
+        lam = nrm[:, :, 0]                    # lambda + sigma, monotone
+        # rows by ascending eigenvalue among valid, then pass-through
+        # rows in slot order (stable argsort on equal +inf keys)
+        ord_v = jnp.argsort(jnp.where(sort_valid, lam, jnp.inf), axis=-1)
+        # target slots: valid slots ascending, then pass-through slots
+        # ascending — tail ranks pair each pass-through row with its
+        # own slot, so they stay pinned
+        vpos = jnp.argsort(jnp.where(sort_valid, slot, w + slot), axis=-1)
+        gather = jnp.zeros((BB, w), jnp.int32).at[
+            jnp.arange(BB)[:, None], vpos].set(ord_v.astype(jnp.int32))
+        R = jnp.take_along_axis(R, gather[:, :, None], axis=1)
+    return R
 
 
 _BOUNDARY_HALF = 16  # boundary-window half-width (stage 2); clusters up
 # to 2*_BOUNDARY_HALF eigenvalues wide that a segment boundary cut are
 # solved exactly; wider ones are left to the finisher
+
+_S1_MCAP = 32  # matrices per grid program for the stage-1 window solves
+_S2_MCAP = 64  # ... and the small boundary-window solves: the windows
+# are far smaller than the default 8-stack tuning point (w ~ 3n/8 and
+# 32), so stacking more both grows the VPU op shapes and cuts the
+# per-program while_loop/gauge overhead
 
 
 def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
@@ -339,16 +370,19 @@ def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
         vv = valid[:, None] & valid[None, :]
         # pass-through slots: exactly zero couplings + a positive
         # diagonal (value irrelevant — they never rotate)
-        return (jnp.where(vv, blk, jnp.asarray(0.0, dt))
-                + jnp.diag(jnp.where(valid, jnp.asarray(0.0, dt),
-                                     1.0 + loc)))
+        blk = (jnp.where(vv, blk, jnp.asarray(0.0, dt))
+               + jnp.diag(jnp.where(valid, jnp.asarray(0.0, dt),
+                                    1.0 + loc)))
+        return blk, valid
 
-    blocks = jnp.stack(
-        [jax.vmap(slice_block, in_axes=(0, 0, 0, None))(
-            T, seg, starts[:, s], s) for s in range(ns)],
-        axis=1).reshape(B * ns, w, w)
-    R = _window_solve(blocks, max_sweeps=max_sweeps,
-                      interpret=interpret).reshape(B, ns, w, w)
+    blocks, valid = [jnp.stack(x, axis=1) for x in zip(
+        *[jax.vmap(slice_block, in_axes=(0, 0, 0, None))(
+            T, seg, starts[:, s], s) for s in range(ns)])]
+    R = _window_solve(blocks.reshape(B * ns, w, w),
+                      max_sweeps=max_sweeps, interpret=interpret,
+                      m_cap=_S1_MCAP,
+                      sort_valid=valid.reshape(B * ns, w)
+                      ).reshape(B, ns, w, w)
 
     def apply_rows(Pb, Rb, st):
         rows = lax.dynamic_slice(Pb, (st, 0), (Rb.shape[0], Pb.shape[-1]))
@@ -381,22 +415,31 @@ def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
              for s in range(ns - 1)],
             axis=1).reshape(B * (ns - 1), bw, bw)
         Rb = _window_solve(bblocks, max_sweeps=max_sweeps,
-                           interpret=interpret).reshape(B, ns - 1, bw, bw)
+                           interpret=interpret,
+                           m_cap=_S2_MCAP).reshape(B, ns - 1, bw, bw)
         for s in range(ns - 1):
             g0 = jax.vmap(apply_rows)(g0, Rb[:, s], bstarts[:, s])
     return g0
 
 
-def _panel_bytes(n: int, width: int) -> int:
+def _panel_bytes(n: int, width: int, complexpair: bool = False) -> int:
     """Modeled VMEM footprint of ONE matrix in the sweep kernel: in + out
     blocks with pipeline double-buffering (~4 n*width planes) plus the
     round loop's live top/bot temporaries (~1 plane).  Validated by the
-    measured 18.7 MB OOM at n=704, m=2 (model: 19.8 MB)."""
-    return 5 * n * width * 4
+    measured 18.7 MB OOM at n=704, m=2 (model: 19.8 MB).
+
+    The complex-pair kernel holds ~9 (n, width) planes, not 5: each
+    round splits top/bot into Re/Im halves and materializes the
+    phase-aligned quarters plus their reconcatenations (measured
+    18.59 MB at n=512, width=1024 = 8.86 planes — the old 5-plane model
+    admitted n=512, which OOMs on hardware; the round-2b "n<=512
+    validated" window was CPU-interpret only)."""
+    return (9 if complexpair else 5) * n * width * 4
 
 
 def _mats_per_program(n: int, width: int, batch: int,
-                      m_cap: Optional[int] = None) -> int:
+                      m_cap: Optional[int] = None,
+                      complexpair: bool = False) -> int:
     """How many matrices to stack per grid program: grow the VPU op shapes
     for small n, stay within the 16 MB scoped-VMEM limit for large n.
     Per-matrix footprint: in + out blocks with pipeline double-buffering
@@ -412,7 +455,7 @@ def _mats_per_program(n: int, width: int, batch: int,
     8x).  ``m_cap`` overrides the default ``_M_CAP`` stack bound — the
     windowed local phase stacks many narrow (2w, n) sub-panels per
     program to keep the grid short."""
-    bytes_per_mat = _panel_bytes(n, width)
+    bytes_per_mat = _panel_bytes(n, width, complexpair)
     cap = _M_CAP if m_cap is None else m_cap
     m = max(1, min(cap, _VMEM_BUDGET // max(bytes_per_mat, 1)))
     return min(m, max(batch, 1))
@@ -695,14 +738,15 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     from jax.experimental import pallas as pl
 
     B, n, width = a.shape
-    if not interpret and _panel_bytes(n, width) > _VMEM_BUDGET:
+    if not interpret and _panel_bytes(n, width, complexpair) > _VMEM_BUDGET:
         raise ValueError(
             "jacobi_eigh sweep kernel: one (%d, %d) panel needs %.1f MB "
-            "of VMEM against the ~16 MB scoped budget (model: 5 planes "
+            "of VMEM against the ~16 MB scoped budget (model: %d planes "
             "with pipeline double-buffering) — use jnp.linalg.eigh / "
             "symeig(method=\"exacteig\") for matrices this large"
-            % (n, width, _panel_bytes(n, width) / 1e6))
-    m = _mats_per_program(n, width, B, m_cap)
+            % (n, width, _panel_bytes(n, width, complexpair) / 1e6,
+               9 if complexpair else 5))
+    m = _mats_per_program(n, width, B, m_cap, complexpair)
     if B % m:
         # pad the batch with identity-like matrices (diag already set by
         # the caller's shift; zeros converge instantly and are sliced off)
@@ -1212,11 +1256,14 @@ def use_jacobi_for(A: jnp.ndarray) -> bool:
     n = A.shape[-1]
     npad = max(16, -(-n // 16) * 16)
     if jnp.iscomplexobj(A):
-        # [Re|Im] plane packing doubles the panel width; keep the
-        # explicit 512 cap (the validated window) even though the VMEM
-        # model would admit ~592
+        # [Re|Im] plane packing doubles the panel width AND the
+        # complex-pair kernel's live set is ~9 planes (see
+        # _panel_bytes): the budget caps npad at 448.  The old
+        # 5-plane model admitted n=512, which OOMed on hardware
+        # (18.59 MB vs the 16 MB scope, measured 2026-08-20).
         ok_dtype = A.dtype == jnp.complex64
-        ok_size = npad <= 512 and _panel_bytes(npad, 2 * npad) <= _VMEM_BUDGET
+        ok_size = _panel_bytes(npad, 2 * npad, complexpair=True) \
+            <= _VMEM_BUDGET
     else:
         # budget-derived cap: 5*npad^2*4 <= 14 MiB <=> npad <= 848; past
         # that a single matrix's panel would blow the scoped VMEM and
