@@ -178,8 +178,8 @@ def main():
         measure(8, 700, kernel_on=True)      # past the window: XLA fallback
     else:
         measure_kernel_packed(64, 256)
-        measure_kernel_packed(8, 448)        # top of the 9-plane VMEM
-        # window (n=512 under the old 5-plane model OOMed: 18.59 MB)
+        measure_kernel_packed(8, 512)        # top of the hardware-probed
+        # window (m=1 per program under the raised _CX_VMEM_LIMIT)
     if args.with_ref:
         ref_cpu(64, 256)
         ref_cpu(8, 700)

@@ -95,9 +95,12 @@ def test_use_jacobi_gate_off_tpu():
 def test_vmem_budget_gate_arithmetic(monkeypatch):
     # the dispatch gate must track the sweep kernel's own VMEM model:
     # real f32 fits through n=848 (5*848^2*4 = 14.38e6 <= 14 MiB) and
-    # not past it (npad=864 -> 14.93e6); the complex-pair kernel's live
-    # set is 9 (n, 2n) planes (the 5-plane model admitted n=512, which
-    # OOMed on hardware at 18.59 MB), capping npad at 448
+    # not past it (npad=864 -> 14.93e6).  The complex-pair kernel has NO
+    # plane model: its measured scoped allocation at m=1 is roughly
+    # n-independent (16.2-22.0 MB, n in [288, 512], probed 2026-08-20),
+    # so complex dispatch runs one matrix per program under the raised
+    # _CX_VMEM_LIMIT inside the hardware-probed npad <= _CX_NMAX = 512
+    # window
     import importlib
 
     # ops/__init__ re-exports the function under the module's name, so
@@ -108,7 +111,7 @@ def test_vmem_budget_gate_arithmetic(monkeypatch):
                   (849, False), (864, False), (1024, False), (63, False)]:
         a = jnp.zeros((n, n), jnp.float32)
         assert mod.use_jacobi_for(a) == ok, (n, ok)
-    for n, ok in [(128, True), (448, True), (449, False), (512, False)]:
+    for n, ok in [(128, True), (448, True), (512, True), (513, False)]:
         c = jnp.zeros((n, n), jnp.complex64)
         assert mod.use_jacobi_for(c) == ok, (n, ok)
     # a single matrix past the budget raises a clear error (not a Mosaic
@@ -116,6 +119,9 @@ def test_vmem_budget_gate_arithmetic(monkeypatch):
     with pytest.raises(ValueError, match="VMEM"):
         mod._pallas_g_panel(jnp.zeros((1, 1024, 1024), jnp.float32),
                             1, 1e-5, interpret=False, complexpair=False)
+    with pytest.raises(ValueError, match="hardware-validated"):
+        mod._pallas_g_panel(jnp.zeros((1, 528, 1056), jnp.float32),
+                            1, 1e-5, interpret=False, complexpair=True)
 
 
 def test_dc_dispatch_and_padding_arithmetic():

@@ -99,7 +99,8 @@ __all__ = ["jacobi_eigh", "jacobi_svd", "use_jacobi_for",
 
 # global switch: xitorch_tpu._impls.linalg.symeig.degen_eigh dispatches the
 # dense decomposition here when `use_jacobi_for` approves (TPU, f32 real
-# n <= 848, c64 hermitian n <= 448 — the VMEM-budget caps)
+# n <= 848 — the VMEM-budget cap; c64 hermitian n <= 512 — the
+# hardware-probed complex window under the raised scoped-VMEM limit)
 ENABLED = True
 
 
@@ -109,6 +110,18 @@ _UNROLL = 6  # tournament rounds fused per fori_loop iteration
 
 _M_CAP = 8  # max matrices stacked per grid program
 _VMEM_BUDGET = 14 * 1024 * 1024  # of the ~16 MB scoped VMEM
+
+# Complex-pair calls raise the scoped-VMEM limit instead of shrinking the
+# window: the complex round's Re/Im quarter temporaries defeat Mosaic's
+# buffer reuse, and the measured scoped allocation at m=1 is roughly
+# n-independent (16.2-22.0 MB across n in [288, 512] under the 16 MiB
+# default cap; n <= 256 fits even that).  The allocator also EXPANDS
+# into whatever cap it is given (n=512 wanted 18.59 MB under 16 MiB,
+# 33.04 under 30 MiB, fits at 40 MiB — hardware probes 2026-08-20), so
+# the shipped cap is the probed fit-everything value, well inside the
+# v5e's 128 MiB VMEM.
+_CX_VMEM_LIMIT = 40 * 1024 * 1024
+_CX_NMAX = 512  # hardware-probed complex window cap (see use_jacobi_for)
 
 # Runtime guard on the DC warm start (see _guard_warm_start): relative
 # ||G0^T G0 - A_shift^2||_F threshold above which a matrix falls back to
@@ -422,24 +435,25 @@ def _deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
     return g0
 
 
-def _panel_bytes(n: int, width: int, complexpair: bool = False) -> int:
-    """Modeled VMEM footprint of ONE matrix in the sweep kernel: in + out
-    blocks with pipeline double-buffering (~4 n*width planes) plus the
-    round loop's live top/bot temporaries (~1 plane).  Validated by the
-    measured 18.7 MB OOM at n=704, m=2 (model: 19.8 MB).
+def _panel_bytes(n: int, width: int) -> int:
+    """Modeled VMEM footprint of ONE matrix in the REAL sweep kernel:
+    in + out blocks with pipeline double-buffering (~4 n*width planes)
+    plus the round loop's live top/bot temporaries (~1 plane).
+    Validated by the measured 18.7 MB OOM at n=704, m=2 (model:
+    19.8 MB).
 
-    The complex-pair kernel holds ~9 (n, width) planes, not 5: each
-    round splits top/bot into Re/Im halves and materializes the
-    phase-aligned quarters plus their reconcatenations (measured
-    18.59 MB at n=512, width=1024 = 8.86 planes — the old 5-plane model
-    admitted n=512, which OOMs on hardware; the round-2b "n<=512
-    validated" window was CPU-interpret only)."""
-    return (9 if complexpair else 5) * n * width * 4
+    The complex-pair kernel does NOT follow a plane model: its measured
+    scoped allocation at m=1 is roughly n-independent (16.2-22.0 MB
+    across n in [288, 512], hardware probe 2026-08-20 — the phase-
+    aligned Re/Im quarter temporaries and reconcatenations defeat
+    Mosaic's buffer reuse across the unrolled rounds).  Complex calls
+    are therefore gated by the probed `_CX_NMAX` window at m=1 under
+    the raised `_CX_VMEM_LIMIT` instead of this model."""
+    return 5 * n * width * 4
 
 
 def _mats_per_program(n: int, width: int, batch: int,
-                      m_cap: Optional[int] = None,
-                      complexpair: bool = False) -> int:
+                      m_cap: Optional[int] = None) -> int:
     """How many matrices to stack per grid program: grow the VPU op shapes
     for small n, stay within the 16 MB scoped-VMEM limit for large n.
     Per-matrix footprint: in + out blocks with pipeline double-buffering
@@ -455,7 +469,7 @@ def _mats_per_program(n: int, width: int, batch: int,
     8x).  ``m_cap`` overrides the default ``_M_CAP`` stack bound — the
     windowed local phase stacks many narrow (2w, n) sub-panels per
     program to keep the grid short."""
-    bytes_per_mat = _panel_bytes(n, width, complexpair)
+    bytes_per_mat = _panel_bytes(n, width)
     cap = _M_CAP if m_cap is None else m_cap
     m = max(1, min(cap, _VMEM_BUDGET // max(bytes_per_mat, 1)))
     return min(m, max(batch, 1))
@@ -738,15 +752,28 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     from jax.experimental import pallas as pl
 
     B, n, width = a.shape
-    if not interpret and _panel_bytes(n, width, complexpair) > _VMEM_BUDGET:
-        raise ValueError(
-            "jacobi_eigh sweep kernel: one (%d, %d) panel needs %.1f MB "
-            "of VMEM against the ~16 MB scoped budget (model: %d planes "
-            "with pipeline double-buffering) — use jnp.linalg.eigh / "
-            "symeig(method=\"exacteig\") for matrices this large"
-            % (n, width, _panel_bytes(n, width, complexpair) / 1e6,
-               9 if complexpair else 5))
-    m = _mats_per_program(n, width, B, m_cap, complexpair)
+    if complexpair:
+        # hardware-probed window (not a plane model: the measured scoped
+        # allocation is roughly n-independent at m=1, 16.2-22.0 MB for
+        # n in [288, 512] — see _CX_VMEM_LIMIT); one matrix per program
+        if not interpret and n > _CX_NMAX:
+            raise ValueError(
+                "jacobi_eigh complex-pair kernel: n=%d exceeds the "
+                "hardware-validated n <= %d window (the kernel's scoped-"
+                "VMEM footprint is measured, not modeled, past it) — use "
+                "jnp.linalg.eigh / symeig(method=\"exacteig\") for "
+                "complex matrices this large" % (n, _CX_NMAX))
+        m = 1
+    else:
+        if not interpret and _panel_bytes(n, width) > _VMEM_BUDGET:
+            raise ValueError(
+                "jacobi_eigh sweep kernel: one (%d, %d) panel needs "
+                "%.1f MB of VMEM against the ~16 MB scoped budget "
+                "(model: 5 planes with pipeline double-buffering) — use "
+                "jnp.linalg.eigh / symeig(method=\"exacteig\") for "
+                "matrices this large"
+                % (n, width, _panel_bytes(n, width) / 1e6))
+        m = _mats_per_program(n, width, B, m_cap)
     if B % m:
         # pad the batch with identity-like matrices (diag already set by
         # the caller's shift; zeros converge instantly and are sliced off)
@@ -769,6 +796,22 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
     kfn = _jacobi_kernel_complex if complexpair else _jacobi_kernel
     kernel = functools.partial(kfn, n=n, m=m, max_sweeps=max_sweeps,
                                tol2=tol * tol)
+    cx_extra = {}
+    if complexpair and not interpret and memspace is not None:
+        # The complex round's phase-aligned Re/Im quarter temporaries and
+        # their reconcatenations defeat Mosaic's buffer reuse across the
+        # _UNROLL-ed rounds: measured scoped allocations at m=1 sit at a
+        # roughly n-INDEPENDENT 16.2-22.0 MB across n in [288, 512]
+        # (2026-08-20 hardware probe), blowing the 16 MB default scoped-
+        # VMEM limit at every size.  v5e VMEM is far larger (128 MiB);
+        # raise the scoped limit for this call like the sweeps-output
+        # variant below does.  m is pinned to 1 for complex above.
+        from jax.experimental.pallas import tpu as pltpu
+        _Params = getattr(pltpu, "CompilerParams",
+                          getattr(pltpu, "TPUCompilerParams", None))
+        if _Params is not None:
+            cx_extra["compiler_params"] = _Params(
+                vmem_limit_bytes=_CX_VMEM_LIMIT)
     if return_sweeps and not complexpair:
         # the sweep-count output is one SMEM block spanning the whole
         # (nprog, 1) array (the TPU lowering rejects per-program partial
@@ -805,6 +848,7 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
         out_specs=spec(),
         out_shape=jax.ShapeDtypeStruct((Bpad, n, width), a.dtype),
         interpret=interpret,
+        **cx_extra,
     )(a)
     return g[:B]
 
@@ -1256,14 +1300,14 @@ def use_jacobi_for(A: jnp.ndarray) -> bool:
     n = A.shape[-1]
     npad = max(16, -(-n // 16) * 16)
     if jnp.iscomplexobj(A):
-        # [Re|Im] plane packing doubles the panel width AND the
-        # complex-pair kernel's live set is ~9 planes (see
-        # _panel_bytes): the budget caps npad at 448.  The old
-        # 5-plane model admitted n=512, which OOMed on hardware
-        # (18.59 MB vs the 16 MB scope, measured 2026-08-20).
+        # hardware-probed window: the complex-pair kernel runs one
+        # matrix per program under the raised _CX_VMEM_LIMIT (its
+        # measured scoped allocation is roughly n-independent,
+        # 16.2-22.0 MB for n in [288, 512] — no plane model applies;
+        # see _panel_bytes).  Validated through npad = _CX_NMAX = 512
+        # on a v5e 2026-08-20.
         ok_dtype = A.dtype == jnp.complex64
-        ok_size = _panel_bytes(npad, 2 * npad, complexpair=True) \
-            <= _VMEM_BUDGET
+        ok_size = npad <= _CX_NMAX
     else:
         # budget-derived cap: 5*npad^2*4 <= 14 MiB <=> npad <= 848; past
         # that a single matrix's panel would blow the scoped VMEM and
