@@ -80,6 +80,18 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
     "resid_rel"}`` (f32 scalars, zero gradients); in eager mode a
     :class:`ConvergenceWarning` is emitted on non-convergence.
 
+    .. note:: **Default-routing residual grade.** With ``method=None`` on
+       a TPU backend and an extreme-k ask (``neig*16 <= n``, ``n >= 128``,
+       real, ``M is None``), the default routes to the iterative
+       ``chebfsi`` targeting ``sqrt(eps)*||A||`` eigenvector residuals —
+       this matches the dense route's eigenVALUE accuracy (value error is
+       quadratic in the residual) but is a looser eigenVECTOR grade than
+       ``exacteig``'s ``~eps*||A||`` (~3e-4 vs ~1e-7 relative in f32), and
+       implicit-function gradients inherit the vector grade.  Pass
+       ``min_eps`` for tighter residuals or ``method="exacteig"`` for the
+       reference default; see ``_auto_symeig_method`` for the full
+       contract.
+
     Examples
     --------
     >>> import jax.numpy as jnp
@@ -122,8 +134,12 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
             # Kron operators outside the kron_exact guard (M-generalized
             # pencils) must NOT hit exacteig: materializing a Kronecker
             # structure is O(N^2) memory (a 3-factor 64^3 KronSum is
-            # ~275 GB dense).  davidson stays matrix-free.
+            # ~275 GB dense).  davidson stays matrix-free.  This is a
+            # silent iterative route, so mark it auto-routed: the
+            # always-compute-info + eager non-convergence warning
+            # contract below then covers it.
             method = "davidson"
+            auto_routed = "davidson"
         else:
             method = _auto_symeig_method(A, neig, M)
             auto_routed = method if method != "exacteig" else None

@@ -36,6 +36,7 @@ Summary of the measured verdicts (details: benchmarks/FINISHER_NOTES.md):
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -484,3 +485,279 @@ def _gram_windowed(p: jnp.ndarray, tol: float, interpret: bool,
         p = lax.dynamic_update_slice_in_dim(
             p, core.reshape(B, nb * bs, n), off, axis=1)
     return p
+
+
+# ---------------------------------------------------------------------------
+# Round-4 concluded research: the DC-DEFLATED eigh pipeline (exact
+# first-power T-block leaf solves).  Measured on v5e at B=64 n=256:
+# 907.6 decomps/s at equal quality vs 1,083.4 for the default DC warm
+# start (deflate_e2e_probe.py 2026-08-20) — a slower-than-default
+# opt-in, so the machinery lives here (VERDICT r4 item 7) and
+# ``jacobi_eigh(deflate=True)`` reaches it through a lazy import.
+# benchmarks/FINISHER_NOTES.md records why the family cannot reach 10x
+# (the finisher's interference-limited ~2.4x/sweep decay binds, not the
+# warm-start entry level).
+# ---------------------------------------------------------------------------
+
+import functools
+
+from .jacobi_eigh import _UNROLL, _mats_per_program
+
+_REFINE_EMAX = 0.02  # gap clip for the unshifted Rayleigh refinement
+
+
+@functools.lru_cache(maxsize=None)
+def _restore_perm_table(n: int, max_sweeps: int):
+    """Row-gather table undoing the sweep kernel's tournament drift.
+
+    The Brent-Luk shuffle (`_shuffle`) advances row contents one fixed
+    permutation ``sigma`` per round; its period is ``n - 1`` (slot 0 is
+    pinned, the rest form one cycle), but a sweep executes
+    ``ceil((n-1)/U)*U`` rounds — not a multiple of the period — so after
+    ``k`` sweeps the panel rows sit at ``sigma^(k*R)`` of their original
+    slots.  The eigh path never cares (it sorts by eigenvalue), but the
+    deflated path's masked window solves need PASS-THROUGH rows (zero
+    coupling — they never rotate, only ride the shuffle) back at their
+    original slots so the window rotation is exactly identity outside
+    its segment.  Entry ``[k, i]``: the slot holding original row ``i``
+    after ``k`` sweeps.  Trace-time only (numpy, cached)."""
+    import numpy as np
+
+    h = n // 2
+    rounds = -(-(n - 1) // _UNROLL) * _UNROLL
+    table = np.zeros((max_sweeps + 1, n), np.int64)
+    for k in range(max_sweeps + 1):
+        track = np.arange(n)
+        for _ in range((rounds * k) % (n - 1)):
+            t, b = track[:h], track[h:]
+            track = np.concatenate(
+                [t[0:1], b[0:1], t[1:h - 1], b[1:], t[h - 1:h]])
+        # track[i] = original row now at slot i; invert for the gather
+        inv = np.empty(n, np.int64)
+        inv[track] = np.arange(n)
+        table[k] = inv
+    return table.astype(np.int32)
+
+
+def _window_solve(blocks: jnp.ndarray, *, max_sweeps: int,
+                  interpret: bool, m_cap: Optional[int] = None,
+                  sort_valid: Optional[jnp.ndarray] = None
+                  ) -> jnp.ndarray:
+    """Orthogonal rotations diagonalizing (BB, w, w) symmetric blocks,
+    returned with rows = eigenvectors^T in ORIGINAL slot order (no
+    global eigenvalue sort): a block row whose off-diagonal couplings
+    are exactly zero ("pass-through" — the deflated path's masked
+    out-of-segment slots) maps to exactly its own unit vector at its
+    own slot, so the rotation is identity there.
+
+    Pipeline: per-block Gershgorin PSD shift -> sweep kernel (with the
+    per-program executed-sweep-count export) -> tournament-drift
+    restore (`_restore_perm_table` gathered by each program's dynamic
+    sweep count) -> row normalization.  Rotating panel rows by the
+    result preserves the G-invariant (orthogonal to the kernel's
+    ~eps*sqrt(w)), so `_guard_warm_start` downstream keeps full
+    correctness authority.
+
+    ``sort_valid`` ((BB, w) bool): reorder the rows at TRUE slots
+    ascending by eigenvalue among themselves (pass-through slots stay
+    pinned).  The deflated path needs this: the DC slot assignment is
+    spectral (segment s holds eigenvalues below segment s+1), and its
+    boundary windows find a missorted near-degenerate pair only if
+    each segment's solved rows sit in spectral order — the kernel's
+    natural row order is tournament-dynamics noise (measured on chip:
+    unsorted leaves left cross-segment pair cosines at 0.104 vs the
+    1.9e-6 guard floor, 4-5 finisher sweeps instead of 0)."""
+    BB, w, _ = blocks.shape
+    dt = blocks.dtype
+    tol = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(w)
+    absb = jnp.abs(blocks)
+    diag = jnp.diagonal(blocks, axis1=-2, axis2=-1)
+    offsum = jnp.sum(absb, axis=-1) - jnp.diagonal(absb, axis1=-2,
+                                                   axis2=-1)
+    lower = jnp.min(diag - offsum, axis=-1)
+    frob = jnp.sqrt(jnp.sum(absb * absb, axis=(-2, -1)))
+    sigma = (jnp.maximum(-lower, 0.0) + jnp.asarray(0.01, dt) * frob
+             + jnp.asarray(1e-30, dt))
+    shifted = blocks + sigma[:, None, None] * jnp.eye(w, dtype=dt)
+    gt, sweeps = _pallas_g_panel(shifted, max_sweeps, tol, interpret,
+                                 complexpair=False, return_sweeps=True,
+                                 m_cap=m_cap)
+    m = _mats_per_program(w, w, BB, m_cap)
+    table = jnp.asarray(_restore_perm_table(w, max_sweeps))
+    fix = table[sweeps[jnp.arange(BB) // m]]               # (BB, w)
+    gt = jnp.take_along_axis(gt, fix[:, :, None], axis=1)
+    nrm = jnp.sqrt(jnp.sum(gt * gt, axis=-1, keepdims=True))
+    R = gt / jnp.maximum(nrm, jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+    if sort_valid is not None:
+        slot = jnp.arange(w)[None, :]
+        lam = nrm[:, :, 0]                    # lambda + sigma, monotone
+        # rows by ascending eigenvalue among valid, then pass-through
+        # rows in slot order (stable argsort on equal +inf keys)
+        ord_v = jnp.argsort(jnp.where(sort_valid, lam, jnp.inf), axis=-1)
+        # target slots: valid slots ascending, then pass-through slots
+        # ascending — tail ranks pair each pass-through row with its
+        # own slot, so they stay pinned
+        vpos = jnp.argsort(jnp.where(sort_valid, slot, w + slot), axis=-1)
+        gather = jnp.zeros((BB, w), jnp.int32).at[
+            jnp.arange(BB)[:, None], vpos].set(ord_v.astype(jnp.int32))
+        R = jnp.take_along_axis(R, gather[:, :, None], axis=1)
+    return R
+
+
+_BOUNDARY_HALF = 16  # boundary-window half-width (stage 2); clusters up
+# to 2*_BOUNDARY_HALF eigenvalues wide that a segment boundary cut are
+# solved exactly; wider ones are left to the finisher
+
+_S1_MCAP = 32  # matrices per grid program for the stage-1 window solves
+_S2_MCAP = 64  # ... and the small boundary-window solves: the windows
+# are far smaller than the default 8-stack tuning point (w ~ 3n/8 and
+# 32), so stacking more both grows the VPU op shapes and cuts the
+# per-program while_loop/gauge overhead
+
+
+def deflated_panel(a_shift: jnp.ndarray, *, max_sweeps: int,
+                   interpret: bool, levels: int = 2) -> jnp.ndarray:
+    """DC-deflated warm panel: spectral divide-and-conquer sort
+    (``refine=1`` — the probe+polar basis leak must be healed or leaf
+    cross-coupling floors at ~1e-3, see dc_kernel), then *solve* the
+    decoupled diagonal blocks of the exact conjugated
+    ``T = Q^T A_shift Q`` with the sweep kernel at window size instead
+    of warm-starting full-n sweeps (a window sweep costs ``(w/n)^3`` of
+    a full-n sweep, and the windows stack into fuller grid programs).
+
+    Stage 1 solves one masked window per DC segment, SEGMENT-ALIGNED:
+    boundaries are data-dependent (median-rank drift, measured
+    91/65/56/44 vs the nominal 64s at n=256), so windows are cut at
+    each segment's own start (`return_seg`) with out-of-segment slots
+    masked to pass-through — fixed-offset blocks would split dense
+    segments mid-cluster and stall the finisher.  Stage 2 solves small
+    unmasked windows astride each segment boundary, catching clusters
+    the split cut.  Remaining coupling: well-gapped far pairs
+    (`_rot_correct` kills them at first order) and clusters wider than
+    the boundary window (left to the finisher kernel, which certifies
+    convergence either way — a soft split costs sweeps, never
+    correctness).
+
+    ``levels`` fixed at 2: 4 segments balance window cost
+    (``4*(3n/8)^3 ~ 0.2 n^3`` per window sweep) against DC depth.
+    """
+    B, n, _ = a_shift.shape
+    ns = 2 ** levels
+    dt = a_shift.dtype
+    hi = jax.lax.Precision.HIGHEST
+    from .dc_kernel import dc_precondition_tpu
+    g0, T, seg = dc_precondition_tpu(a_shift, levels=levels, min_seg=2,
+                                     interpret=interpret, return_t=True,
+                                     return_seg=True, refine=1)
+    seg = seg[:, :, 0]                                     # (B, n) int32
+    # window = 1.5x the nominal segment size, 16-aligned: covers the
+    # measured ~1.42x median-rank drift; an overflowing tail is left to
+    # the finisher (sweeps, never correctness)
+    w = min(n, max(32, -(-3 * n // (2 * ns * 16)) * 16))
+    starts = jnp.stack(
+        [jnp.clip(jnp.sum((seg < s).astype(jnp.int32), axis=-1), 0, n - w)
+         for s in range(ns)], axis=1)                      # (B, ns)
+
+    loc = jnp.arange(w, dtype=dt)
+
+    def slice_block(Tb, segb, st, sid):
+        blk = lax.dynamic_slice(Tb, (st, st), (w, w))
+        valid = lax.dynamic_slice(segb, (st,), (w,)) == sid
+        vv = valid[:, None] & valid[None, :]
+        # pass-through slots: exactly zero couplings + a positive
+        # diagonal (value irrelevant — they never rotate)
+        blk = (jnp.where(vv, blk, jnp.asarray(0.0, dt))
+               + jnp.diag(jnp.where(valid, jnp.asarray(0.0, dt),
+                                    1.0 + loc)))
+        return blk, valid
+
+    blocks, valid = [jnp.stack(x, axis=1) for x in zip(
+        *[jax.vmap(slice_block, in_axes=(0, 0, 0, None))(
+            T, seg, starts[:, s], s) for s in range(ns)])]
+    R = _window_solve(blocks.reshape(B * ns, w, w),
+                      max_sweeps=max_sweeps, interpret=interpret,
+                      m_cap=_S1_MCAP,
+                      sort_valid=valid.reshape(B * ns, w)
+                      ).reshape(B, ns, w, w)
+
+    def apply_rows(Pb, Rb, st):
+        rows = lax.dynamic_slice(Pb, (st, 0), (Rb.shape[0], Pb.shape[-1]))
+        return lax.dynamic_update_slice(
+            Pb, jnp.matmul(Rb, rows, precision=hi), (st, 0))
+
+    def apply_cols(Tb, Rb, st):
+        cols = lax.dynamic_slice(Tb, (0, st), (Tb.shape[0], Rb.shape[0]))
+        return lax.dynamic_update_slice(
+            Tb, jnp.matmul(cols, jnp.swapaxes(Rb, -1, -2), precision=hi),
+            (0, st))
+
+    # stage-1 rotations are identity outside their own segment, so the
+    # (possibly overlapping) window applications commute exactly
+    for s in range(ns):
+        g0 = jax.vmap(apply_rows)(g0, R[:, s], starts[:, s])
+        T = jax.vmap(apply_rows)(T, R[:, s], starts[:, s])
+        T = jax.vmap(apply_cols)(T, R[:, s], starts[:, s])
+
+    # stage 2: unmasked boundary windows on the stage-1-conjugated T.
+    # Rare overlapping windows (segments narrower than the window) make
+    # the later rotation act on a stale block — suboptimal, still
+    # orthogonal, so it costs finisher sweeps at worst.
+    bw = 2 * _BOUNDARY_HALF
+    if n > bw:
+        bstarts = jnp.clip(starts[:, 1:] - _BOUNDARY_HALF, 0, n - bw)
+        bblocks = jnp.stack(
+            [jax.vmap(lambda Tb, st: lax.dynamic_slice(
+                Tb, (st, st), (bw, bw)))(T, bstarts[:, s])
+             for s in range(ns - 1)],
+            axis=1).reshape(B * (ns - 1), bw, bw)
+        Rb = _window_solve(bblocks, max_sweeps=max_sweeps,
+                           interpret=interpret,
+                           m_cap=_S2_MCAP).reshape(B, ns - 1, bw, bw)
+        for s in range(ns - 1):
+            g0 = jax.vmap(apply_rows)(g0, Rb[:, s], bstarts[:, s])
+    return g0
+
+
+def deflate_refine(a0: jnp.ndarray, V: jnp.ndarray, AV: jnp.ndarray,
+                   lam: jnp.ndarray):
+    """Post-polish Rayleigh-Ritz rotation on the UNSHIFTED input for the
+    deflated path: the Gram gauge certifies pair cosines <= tol in the
+    sigma-SHIFTED-squared metric, where the Gershgorin margin inflates
+    mid-spectrum relative gaps by ~(sigma/lambda)^2 — gauge-level mixing
+    then maps to vector error ~ tol/relgap(lambda'^2).  The cold sweep
+    escapes via quadratic overshoot below tol; the deflated panel ENTERS
+    the finisher just under tol and exits at the floor (measured colres
+    3.4e-5 vs cold 1.6e-6 at n=200).  One gap-clipped first-order
+    rotation against H = V^T A V (honest unshifted gaps) lands the
+    residual back at the HIGHEST-matmul noise floor ~eps*sqrt(n);
+    near-degenerate pairs are clipped — within-cluster mixing shares the
+    eigenvalue and never shows in the residual.  Cost: ~9 batched (n, n)
+    matmuls ~ 1 ms at B=64, n=256, vs the ~8 ms finisher sweep the
+    deflation saved.  Returns the refined (lam, V) UNSORTED (the caller
+    runs the authoritative ascending sort).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    dt = V.dtype
+    eye_n = jnp.eye(V.shape[-1], dtype=dt)
+    H = jnp.matmul(jnp.swapaxes(V, -2, -1), AV, precision=hi)
+    denom = lam[..., None, :] - lam[..., :, None]
+    # tighter clip than jacobi_eigh._ROT_EMAX: on HONEST gaps the E
+    # field near clusters is dense enough that |E_ij| <= 0.1 still lets
+    # ||E||_2 reach O(1) and underconverge the 3-step NS polar
+    # (measured orth 2.2e-4 / lam_err 2.5e-5 at emax=0.1 on a 16-wide
+    # cluster; 9.7e-6 / 2.0e-6 at 0.02)
+    live = jnp.logical_and(
+        jnp.abs(H) <= _REFINE_EMAX * jnp.abs(denom),
+        jnp.abs(denom) > jnp.asarray(jnp.finfo(dt).tiny * 16, dt))
+    E = jnp.where(live, H / jnp.where(live, denom, 1.0),
+                  jnp.asarray(0.0, dt))
+    R = eye_n + E
+    for _ns in range(3):
+        RtR = jnp.matmul(jnp.swapaxes(R, -2, -1), R, precision=hi)
+        R = jnp.matmul(R, 1.5 * eye_n - 0.5 * RtR, precision=hi)
+    V = jnp.matmul(V, R, precision=hi)
+    VtV = jnp.matmul(jnp.swapaxes(V, -2, -1), V, precision=hi)
+    V = jnp.matmul(V, 1.5 * eye_n - 0.5 * VtV, precision=hi)
+    AV = jnp.matmul(a0, V, precision=hi)
+    lam = jnp.real(jnp.sum(V.conj() * AV, axis=-2))
+    return lam, V
