@@ -210,18 +210,38 @@ def measure(kind, B, N, grad=False, ref_grads=None):
         return jnp.sum(yy * yy)
 
     grad_fn = jax.grad(loss_fn, argnums=(0, 1))
-    if ref_grads is not None:
+    if ref_grads is not None or kind == "min_lbfgs":
         ga, gb = jax.jit(grad_fn)(a, b)
         ours = np.concatenate([np.asarray(ga, np.float64).ravel(),
                                np.asarray(gb, np.float64).ravel()])
-        ref = np.concatenate([ref_grads[0].ravel(), ref_grads[1].ravel()])
-        rel = float(np.linalg.norm(ours - ref) / np.linalg.norm(ref))
-        rec["grad_rel_err"] = rel
-        # min_lbfgs converges only to the f32 gradient floor (~1e-5 at
-        # these scales), so its implicit grads carry ~1e-2 argmin noise;
-        # the other suites sit at ~1e-6
-        lim = 5e-2 if kind == "min_lbfgs" else 2e-2
-        assert rel < lim, "gradient parity %g vs reference f64" % rel
+        if kind == "min_lbfgs":
+            # gate against the CLOSED-FORM f64 oracle, not torch: both
+            # sides converge the argmin only to their own gradient
+            # floors, and at (512, 32) the torch joint broyden's argmin
+            # slack alone puts torch-vs-ours at ~0.2 — each side must
+            # instead be near the exact gradient.  y* = A^{-1} b for the
+            # least-squares objective, so with g_b = 2 A^{-T} y*:
+            # dL/db = g_b, dL/dA = -g_b y*^T.
+            y = np.linalg.solve(a_np, b_np[..., None])[..., 0]
+            gb_o = 2.0 * np.linalg.solve(
+                np.swapaxes(a_np, -1, -2), y[..., None])[..., 0]
+            ga_o = -gb_o[..., :, None] * y[..., None, :]
+            oracle = np.concatenate([ga_o.ravel(), gb_o.ravel()])
+            rel = float(np.linalg.norm(ours - oracle)
+                        / np.linalg.norm(oracle))
+            rec["grad_rel_err_vs_exact"] = rel
+            if ref_grads is not None:
+                ref = np.concatenate([g.ravel() for g in ref_grads])
+                rec["ref_grad_rel_err_vs_exact"] = float(
+                    np.linalg.norm(ref - oracle) / np.linalg.norm(oracle))
+            # f32 argmin at gtol 1e-5 puts the implicit grads at ~1e-2
+            assert rel < 5e-2, "gradient parity %g vs exact" % rel
+        else:
+            ref = np.concatenate([ref_grads[0].ravel(),
+                                  ref_grads[1].ravel()])
+            rel = float(np.linalg.norm(ours - ref) / np.linalg.norm(ref))
+            rec["grad_rel_err"] = rel
+            assert rel < 2e-2, "gradient parity %g vs reference f64" % rel
     per = _timed_pair(lambda a_, b_: grad_fn(a_, b_), (a, b))
     rec["metric"] = "batched %s GRAD (loss o solver) grads/sec" \
         % _kind_label(kind)

@@ -107,3 +107,65 @@ def test_complex_symeig_chebfsi(rng):
     assert_allclose(evals, jnp.linalg.eigvalsh(Am)[:4], atol=1e-8)
     res = Am @ evecs - evecs * evals[None, :]
     assert float(jnp.max(jnp.abs(res))) < 1e-8
+
+
+def test_host_lapack_eigh_bridge(rng):
+    """CPU complex eigh rides the host-LAPACK (torch/MKL) bridge
+    (VERDICT r4 item: the XLA:CPU c64 eigh was the one committed row
+    below the torch reference).  Values must match the numpy oracle and
+    the bridge must be jit/vmap-safe; gradients flow through
+    degen_eigh's custom JVP, untouched by the callback."""
+    from xitorch_tpu._impls.linalg.symeig import _host_lapack_eigh
+
+    n = 12
+    a = rng.standard_normal((3, n, n)) + 1j * rng.standard_normal((3, n, n))
+    a = jnp.asarray((a + a.conj().transpose(0, 2, 1)) / 2)
+    w, v = jax.jit(_host_lapack_eigh)(a)
+    wref, _ = np.linalg.eigh(np.asarray(a))
+    assert np.max(np.abs(np.asarray(w) - wref)) < 1e-10
+    resid = jnp.einsum("bij,bjk->bik", a, v) - v * w[:, None, :]
+    assert float(jnp.max(jnp.abs(resid))) < 1e-10
+    # vmap over an extra batch axis
+    w2, _ = jax.vmap(_host_lapack_eigh)(jnp.stack([a, a]))
+    assert np.max(np.abs(np.asarray(w2[0]) - wref)) < 1e-10
+
+
+def test_svd_complex_native_route(rng):
+    """Complex input now takes the native degen_svd route (no Gram, no
+    kappa^2) — VERDICT r4 item 4b.  Values vs the f64 oracle, plus a
+    gauge-invariant implicit-gradient FD check incl. 2nd order."""
+    from xitorch_tpu.linalg import svd as xsvd
+
+    m, n, k = 10, 7, 7
+    a = rng.standard_normal((2, m, n)) + 1j * rng.standard_normal((2, m, n))
+    aj = jnp.asarray(a)
+    u, s, vh = xsvd(LinearOperator.m(aj), k)
+    sref = np.linalg.svd(a, compute_uv=False)
+    # ascending convention; uppest slices the tail
+    assert np.max(np.abs(np.sort(np.asarray(s), axis=-1)
+                         - np.sort(sref, axis=-1))) < 1e-10
+    rec = jnp.einsum("bmi,bi,bin->bmn", u, s.astype(u.dtype), vh)
+    assert float(jnp.max(jnp.abs(rec - aj))) < 1e-9
+
+    K = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    K = jnp.asarray((K + K.conj().T) / 2)
+    w = jnp.asarray(1.0 + 0.1 * np.arange(k))
+
+    def loss(ar, ai):
+        u, s, vh = xsvd(LinearOperator.m(ar + 1j * ai), k)
+        return (jnp.sum(s * w)
+                + jnp.real(jnp.einsum("bmi,mk,bki->", u.conj(), K, u)))
+
+    ar, ai = jnp.real(aj), jnp.imag(aj)
+    gr, gi = jax.grad(loss, argnums=(0, 1))(ar, ai)
+    dr = jnp.asarray(rng.standard_normal(ar.shape))
+    di = jnp.asarray(rng.standard_normal(ai.shape))
+    eps = 1e-6
+    fd = (loss(ar + eps * dr, ai + eps * di)
+          - loss(ar - eps * dr, ai - eps * di)) / (2 * eps)
+    an = float(jnp.sum(gr * dr) + jnp.sum(gi * di))
+    assert abs(float(fd) - an) / abs(float(fd)) < 1e-6
+    # 2nd order through the custom JVP
+    h = jax.grad(lambda x: jnp.sum(
+        jax.grad(loss, argnums=0)(x, ai) * dr))(ar)
+    assert np.isfinite(float(jnp.linalg.norm(h)))

@@ -224,8 +224,12 @@ def test_jacobi_svd_rank_deficient_and_errors():
     s0 = jnp.sort(jnp.linalg.svd(a, compute_uv=False), axis=-1)
     assert jnp.max(jnp.abs(s - s0)) < 1e-10
     assert jnp.max(s[:, :-2]) < 1e-10
-    with pytest.raises(ValueError):
-        jacobi_svd(a.astype(jnp.complex128), interpret=True)
+    # complex input is now supported (packed-plane complex-pair kernel);
+    # the rank-deficient contract carries over
+    uc, sc, vc = jacobi_svd(a.astype(jnp.complex128) * (0.6 + 0.8j),
+                            interpret=True)
+    assert jnp.max(jnp.abs(sc - s0)) < 1e-9
+    assert jnp.max(sc[:, :-2]) < 1e-9
 
 
 def test_use_jacobi_svd_gate_off_tpu():
@@ -638,3 +642,29 @@ def test_deflated_eigh_rejects_complex_and_gate():
     # auto gate: None window means deflate stays off unless requested
     assert JE._DEFLATE_WIN is None or (
         isinstance(JE._DEFLATE_WIN, tuple) and len(JE._DEFLATE_WIN) == 2)
+
+
+def test_jacobi_svd_complex_packed_planes():
+    """Complex Hestenes SVD on the packed-plane complex-pair kernel
+    (interpret mode): rectangular both ways + square, f32-grade quality
+    vs the f64 oracle (VERDICT r4 item 4b)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    hi = jax.lax.Precision.HIGHEST
+    for (m, n) in [(96, 64), (64, 96), (80, 80)]:
+        a = (rng.standard_normal((2, m, n))
+             + 1j * rng.standard_normal((2, m, n))).astype(np.complex64)
+        u, s, v = jacobi_svd(jnp.asarray(a), interpret=True)
+        sref = np.sort(np.linalg.svd(a.astype(np.complex128),
+                                     compute_uv=False), axis=-1)
+        assert np.max(np.abs(np.asarray(s) - sref) / sref[:, -1:]) < 2e-5
+        r = min(m, n)
+        rec = jnp.einsum("bmi,bi,bni->bmn", u, jnp.asarray(s), v.conj(),
+                         precision=hi)
+        assert float(jnp.max(jnp.abs(rec - a))) < 1e-4 * float(sref.max())
+        for q in (u, v):
+            orth = jnp.max(jnp.abs(jnp.einsum(
+                "bmi,bmj->bij", q.conj(), q, precision=hi)
+                - jnp.eye(r, dtype=q.dtype)))
+            assert float(orth) < 5e-6, float(orth)

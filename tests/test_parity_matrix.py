@@ -495,3 +495,272 @@ def test_interp1d_matrix(method, bc):
                       **kw)(jnp.asarray(xq_np))
     assert_allclose(out_j, out_ref.detach().numpy(), **RT)
     assert_allclose(jax.grad(loss_j)(y_j), g_ref.detach().numpy(), **RT)
+
+
+# ------------------------------------------- degeneracy + complex cells
+# (VERDICT r4 item 5: the reference's hardest test surface — degenerate
+# eigenvalue gradients (_tests/test_linop_fcns.py:182-348) and complex
+# dtypes — pinned against live torch at f64/c128.)
+
+DEGEN_METHODS = ["exacteig", "custom_exacteig"]
+
+
+@pytest.mark.parametrize("withM", [False, True])
+@pytest.mark.parametrize("method", DEGEN_METHODS)
+def test_symeig_degenerate_grad_matrix(method, withM):
+    """Reference test_symeig_A_degenerate / _AM_degenerate pattern: an
+    EXACTLY degenerate spectrum [1, 2, 2, 3, 3] and a loss invariant
+    under rotations inside the degenerate subspaces — the gradient is
+    then well-defined and the two implementations' degenerate-grad
+    conventions must agree in VALUE (not just pass their own FD
+    checks)."""
+    from xitorch.linalg import symeig as symeig_ref
+
+    n, neig = 5, 3
+    rng = np.random.default_rng(42)
+    mat_np = rng.standard_normal((n, n))
+    matM_np = rng.uniform(size=(n, n))
+    P2_np = rng.standard_normal((n, n))
+    a_np = np.asarray([1.0, 2.0, 3.0])
+
+    def build_ref(a, mat, matM, P2):
+        P, _ = torch.linalg.qr(mat)
+        b = torch.cat((a[:2], a[1:2], a[2:], a[2:]))
+        A = P.T @ torch.diag_embed(b) @ P
+        Al = xitorch_ref.LinearOperator.m(A, is_hermitian=True)
+        kw = {}
+        if withM:
+            PM, _ = torch.linalg.qr(matM)
+            M = PM.T @ PM
+            kw["M"] = xitorch_ref.LinearOperator.m(M, is_hermitian=True)
+        eivals, eivecs = symeig_ref(Al, neig=neig, method=method,
+                                    bck_options={"method": "exactsolve"},
+                                    **kw)
+        U = eivecs[:, 1:3]
+        return torch.einsum("rc,rc->", P2 @ U, U) + (eivals ** 2).sum()
+
+    a_t = torch.tensor(a_np, requires_grad=True)
+    mat_t = torch.tensor(mat_np, requires_grad=True)
+    matM_t = torch.tensor(matM_np, requires_grad=True)
+    P2_t = torch.tensor(P2_np, requires_grad=True)
+    loss_ref = build_ref(a_t, mat_t, matM_t, P2_t)
+    g_ref = torch.autograd.grad(loss_ref, (a_t, mat_t, P2_t),
+                                create_graph=True)
+    gg_ref, = torch.autograd.grad(
+        (g_ref[0] ** 2).sum() + (g_ref[1] ** 2).sum(), (mat_t,))
+
+    def loss_j(a, mat, matM, P2):
+        P, _ = jnp.linalg.qr(mat)
+        b = jnp.concatenate((a[:2], a[1:2], a[2:], a[2:]))
+        A = P.T @ (b[:, None] * P)
+        Al = LinOpTPU.m(A, is_hermitian=True)
+        kw = {}
+        if withM:
+            PM, _ = jnp.linalg.qr(matM)
+            kw["M"] = LinOpTPU.m(PM.T @ PM, is_hermitian=True)
+        eivals, eivecs = symeig_tpu(Al, neig=neig, method=method,
+                                    bck_options={"method": "exactsolve"},
+                                    **kw)
+        U = eivecs[:, 1:3]
+        return jnp.einsum("rc,rc->", P2 @ U, U) + jnp.sum(eivals ** 2)
+
+    args = (jnp.asarray(a_np), jnp.asarray(mat_np), jnp.asarray(matM_np),
+            jnp.asarray(P2_np))
+    assert_allclose(loss_j(*args), loss_ref.detach().numpy(), **RT)
+    g_j = jax.grad(loss_j, argnums=(0, 1, 3))(*args)
+    for ours, ref in zip(g_j, g_ref):
+        assert_allclose(ours, ref.detach().numpy(), rtol=1e-6, atol=1e-8)
+    gg_j = jax.grad(lambda m: sum(
+        jnp.sum(g ** 2) for g in jax.grad(
+            loss_j, argnums=(0, 1))(args[0], m, args[2], args[3])
+    ))(args[1])
+    assert_allclose(gg_j, gg_ref.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
+def _herm_c(ar, ai, xp):
+    """Hermitian matrix from real parameter planes (both frameworks)."""
+    A = ar + 1j * ai
+    return (A + xp.swapaxes(A, -1, -2).conj() if xp is jnp
+            else A + A.transpose(-2, -1).conj()) * 0.5
+
+
+@pytest.mark.parametrize("method", ["exactsolve", "cg", "gmres"])
+def test_solve_complex_matrix(method):
+    """c128 solve cells: values + gradients wrt the REAL AND IMAGINARY
+    parameter planes (convention-free across autodiff systems) pinned
+    against live torch.  Reference complex handling:
+    xitorch/linalg/solve.py + _tests include_complex cells."""
+    from xitorch.linalg import solve as solve_ref
+
+    n, nc = 6, 2
+    rng = np.random.default_rng(7)
+    ar_np = rng.standard_normal((n, n)) + np.eye(n) * n
+    ai_np = rng.standard_normal((n, n))
+    br_np = rng.standard_normal((n, nc))
+    bi_np = rng.standard_normal((n, nc))
+    opts = {} if method == "exactsolve" else \
+        {"rtol": 1e-12, "atol": 1e-14, "max_niter": 3000}
+
+    def loss_ref(ar, ai, br, bi):
+        A = _herm_c(ar, ai, torch)
+        x = solve_ref(xitorch_ref.LinearOperator.m(A, is_hermitian=True),
+                      (br + 1j * bi).to(A.dtype), method=method, **opts)
+        return (x * x.conj()).real.sum()
+
+    import warnings as _w
+
+    ts = [torch.tensor(v, requires_grad=True)
+          for v in (ar_np, ai_np, br_np, bi_np)]
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        lref = loss_ref(*ts)
+        g_ref = torch.autograd.grad(lref, ts)
+
+    def loss_j(ar, ai, br, bi):
+        A = _herm_c(ar, ai, jnp)
+        x = solve_tpu(LinOpTPU.m(A, is_hermitian=True),
+                      (br + 1j * bi).astype(A.dtype), method=method,
+                      **opts)
+        return jnp.sum(jnp.real(x * x.conj()))
+
+    args = tuple(jnp.asarray(v) for v in (ar_np, ai_np, br_np, bi_np))
+
+    # DOCUMENTED DEVIATION: the reference's scipy-ported gmres stalls at
+    # ~9e-3 residual on this well-conditioned c128 hermitian system
+    # (ConvergenceWarning after 3000 iters this session), so its value
+    # and grads are not a usable oracle for that one cell; ours solves
+    # it to ~7e-16 and is pinned against the direct f64 oracle instead.
+    A_c = (ar_np + 1j * ai_np)
+    A_c = (A_c + A_c.conj().T) / 2
+    x_direct = np.linalg.solve(A_c, br_np + 1j * bi_np)
+    l_direct = float(np.sum((x_direct * x_direct.conj()).real))
+    ref_ok = abs(float(lref.detach()) - l_direct) <= 1e-6 * abs(l_direct)
+    if ref_ok:
+        assert_allclose(loss_j(*args), lref.detach().numpy(), **RT)
+        g_j = jax.grad(loss_j, argnums=(0, 1, 2, 3))(*args)
+        for ours, ref in zip(g_j, g_ref):
+            assert_allclose(ours, ref.detach().numpy(), rtol=1e-6,
+                            atol=1e-8)
+    else:
+        assert method == "gmres", \
+            "only the reference gmres cell is known to stall"
+        assert_allclose(loss_j(*args), l_direct, **RT)
+        # grads vs the exactsolve route (itself torch-pinned above)
+        def loss_direct(ar, ai, br, bi):
+            A = _herm_c(ar, ai, jnp)
+            x = solve_tpu(LinOpTPU.m(A, is_hermitian=True),
+                          (br + 1j * bi).astype(A.dtype),
+                          method="exactsolve")
+            return jnp.sum(jnp.real(x * x.conj()))
+        g_j = jax.grad(loss_j, argnums=(0, 1, 2, 3))(*args)
+        g_o = jax.grad(loss_direct, argnums=(0, 1, 2, 3))(*args)
+        for ours, oracle in zip(g_j, g_o):
+            assert_allclose(ours, oracle, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["exacteig", "davidson"])
+def test_symeig_complex_matrix(method):
+    """c128 symeig cells: values + gauge-invariant eigenvector-loss
+    gradients wrt real/imag planes vs live torch, + gradgrad on the
+    dense route.  Reference: symeig complex offset
+    xitorch/linalg/symeig.py:360-363."""
+    from xitorch.linalg import symeig as symeig_ref
+
+    n, neig = 6, 2
+    rng = np.random.default_rng(11)
+    ar_np = rng.standard_normal((n, n))
+    ai_np = rng.standard_normal((n, n))
+    p2 = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    P2_np = (p2 + p2.conj().T) / 2
+    opts = {"min_eps": 1e-12, "max_niter": 10000} if method == "davidson" \
+        else {}
+
+    def loss_ref(ar, ai):
+        A = _herm_c(ar, ai, torch)
+        val, vec = symeig_ref(
+            xitorch_ref.LinearOperator.m(A, is_hermitian=True),
+            neig=neig, method=method,
+            bck_options={"method": "exactsolve"}, **opts)
+        quad = torch.einsum("ri,rc,ci->", vec.conj(),
+                            torch.tensor(P2_np), vec)
+        return (val ** 2).sum() + quad.real
+
+    def loss_j(ar, ai, m=None):
+        A = _herm_c(ar, ai, jnp)
+        val, vec = symeig_tpu(LinOpTPU.m(A, is_hermitian=True),
+                              neig=neig, method=(m or method),
+                              bck_options={"method": "exactsolve"}, **opts)
+        quad = jnp.einsum("ri,rc,ci->", vec.conj(), jnp.asarray(P2_np),
+                          vec)
+        return jnp.sum(val ** 2) + jnp.real(quad)
+
+    args = (jnp.asarray(ar_np), jnp.asarray(ai_np))
+    if method == "davidson":
+        # DOCUMENTED DEVIATION: the reference's davidson CRASHES on
+        # complex input — its tallqr Gram is V^T M V without conj
+        # (/root/reference/xitorch/_utils/tensor.py:15-16), which is not
+        # hermitian-PSD for complex V, so torch.linalg.cholesky raises.
+        # Ours fixes the conj (utils/tensor.tallqr) and is pinned here
+        # against our exacteig route (itself torch-pinned below).
+        with pytest.raises(Exception, match="positive-definite"):
+            ts = [torch.tensor(v, requires_grad=True)
+                  for v in (ar_np, ai_np)]
+            loss_ref(*ts)
+        assert_allclose(loss_j(*args),
+                        loss_j(*args, m="exacteig"), **RT)
+        g_j = jax.grad(loss_j, argnums=(0, 1))(*args)
+        g_o = jax.grad(lambda x, y: loss_j(x, y, m="exacteig"),
+                       argnums=(0, 1))(*args)
+        for ours, oracle in zip(g_j, g_o):
+            assert_allclose(ours, oracle, rtol=1e-6, atol=1e-7)
+        return
+
+    ts = [torch.tensor(v, requires_grad=True) for v in (ar_np, ai_np)]
+    lref = loss_ref(*ts)
+    g_ref = torch.autograd.grad(lref, ts, create_graph=True)
+    gg_ref, = torch.autograd.grad((g_ref[0] ** 2).sum(), (ts[0],))
+    assert_allclose(loss_j(*args), lref.detach().numpy(), **RT)
+    g_j = jax.grad(loss_j, argnums=(0, 1))(*args)
+    for ours, ref in zip(g_j, g_ref):
+        assert_allclose(ours, ref.detach().numpy(), rtol=1e-6, atol=1e-8)
+    gg_j = jax.grad(lambda x: jnp.sum(
+        jax.grad(loss_j, argnums=0)(x, args[1]) ** 2))(args[0])
+    assert_allclose(gg_j, gg_ref.detach().numpy(), rtol=1e-6,
+                    atol=1e-7)
+
+
+def test_svd_complex_matrix():
+    """c128 svd cell: ascending singular values + a gauge-invariant
+    U-loss gradient vs live torch (reference svd: symeig.py:146-250;
+    ours takes the native complex degen_svd route)."""
+    from xitorch.linalg import svd as svd_ref
+
+    m, n, k = 7, 5, 5
+    rng = np.random.default_rng(13)
+    ar_np = rng.standard_normal((m, n))
+    ai_np = rng.standard_normal((m, n))
+    p2 = rng.standard_normal((m, m)) + 1j * rng.standard_normal((m, m))
+    P2_np = (p2 + p2.conj().T) / 2
+    w = 1.0 + 0.1 * np.arange(k)
+
+    def loss_ref(ar, ai):
+        A = (ar + 1j * ai)
+        u, s, vh = svd_ref(xitorch_ref.LinearOperator.m(A), k=k)
+        quad = torch.einsum("ri,rc,ci->", u.conj(), torch.tensor(P2_np), u)
+        return (s * torch.tensor(w)).sum() + quad.real
+
+    ts = [torch.tensor(v, requires_grad=True) for v in (ar_np, ai_np)]
+    lref = loss_ref(*ts)
+    g_ref = torch.autograd.grad(lref, ts)
+
+    def loss_j(ar, ai):
+        u, s, vh = __import__("xitorch_tpu").linalg.svd(
+            LinOpTPU.m(ar + 1j * ai), k=k)
+        quad = jnp.einsum("ri,rc,ci->", u.conj(), jnp.asarray(P2_np), u)
+        return jnp.sum(s * jnp.asarray(w)) + jnp.real(quad)
+
+    args = (jnp.asarray(ar_np), jnp.asarray(ai_np))
+    assert_allclose(loss_j(*args), lref.detach().numpy(), **RT)
+    g_j = jax.grad(loss_j, argnums=(0, 1))(*args)
+    for ours, ref in zip(g_j, g_ref):
+        assert_allclose(ours, ref.detach().numpy(), rtol=1e-6, atol=1e-8)

@@ -364,8 +364,19 @@ def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
         else:
             evals_offset = evals
         dX = solve(A, -rhs, evals_offset, M, bck_options=bck_cfg, **bck_cfg)
-        # remove the per-column self component (arbitrary phase/scale)
-        dX = _ortho(dX, evecs, D=None, M=M, mright=True)
+        # remove the per-column self component (arbitrary phase/scale) AND
+        # every component along degenerate partners: the shifted system is
+        # singular on the whole degenerate cluster, so the solve returns
+        # amplified junk there (the ~eps projected residual divided by the
+        # ~eps numerical gap — deterministic O(1) garbage, caught by the
+        # degenerate parity cells vs live torch).  Projecting dX with the
+        # D map is the exact transpose of the reference's reverse rule
+        # (B = _ortho(grad_evecs, D=idx_degen) BEFORE its solve,
+        # reference symeig.py:355-371), so reverse mode matches torch and
+        # the dropped intra-cluster rotation is the documented convention.
+        # D includes the diagonal, so for non-degenerate spectra this is
+        # exactly the old self-component removal.
+        dX = _ortho(dX, evecs, D=D, M=M, mright=True)
         if has_m:
             # M-normalization: x^H M x = 1 under perturbed M
             xdMx = jnp.einsum("...rc,...rc->...c", evecs.conj(), dMX)
@@ -390,13 +401,15 @@ def svd(A: LinearOperator, k: Optional[int] = None,
 
     Routing (documented contract; ``method`` forces a route):
 
-    * default for REAL input is the native ``degen_svd`` path — direct
-      Hestenes one-sided Jacobi on the columns of A (the TPU Pallas
-      kernel when available, XLA svd elsewhere), no Gram matrix, so
-      singular values keep ~eps*kappa(A) error instead of the Gram
-      path's ~eps*kappa(A)^2.  ``fwd_options``/``bck_options`` do not
-      apply here (it is a direct decomposition, natively differentiable
-      at any order).
+    * default for dense input (real or complex) is the native
+      ``degen_svd`` path — direct Hestenes one-sided Jacobi on the
+      columns of A (the TPU Pallas kernel when available — complex via
+      the packed-plane complex-pair kernel — XLA svd elsewhere), no Gram
+      matrix, so singular values keep ~eps*kappa(A) error instead of the
+      Gram path's ~eps*kappa(A)^2.  ``fwd_options``/``bck_options`` do
+      not apply here (it is a direct decomposition, natively
+      differentiable at any order; complex gradients follow the
+      phase-gauge-invariant convention, see ``degen_svd``).
     * EXCEPT top-k asks with k << min(m, n) on TPU (``k*16 <= r``,
       ``r >= 128``, ``mode="uppest"``): these route through ``symeig``
       of the Gram (``A A^H`` or ``A^H A``, whichever is smaller), whose
@@ -405,8 +418,8 @@ def svd(A: LinearOperator, k: Optional[int] = None,
       BASELINE.md) with an eager non-convergence warning.  The Gram
       route squares kappa, which for the TOP singular values costs
       ~nothing (their relative error is ~resid/s_max).
-    * complex input, Kron-structured operators, or an explicit
-      iterative ``method=`` always use the Gram + symeig route, where
+    * Kron-structured operators or an explicit iterative ``method=``
+      always use the Gram + symeig route, where
       ``fwd_options``/``bck_options`` apply (reference behavior).
     """
     if is_debug_enabled():
@@ -437,13 +450,12 @@ def svd(A: LinearOperator, k: Optional[int] = None,
                       and k * 16 <= r and r >= 128
                       and jax.default_backend() == "tpu")
     if (method in (None, "exacteig") and not topk_iterative
-            and not isinstance(A, (KronOperator, KronSumOperator))
-            and not jnp.issubdtype(A.dtype, jnp.complexfloating)):
+            and not isinstance(A, (KronOperator, KronSumOperator))):
         from xitorch_tpu._impls.linalg.symeig import degen_svd
         u, s, v = degen_svd(A.fullmatrix())
         sl = slice(None, k) if mode == "lowest" else slice(-k, None)
         u, s, v = u[..., sl], s[..., sl], v[..., sl]
-        return u, s, jnp.swapaxes(v, -2, -1)
+        return u, s, jnp.swapaxes(v, -2, -1).conj()
 
     if m < n:
         AAsym = A.matmul(A.H, is_hermitian=True)

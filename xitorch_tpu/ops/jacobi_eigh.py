@@ -418,20 +418,25 @@ def _jacobi_kernel(a_ref, g_ref, sweeps_ref=None, *, n: int, m: int,
 
 
 def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
-                           tol2: float):
-    """Complex-hermitian variant: a_ref/g_ref are (m, n, 2n) real planes
-    ``[Re G^T | Im G^T]`` (row i holds g_i = column i of G).  Each pair
-    rotation phase-aligns g_q by exp(-i arg(gamma)) so the Jacobi rotation
-    itself stays real and applies to both planes at once."""
+                           tol2: float, width: int):
+    """Complex variant: a_ref/g_ref are (m, n, width) real planes
+    ``[Re G^T | Im G^T]`` (row i holds the complex vector g_i packed as
+    its Re half then its Im half, ``width = 2 * len(g_i)``).  For the
+    hermitian eigh path g_i is column i of G (square, width = 2n); the
+    complex Hestenes SVD path passes the rectangular panel of A's
+    columns.  Each pair rotation phase-aligns g_q by exp(-i arg(gamma))
+    so the Jacobi rotation itself stays real and applies to both planes
+    at once."""
     h = n // 2
+    hw = width // 2
     dt = a_ref.dtype
     eps_floor = jnp.asarray(jnp.finfo(dt).tiny * 16.0, dt)
 
     g_ref[...] = a_ref[...]
 
     def _one_round(top, bot, nt, nb):
-        rt, it = top[..., :n], top[..., n:]
-        rb, ib = bot[..., :n], bot[..., n:]
+        rt, it = top[..., :hw], top[..., hw:]
+        rb, ib = bot[..., :hw], bot[..., hw:]
         # gamma = <g_p, g_q> (hermitian inner product), two reductions
         g_re = jnp.sum(rt * rb + it * ib, axis=-1, keepdims=True)
         g_im = jnp.sum(rt * ib - it * rb, axis=-1, keepdims=True)
@@ -484,7 +489,7 @@ def _jacobi_kernel_complex(a_ref, g_ref, *, n: int, m: int, max_sweeps: int,
         worst = jnp.asarray(0.0, jnp.float32)
         for k in range(m):
             g = g_ref[k, :, :]
-            gsw = jnp.concatenate([g[:, n:], -g[:, :n]], axis=-1)
+            gsw = jnp.concatenate([g[:, hw:], -g[:, :hw]], axis=-1)
             nrm = jnp.sum(g * g, axis=-1)
             for lo in range(0, n, chunk):
                 hi_ = min(lo + chunk, n)
@@ -543,7 +548,7 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
         # hardware-probed window (not a plane model: the measured scoped
         # allocation is roughly n-independent at m=1, 16.2-22.0 MB for
         # n in [288, 512] — see _CX_VMEM_LIMIT); one matrix per program
-        if not interpret and n > _CX_NMAX:
+        if not interpret and max(n, width // 2) > _CX_NMAX:
             raise ValueError(
                 "jacobi_eigh complex-pair kernel: n=%d exceeds the "
                 "hardware-validated n <= %d window (the kernel's scoped-"
@@ -581,8 +586,9 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
         return pl.BlockSpec((m, n, width), **kwargs)
 
     kfn = _jacobi_kernel_complex if complexpair else _jacobi_kernel
+    kw = {"width": width} if complexpair else {}
     kernel = functools.partial(kfn, n=n, m=m, max_sweeps=max_sweeps,
-                               tol2=tol * tol)
+                               tol2=tol * tol, **kw)
     cx_extra = {}
     if complexpair and not interpret and memspace is not None:
         # The complex round's phase-aligned Re/Im quarter temporaries and
@@ -905,15 +911,17 @@ def _complete_null_columns(Q: jnp.ndarray, good: jnp.ndarray) -> jnp.ndarray:
     """
     B, mdim, r = Q.shape
     dt = Q.dtype
+    rdt = jnp.finfo(dt).dtype  # real counterpart (identity for real dt)
     hi = jax.lax.Precision.HIGHEST
     g = good.astype(dt)
-    # deterministic full-rank fill (no RNG on the kernel path)
-    iot_m = jnp.arange(mdim, dtype=dt)[:, None]
-    iot_r = jnp.arange(r, dtype=dt)[None, :]
+    # deterministic full-rank fill (no RNG on the kernel path; a REAL
+    # fill is full-rank against complex good columns too)
+    iot_m = jnp.arange(mdim, dtype=rdt)[:, None]
+    iot_r = jnp.arange(r, dtype=rdt)[None, :]
     F = jnp.sin(iot_m * (0.7391 * iot_r + 1.137) + 0.31 * iot_r)
-    F = jnp.broadcast_to(F / math.sqrt(mdim), (B, mdim, r))
+    F = jnp.broadcast_to((F / math.sqrt(mdim)).astype(dt), (B, mdim, r))
     Qg = Q * g[:, None, :]
-    C = jnp.matmul(jnp.swapaxes(Qg, -2, -1), F, precision=hi)
+    C = jnp.matmul(jnp.swapaxes(Qg, -2, -1).conj(), F, precision=hi)
     F = F - jnp.matmul(Qg, C, precision=hi)
     # masked CholQR among the bad columns: good slots pinned to identity
     # so the factorization stays SPD; small relative ridge guards the
@@ -925,15 +933,15 @@ def _complete_null_columns(Q: jnp.ndarray, good: jnp.ndarray) -> jnp.ndarray:
     # rank-5 f32 panel); the second pass starts near-orthonormal and
     # lands at ~eps
     for _ in range(2):
-        G = jnp.matmul(jnp.swapaxes(Fb, -2, -1), Fb, precision=hi)
+        G = jnp.matmul(jnp.swapaxes(Fb, -2, -1).conj(), Fb, precision=hi)
         G = (G * (b[:, :, None] * b[:, None, :])
              + jnp.eye(r, dtype=dt) * g[:, None, :]
              + jnp.eye(r, dtype=dt) * jnp.asarray(
                  16 * jnp.finfo(dt).eps / mdim, dt) * b[:, None, :])
         L = jnp.linalg.cholesky(G)
         Y = jax.scipy.linalg.solve_triangular(
-            L, jnp.swapaxes(Fb, -2, -1), lower=True)   # L^-1 Fb^T
-        Fb = jnp.swapaxes(Y, -2, -1)
+            L, jnp.swapaxes(Fb, -2, -1).conj(), lower=True)  # L^-1 Fb^H
+        Fb = jnp.swapaxes(Y, -2, -1).conj()
     return Qg + Fb * b[:, None, :]
 
 
@@ -944,9 +952,17 @@ def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
     (Hestenes) Jacobi — the SAME sweep kernel as ``jacobi_eigh``, run
     directly on the columns of A instead of on a Gram matrix.
 
-    ``A``: (*B, m, n) real.  Returns ``(U (*B, m, r), s (*B, r)
-    ASCENDING, V (*B, n, r))`` with ``r = min(m, n)`` — the package-wide
-    ascending convention (``linalg.svd`` mode="uppest" slices the tail).
+    ``A``: (*B, m, n) real or complex.  Returns ``(U (*B, m, r), s
+    (*B, r) ASCENDING, V (*B, n, r))`` with ``r = min(m, n)``, ``A = U
+    diag(s) V^H`` — the package-wide ascending convention
+    (``linalg.svd`` mode="uppest" slices the tail).
+
+    Complex input runs the complex-pair kernel on the packed real planes
+    ``[Re(col_i) | Im(col_i)]`` — the same packing as the complex eigh
+    path (each pair rotation phase-aligns g_q by exp(-i arg gamma), the
+    Hermitian-inner-product Hestenes iteration).  This is the native
+    complex SVD the Gram route lacks: singular values keep ~eps*kappa(A)
+    error instead of ~eps*kappa(A)^2 (VERDICT r4 item 4b).
 
     Why a native path when ``svd`` already rides ``symeig(A^H A)``
     (reference xitorch/linalg/symeig.py:146-250): the sweep kernel never
@@ -969,18 +985,17 @@ def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
     if A.ndim < 2:
         raise ValueError("jacobi_svd expects (*B, m, n), got %s"
                          % (A.shape,))
-    if jnp.iscomplexobj(A):
-        raise ValueError("jacobi_svd supports real input only (complex "
-                         "svd rides symeig of A^H A)")
+    iscomplex = jnp.iscomplexobj(A)
     batch = A.shape[:-2]
     m_, n_ = A.shape[-2], A.shape[-1]
     if m_ < n_:
-        # work on A^T (tall): A^T = U' S V'^T  =>  A = V' S U'^T
-        u, s, v = jacobi_svd(jnp.swapaxes(A, -2, -1),
+        # work on A^H (tall): A^H = U' S V'^H  =>  A = V' S U'^H
+        u, s, v = jacobi_svd(jnp.swapaxes(A, -2, -1).conj(),
                              max_sweeps=max_sweeps, tol=tol,
                              interpret=interpret)
         return v, s, u
     dt = A.dtype
+    rdt = jnp.finfo(dt).dtype  # real counterpart (identity for real dt)
     if tol is None:
         # same reachable-floor reasoning as jacobi_eigh's default
         tol = float(jnp.finfo(dt).eps) * 4.0 * math.sqrt(n_)
@@ -994,18 +1009,29 @@ def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
     panel = jnp.swapaxes(a, -2, -1)                    # (B, n, m)
     if npad != n_:
         panel = jnp.pad(panel, ((0, 0), (0, npad - n_), (0, 0)))
-    gt = _pallas_g_panel(panel, max_sweeps, tol, interpret,
-                         complexpair=False)            # (B, npad, m)
+    if iscomplex:
+        # packed real planes [Re(col_i) | Im(col_i)] — the complex-pair
+        # kernel's row convention (see _jacobi_kernel_complex)
+        planes = jnp.concatenate([jnp.real(panel), jnp.imag(panel)],
+                                 axis=-1).astype(rdt)  # (B, npad, 2m)
+        gt2 = _pallas_g_panel(planes, max_sweeps, tol, interpret,
+                              complexpair=True)
+        gt = lax.complex(gt2[..., :m_], gt2[..., m_:])  # (B, npad, m)
+    else:
+        gt = _pallas_g_panel(panel, max_sweeps, tol, interpret,
+                             complexpair=False)        # (B, npad, m)
 
     # row i of G^T is s_i * u_i; drop the (npad - n) zero pads: ascending
     # sort puts them first (ties with true zero singular values are
     # interchangeable — both have arbitrary directions)
-    lam = jnp.sqrt(jnp.sum(gt * gt, axis=-1))          # (B, npad)
+    lam = jnp.sqrt(jnp.sum(jnp.real(gt * gt.conj()), axis=-1)
+                   ).astype(rdt)                       # (B, npad)
     order = jnp.argsort(lam, axis=-1)[..., npad - n_:]  # (B, n) ascending
     gt = jnp.take_along_axis(gt, order[..., None], axis=-2)   # (B, n, m)
     lam = jnp.take_along_axis(lam, order, axis=-1)
-    tiny = jnp.asarray(jnp.finfo(dt).tiny * 16, dt)
-    U = jnp.swapaxes(gt / jnp.maximum(lam, tiny)[..., None], -2, -1)
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny * 16, rdt)
+    U = jnp.swapaxes(gt / jnp.maximum(lam, tiny)[..., None].astype(dt),
+                     -2, -1)
 
     # polish (cheap MXU matmuls, mirrors jacobi_eigh's): one Newton
     # orthonormalization of U squares away the ~sqrt(#rotations)*eps
@@ -1020,44 +1046,52 @@ def jacobi_svd(A: jnp.ndarray, *, max_sweeps: int = 18,
     # divided by s) for the same reason.
     hi = jax.lax.Precision.HIGHEST
     eye_r = jnp.eye(n_, dtype=dt)
-    UtU = jnp.matmul(jnp.swapaxes(U, -2, -1), U, precision=hi)
+    UtU = jnp.matmul(jnp.swapaxes(U, -2, -1).conj(), U, precision=hi)
     U = jnp.matmul(U, 1.5 * eye_r - 0.5 * UtU, precision=hi)
-    W = jnp.matmul(jnp.swapaxes(a, -2, -1), U, precision=hi)   # (B, n, r)
-    wn = jnp.sqrt(jnp.sum(W * W, axis=-2))             # (B, r) = |A^T u_i|
-    V = W / jnp.maximum(wn, tiny)[..., None, :]
+    W = jnp.matmul(jnp.swapaxes(a, -2, -1).conj(), U,
+                   precision=hi)                       # (B, n, r) = A^H U
+    wn = jnp.sqrt(jnp.sum(jnp.real(W * W.conj()), axis=-2)
+                  ).astype(rdt)                        # (B, r) = |A^H u_i|
+    V = W / jnp.maximum(wn, tiny)[..., None, :].astype(dt)
     s = lam                                            # already ascending
     # numerically-zero singular values (s <= ~eps*s_max): their G rows are
     # zero (or rounding junk), so the normalized U/V columns are zero or
     # arbitrary non-orthogonal directions — unlike the XLA svd path, which
     # returns orthonormal null-space completions.  Restore that contract
     # (directions stay arbitrary, as documented; orthonormality does not).
-    good = lam > (jnp.asarray(4.0 * jnp.finfo(dt).eps * math.sqrt(m_), dt)
-                  * lam[..., -1:] + tiny)
+    good = lam > (jnp.asarray(4.0 * jnp.finfo(rdt).eps * math.sqrt(m_),
+                              rdt) * lam[..., -1:] + tiny)
     U = _complete_null_columns(U, good)
     V = _complete_null_columns(V, good)
     # one Newton orthonormalization on V as well: its good columns are
     # only pairwise-orthogonal to the kernel exit tolerance (V never saw
     # the U polish), measured ~3e-5 at f32 — one NS step squares that to
     # rounding and matches the XLA path's orthonormal-V contract
-    VtV = jnp.matmul(jnp.swapaxes(V, -2, -1), V, precision=hi)
+    VtV = jnp.matmul(jnp.swapaxes(V, -2, -1).conj(), V, precision=hi)
     V = jnp.matmul(V, 1.5 * eye_r - 0.5 * VtV, precision=hi)
     return (U.reshape(*batch, m_, n_), s.reshape(*batch, n_),
             V.reshape(*batch, n_, n_))
 
 
 def use_jacobi_svd_for(A: jnp.ndarray) -> bool:
-    """Dispatch gate used by ``degen_svd``: real f32 input on a TPU
-    backend, small side >= 64, panel (+ pipeline buffers) fits VMEM."""
+    """Dispatch gate used by ``degen_svd``: f32-precision input (real or
+    complex64) on a TPU backend, small side >= 64.  Real panels must fit
+    the modeled VMEM budget; complex panels run the complex-pair kernel
+    one-matrix-per-program under the raised scoped-VMEM limit inside the
+    hardware-probed ``_CX_NMAX`` window on BOTH sides (the kernel's
+    footprint is measured, not modeled — see ``_panel_bytes``)."""
     if not (ENABLED
             and jax.default_backend() == "tpu"
-            and A.ndim >= 2
-            and not jnp.iscomplexobj(A)
-            and A.dtype == jnp.float32):
+            and A.ndim >= 2):
         return False
     r = min(A.shape[-1], A.shape[-2])
     w = max(A.shape[-1], A.shape[-2])
     npad = max(16, -(-r // 16) * 16)
-    return bool(64 <= r and _panel_bytes(npad, w) <= _VMEM_BUDGET)
+    if jnp.iscomplexobj(A):
+        return bool(A.dtype == jnp.complex64 and 64 <= r
+                    and npad <= _CX_NMAX and w <= _CX_NMAX)
+    return bool(A.dtype == jnp.float32 and 64 <= r
+                and _panel_bytes(npad, w) <= _VMEM_BUDGET)
 
 
 def use_jacobi_for(A: jnp.ndarray) -> bool:
