@@ -166,6 +166,69 @@ def measure_kernel_packed(b, n):
         "value": round(b / per, 1), "acc_err_rel": err}), flush=True)
 
 
+def measure_svd_packed(b, m, n):
+    """Complex SVD chip row (VERDICT r4 item 4b): the packed-plane
+    Hestenes kernel on [Re(A^T) | Im(A^T)] host-packed f32 planes —
+    bit-identical to jacobi_svd's complex branch after packing (this
+    image cannot transfer c64; see measure_kernel_packed).  Singular
+    values come straight from row norms (no PSD shift needed — s >= 0
+    natively, one reason the native path beats the Gram route); the
+    U/V polish (a few c64 matmuls on a real TPU) is excluded, like the
+    eigh row's Rayleigh polish."""
+    rng = np.random.default_rng(m * 1000 + n)
+    a = (rng.standard_normal((b, m, n)).astype(np.float32)
+         + 1j * rng.standard_normal((b, m, n)).astype(np.float32)
+         ).astype(np.complex64) / math.sqrt(n)
+    at = np.swapaxes(a, -1, -2)              # rows = columns of A
+    planes = np.concatenate([at.real, at.imag], axis=-1).astype(np.float32)
+    pj = jnp.asarray(planes)
+    tol = float(np.finfo(np.float32).eps) * 4.0 * math.sqrt(n)
+
+    def body(p):
+        gt2 = JE._pallas_g_panel(p, 18, tol, False, complexpair=True)
+        return jnp.sqrt(jnp.sum(gt2 * gt2, axis=-1)), None
+
+    sv = np.sort(np.asarray(jax.jit(lambda p: body(p)[0])(pj)), axis=-1)
+    oracle = np.sort(np.linalg.svd(a.astype(np.complex128),
+                                   compute_uv=False), axis=-1)
+    scale = float(oracle.max()) + 1e-30
+    err = float(np.max(np.abs(sv - oracle))) / scale
+    assert err < 5e-5, "c64 svd err %g (b=%d m=%d n=%d)" % (err, b, m, n)
+    per = timed_pair(lambda p: body(p), pj)
+    print(json.dumps({
+        "metric": "batched c64 SVD PACKED-KERNEL decomps/sec",
+        "B": b, "m": m, "n": n,
+        "path": "jacobi-complex-pair Hestenes (sweeps + singular values "
+        "from row norms; U/V polish excluded — this image cannot "
+        "execute c64)",
+        "value": round(b / per, 1), "acc_err_rel": err}), flush=True)
+
+
+def ref_cpu_svd(b, m, n):
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import xitorch as xtr  # noqa: F401
+    import xitorch.linalg  # noqa: F401
+    torch.set_num_threads(1)
+    rng = np.random.default_rng(m * 1000 + n)
+    a = (rng.standard_normal((b, m, n)).astype(np.float32)
+         + 1j * rng.standard_normal((b, m, n)).astype(np.float32)
+         ).astype(np.complex64) / math.sqrt(n)
+    t_m = torch.tensor(a)
+
+    def run():
+        A = xtr.LinearOperator.m(t_m)
+        return xtr.linalg.svd(A, k=min(m, n))
+
+    run()
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter(); run(); ts.append(time.perf_counter() - t0)
+    print(json.dumps({"metric": "REF c64 svd decomps/sec (Gram route)",
+                      "B": b, "m": m, "n": n,
+                      "value": round(b / min(ts), 1)}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--with-ref", action="store_true")
@@ -180,9 +243,13 @@ def main():
         measure_kernel_packed(64, 256)
         measure_kernel_packed(8, 512)        # top of the hardware-probed
         # window (m=1 per program under the raised _CX_VMEM_LIMIT)
+        measure_svd_packed(64, 256, 256)
+        measure_svd_packed(32, 384, 128)     # rectangular (tall) panel
     if args.with_ref:
         ref_cpu(64, 256)
         ref_cpu(8, 700)
+        ref_cpu_svd(64, 256, 256)
+        ref_cpu_svd(32, 384, 128)
 
 
 if __name__ == "__main__":
