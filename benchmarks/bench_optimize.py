@@ -277,9 +277,14 @@ def _torch_setup(kind, B, N):
             method="anderson_acc", f_tol=TOL, maxiter=200)
     elif kind == "min_lbfgs":
         # the reference has no lbfgs; its fastest minimize path is the
-        # default broyden1 on the gradient — same task, same gate
+        # default broyden1 on the gradient — same task, same gate.  It
+        # gets a TIGHTER f_tol and a larger budget than ours because its
+        # joint/loop modes at f_tol=1e-5 land just past the gate
+        # (measured loop resid 6.3e-4 vs gate 5.7e-4): the timing
+        # honestly includes whatever iterations it needs to pass the
+        # SAME accuracy gate
         entry, fn, kw = xopt.minimize, f_min, dict(
-            method="broyden1", f_tol=1e-5, maxiter=200)
+            method="broyden1", f_tol=3e-6, maxiter=2000)
     else:  # min_adam, iso-work
         entry, fn, kw = xopt.minimize, f_min, dict(
             method="adam", step=ADAM_STEP, maxiter=ADAM_ITERS,
@@ -311,6 +316,9 @@ def ref_cpu(kind, B, N):
             return torch.stack(outs)
 
     modes = [("joint", joint), ("loop", loop)]
+    only = os.environ.get("XT_REF_MODES")
+    if only:
+        modes = [mv for mv in modes if mv[0] in only.split(",")]
     results = {}
     for tag, run in modes:
         try:
@@ -368,6 +376,9 @@ def ref_grad(kind, B, N, want_grads=False):
         return torch.autograd.grad(loss, (av, bv))
 
     modes = [("joint", grads_joint), ("loop", grads_loop)]
+    only = os.environ.get("XT_REF_MODES")
+    if only:
+        modes = [mv for mv in modes if mv[0] in only.split(",")]
     results, grads = {}, None
     for tag, run in modes:
         try:

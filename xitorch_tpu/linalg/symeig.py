@@ -319,6 +319,26 @@ def _symeig_implicit(A: LinearOperator, M: Optional[LinearOperator],
     degen_atol = bck_options.pop("degen_atol", None)
     degen_rtol = bck_options.pop("degen_rtol", None)
     bck_cfg = bck_options
+    # Default the shifted backward solve to CG (matrix-free, indefinite
+    # tolerated) unless the user chose a method.  The system
+    # (A - lam_i M) dx = -P rhs is SINGULAR at the computed eigenvalue,
+    # and the iterative forward's eigenpairs carry f32-grade error, so
+    # the projected rhs retains a ~vector-grade component along the TRUE
+    # near-null direction whose shifted eigenvalue is only the
+    # eigenVALUE error (~1e-5 in f32).  A direct LU (the old dense
+    # default, exactsolve) amplifies that component by its full 1/gap
+    # (measured on a v5e: 9.5x||z|| null junk, grad rel err 0.94 on the
+    # chebfsi route); over-iterated MINRES drifts the same way (its
+    # residual objective is blind to null components — measured 0.28
+    # null drift at rtol=1e-7).  CG's A-norm error minimization barely
+    # excites the near-null direction at matched tolerances (measured
+    # null component 0.000, grad rel err 1.6e-3 = the forward grade) —
+    # early termination IS the correct regularization for
+    # implicit-function gradients at an approximate solution.
+    if "method" not in bck_cfg:
+        bck_cfg = dict(bck_cfg)
+        bck_cfg["method"] = "cg"
+        bck_cfg["posdef"] = False
     has_m = M is not None
 
     @jax.custom_jvp
