@@ -220,6 +220,13 @@ def _auto_symeig_method(A: LinearOperator, neig: int,
     degeneracy-safe contract on either path (native ``degen_eigh`` JVP on
     the dense route, the degeneracy-projected implicit-function rule on
     the iterative route).
+
+    The routing optimizes FORWARD throughput.  For gradient-dominated
+    workloads the dense route's native JVP transpose is measured FASTER
+    than the iterative route's adjoint shifted solves (config-2 chip
+    rows: exacteig-route grad 1,202/s vs chebfsi-route 316/s,
+    bench_backward.py) — prefer ``method="exacteig"`` when most calls
+    are differentiated.
     """
     na = A.shape[-1]
     if (M is None
