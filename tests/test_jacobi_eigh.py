@@ -650,6 +650,8 @@ def test_jacobi_svd_complex_packed_planes():
     vs the f64 oracle (VERDICT r4 item 4b)."""
     import numpy as np
 
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_svd
+
     rng = np.random.default_rng(3)
     hi = jax.lax.Precision.HIGHEST
     for (m, n) in [(96, 64), (64, 96), (80, 80)]:

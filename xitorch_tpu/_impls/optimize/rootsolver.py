@@ -165,7 +165,15 @@ def _nonlin_solver(fcn, x0, params=(), *,
     alpha: float or None
         Initial inverse Jacobian is ``-alpha*I`` (broyden/linearmixing).
     max_rank: int or None
-        Capacity of the rank-1 buffer; restart on overflow.
+        Capacity of the rank-1 buffer; overflow overwrites the oldest
+        pair.  The default is full-memory (reference-compatible), but
+        the TPU apply cost is CAPACITY-proportional (zero-padded slots
+        burn HBM bandwidth every iteration), so batched workloads that
+        converge in ~k iterations run fastest at ``max_rank ~ k``:
+        measured at (4096, 128) on a v5e, ``max_rank=16`` is 27x the
+        default throughput at the identical residual, with a cliff once
+        the ring is smaller than the iterations-to-converge
+        (BASELINE.md optimize section, round-5 sweep).
     """
     xshape = x0.shape
     x_is_complex = jnp.issubdtype(x0.dtype, jnp.complexfloating)
