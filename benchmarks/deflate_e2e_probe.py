@@ -114,7 +114,8 @@ def main():
         frob = jnp.sqrt(jnp.sum(absa * absa, axis=(-2, -1)))
         sigma = jnp.maximum(-lower, 0.0) + 0.01 * frob + 1e-30
         ash = x + sigma[:, None, None] * jnp.eye(n, dtype=dt)
-        g0 = JE._deflated_panel(ash, max_sweeps=18, interpret=False)
+        from xitorch_tpu.ops import _finisher_lab as LAB
+        g0 = LAB.deflated_panel(ash, max_sweeps=18, interpret=False)
         g0 = JE._rot_correct(g0)
         g_in, bad = JE._guard_warm_start(ash, g0)
         perm = jnp.argsort(bad.astype(jnp.int32), stable=True)

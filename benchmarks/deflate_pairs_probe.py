@@ -44,8 +44,9 @@ def panel_with_refine(x, refine, levels=2):
     blocks, valid = [jnp.stack(xx, axis=1) for xx in zip(
         *[jax.vmap(slice_block, in_axes=(0, 0, 0, None))(
             T, seg, starts[:, s], s) for s in range(ns)])]
-    R = JE._window_solve(blocks.reshape(B_ * ns, w, w), max_sweeps=18,
-                         interpret=False, m_cap=JE._S1_MCAP,
+    from xitorch_tpu.ops import _finisher_lab as LAB
+    R = LAB._window_solve(blocks.reshape(B_ * ns, w, w), max_sweeps=18,
+                          interpret=False, m_cap=LAB._S1_MCAP,
                          sort_valid=valid.reshape(B_ * ns, w)
                          ).reshape(B_, ns, w, w)
 
@@ -71,8 +72,9 @@ def panel_with_refine(x, refine, levels=2):
             Tb, (st, st), (bw, bw)))(T, bstarts[:, s])
          for s in range(ns - 1)],
         axis=1).reshape(B_ * (ns - 1), bw, bw)
-    Rb2 = JE._window_solve(bblocks, max_sweeps=18, interpret=False,
-                           m_cap=JE._S2_MCAP).reshape(B_, ns - 1, bw, bw)
+    from xitorch_tpu.ops import _finisher_lab as LAB
+    Rb2 = LAB._window_solve(bblocks, max_sweeps=18, interpret=False,
+                            m_cap=LAB._S2_MCAP).reshape(B_, ns - 1, bw, bw)
     for s in range(ns - 1):
         g0 = jax.vmap(apply_rows)(g0, Rb2[:, s], bstarts[:, s])
         T = jax.vmap(apply_rows)(T, Rb2[:, s], bstarts[:, s])

@@ -9,7 +9,7 @@ derived).  Key structural changes for XLA:
   :115-121, 144-148) and the inverse-Jacobian state.
 * Broyden's growing list of rank-1 pairs (reference _jacobian.py:156-199)
   becomes a **fixed-capacity ring buffer** ``(max_rank, n)`` with
-  restart-on-overflow (the reference's default "restart" reduce method);
+  overwrite-oldest-on-overflow (the reference's "simple" reduce method);
   its mv/rmv are two skinny matmuls (MXU-friendly).
 * The Armijo line search (reference :272-357) is a bounded ``while_loop``
   with quadratic-then-cubic backtracking.

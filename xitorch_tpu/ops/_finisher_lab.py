@@ -1,6 +1,11 @@
-"""EXPERIMENTAL LAB — rejected warm-panel finisher prototypes (NOT shipped).
+"""EXPERIMENTAL LAB — rejected warm-panel finisher prototypes, plus the
+concluded DC-deflation machinery behind the opt-in
+``jacobi_eigh(deflate=True)`` path.
 
-Nothing in this module is on any shipped code path.  These are the
+Only ``deflated_panel`` / ``deflate_refine`` (bottom section) are
+reachable from public code — the slower-than-default opt-in deflate
+route imports them lazily and its tests keep them green.  Everything
+ELSE here is on no shipped code path.  The prototypes are the
 round-3 finisher families probed on v5e hardware against the DC-warmed
 Jacobi eigh chain (ops/jacobi_eigh.py) and REJECTED; they are preserved
 because their docstrings and the measured conclusions in

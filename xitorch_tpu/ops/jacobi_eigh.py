@@ -550,11 +550,13 @@ def _pallas_g_panel(a: jnp.ndarray, max_sweeps: int, tol: float,
         # n in [288, 512] — see _CX_VMEM_LIMIT); one matrix per program
         if not interpret and max(n, width // 2) > _CX_NMAX:
             raise ValueError(
-                "jacobi_eigh complex-pair kernel: n=%d exceeds the "
-                "hardware-validated n <= %d window (the kernel's scoped-"
+                "jacobi_eigh complex-pair kernel: panel dimension %d "
+                "(max of the pair axis and the packed half-width) exceeds "
+                "the hardware-validated <= %d window (the kernel's scoped-"
                 "VMEM footprint is measured, not modeled, past it) — use "
                 "jnp.linalg.eigh / symeig(method=\"exacteig\") for "
-                "complex matrices this large" % (n, _CX_NMAX))
+                "complex matrices this large"
+                % (max(n, width // 2), _CX_NMAX))
         m = 1
     else:
         if not interpret and _panel_bytes(n, width) > _VMEM_BUDGET:
