@@ -69,7 +69,26 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
     stop_cond = custom_terminator if custom_terminator is not None \
         else TerminationCondition(f_tol, f_rtol, devnorm, x_tol, x_rtol)
 
-    eye_m1 = jnp.eye(msize + 1, dtype=dtype)
+    eye_m = jnp.eye(msize, dtype=dtype)
+
+    def _solve_spd_small(A, b):
+        """Solve the batched (m, m) SPD system by UNROLLED pivot-free
+        Gaussian elimination — XLA's batched small LU runs a slow custom
+        call on TPU (measured 817 us vs 129 us per (512, 5, 5) batch for
+        this unroll, the dominant cost of an anderson iteration).  SPD +
+        the lmbda ridge keeps every pivot >= min(lmbda, 1), so no
+        pivoting is needed; msize is static so the loops unroll."""
+        Ab = jnp.concatenate([A, b[..., None]], axis=-1)   # (*B, m, m+1)
+        for kk in range(msize):
+            piv = Ab[..., kk:kk + 1, :] / Ab[..., kk:kk + 1, kk:kk + 1]
+            mask = (jnp.arange(msize) > kk).astype(dtype)[:, None]
+            Ab = Ab - mask * Ab[..., :, kk:kk + 1] * piv
+        x = jnp.zeros_like(b)
+        for kk in reversed(range(msize)):
+            dot = jnp.einsum("...j,...j->...", Ab[..., kk, :msize], x)
+            x = x.at[..., kk].set((Ab[..., kk, msize] - dot)
+                                  / Ab[..., kk, kk])
+        return x
 
     def step(k, xn, xcol, fcol):
         nsize = jnp.minimum(k, msize)
@@ -78,19 +97,25 @@ def anderson_acc(fcn: Callable, x0: jnp.ndarray, params=(),
         # HIGHEST precision: a bf16 Gram of near-converged (small) residual
         # differences destroys the mixing weights on TPU (see CLAUDE.md)
         gram = einsum_hi("...nf,...mf->...nm", g, g)
-        # bordered system: [[0, 1_act^T], [1_act, G + lmbda I]] alpha' = e0
-        hmat = jnp.zeros((*batch_shape, msize + 1, msize + 1), dtype=dtype)
-        hmat = hmat.at[..., 0, 1:].set(active)
-        hmat = hmat.at[..., 1:, 0].set(active)
-        hmat = hmat.at[..., 1:, 1:].set(
-            gram + lmbda * jnp.eye(msize, dtype=dtype) * active[:, None] * active[None, :])
-        # inactive rows/cols -> identity so the solve stays well-posed
-        inact = jnp.concatenate([jnp.zeros((1,), dtype), 1 - active])
-        hmat = hmat + eye_m1 * inact
-        y = jnp.zeros((*batch_shape, msize + 1, 1), dtype=dtype)
-        y = y.at[..., 0, :].set(1.0)
-        alpha = jnp.linalg.solve(hmat, y)[..., 1:, 0]  # (*B, m)
-        alpha = alpha * active
+        # constrained least squares min ||G alpha|| s.t. sum(alpha) = 1:
+        # alpha = z / sum(z) with (G + lmbda I) z = 1_active — the SPD
+        # reduction of the reference's bordered KKT system (identical
+        # solution: the Lagrange multiplier is -1/sum(z)).  SPD lets the
+        # solve run as an unrolled pivot-free elimination instead of
+        # XLA's slow batched-small LU custom call.  Inactive history
+        # slots get identity rows + zero rhs, so z (hence alpha) is
+        # exactly zero there.
+        act2 = active[:, None] * active[None, :]
+        Greg = (gram * act2 + lmbda * eye_m * act2
+                + eye_m * (1 - active))
+        rhs = jnp.broadcast_to(active, (*batch_shape, msize))
+        z = _solve_spd_small(Greg, rhs)                     # (*B, m)
+        denom = jnp.sum(z, axis=-1, keepdims=True)
+        # sum(z) = 1^T (G+lmbda I)^{-1} 1 > 0 strictly (SPD); the guard
+        # only protects f32 underflow
+        denom = jnp.where(jnp.abs(denom) < jnp.finfo(dtype).tiny * 16,
+                          jnp.asarray(1.0, dtype), denom)
+        alpha = (z / denom) * active
         xnew = (einsum_hi("...n,...nf->...f", alpha, fcol) * beta
                 + einsum_hi("...n,...nf->...f", alpha, xcol) * (1 - beta))
         fnew = _fcn(xnew)
