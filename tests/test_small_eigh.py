@@ -43,7 +43,6 @@ def test_small_eigh_gate_and_errors():
 def test_rr_route_forced_matches_xla(monkeypatch):
     """Force the RR dispatch on (as on TPU) and check chebfsi/davidson
     still converge to the dense-route answers through the public API."""
-    import xitorch_tpu._impls.linalg.symeig as IS
     from xitorch_tpu import LinearOperator
     from xitorch_tpu.linalg import symeig
     import xitorch_tpu.ops.small_eigh as SE

@@ -202,8 +202,9 @@ def _auto_symeig_method(A: LinearOperator, neig: int,
           measured SLOWER than the M-Cholesky exacteig route: 679 vs
           1,010 decomps/s at config-2 shapes, BASELINE.md),
         - extreme-k ask with k << n: ``neig * 16 <= n`` and ``n >= 128``
-          (config-2: k=8, n=256 — chebfsi 3.4k decomps/s vs ~1k for the
-          full dense route; at k ~ n the dense route wins trivially),
+          (config-2: k=8, n=256 — chebfsi 10.1k decomps/s vs ~1.1k for
+          the full dense route after the round-5 small_eigh RR fix; at
+          k ~ n the dense route wins trivially),
         - real dtype (this image's TPU has no complex support; the
           complex dense route is the validated path),
         - TPU backend (on CPU, iterative loses to LAPACK: the reference's
