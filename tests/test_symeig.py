@@ -619,7 +619,11 @@ def test_auto_routing_rules(monkeypatch):
     assert _auto_symeig_method(A, 17, None) == "exacteig"  # k not << n
     assert _auto_symeig_method(A, 256, None) == "exacteig"
     assert _auto_symeig_method(small, 2, None) == "exacteig"  # n < 128
-    assert _auto_symeig_method(A, 8, A) == "exacteig"      # generalized
+    # generalized pencils route to davidson at k << n (round 5: the
+    # small_eigh subspace solve made it the measured generalized winner)
+    assert _auto_symeig_method(A, 8, A) == "davidson"
+    assert _auto_symeig_method(A, 17, A) == "exacteig"     # k not << n
+    assert _auto_symeig_method(cplx, 8, cplx) == "exacteig"  # complex M
     assert _auto_symeig_method(cplx, 8, None) == "exacteig"  # complex
 
 
@@ -657,6 +661,49 @@ def test_auto_routed_symeig_accuracy_gate(monkeypatch, rng):
     eps = 1e-6
     fd = (loss(a64[0] + eps * d) - loss(a64[0] - eps * d)) / (2 * eps)
     assert abs(float(jnp.sum(g * d) - fd)) < 1e-6 * max(1.0, abs(float(fd)))
+
+
+def test_auto_routed_generalized_davidson_accuracy_gate(monkeypatch, rng):
+    """Accuracy gate for the silently-routed generalized davidson
+    default (round 5): values and gradients vs the f64 dense oracle."""
+    import scipy.linalg as sla
+
+    n, k = 128, 8
+    a64 = make_sym(rng, (2,), n) + 3.0 * jnp.eye(n, dtype=jnp.float64)
+    c = rng.standard_normal((2, n, n)) / (2 * np.sqrt(n))
+    m64 = jnp.asarray(c @ np.swapaxes(c, -1, -2) + np.eye(n))
+    oracle = np.stack([sla.eigh(np.asarray(a64[i]), np.asarray(m64[i]),
+                                eigvals_only=True)[:k] for i in range(2)])
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    A = LinearOperator.m(a64, is_hermitian=True)
+    M = LinearOperator.m(m64, is_hermitian=True)
+    evals, evecs = symeig(A, k, "lowest", M=M)     # method=None -> routed
+    assert_allclose(evals, jnp.asarray(oracle), rtol=1e-7, atol=1e-7)
+    # pencil residual at the scale-aware grade
+    resid = A.mm(evecs) - M.mm(evecs) * evals[..., None, :]
+    assert float(jnp.max(jnp.abs(resid))) < 1e-6
+
+    # f32 with a large scale: the scale-aware min_eps must be reachable
+    a32 = (100.0 * a64).astype(jnp.float32)
+    m32 = m64.astype(jnp.float32)
+    ev32, _ = symeig(LinearOperator.m(a32, is_hermitian=True), k,
+                     "lowest", M=LinearOperator.m(m32, is_hermitian=True))
+    assert float(jnp.max(jnp.abs(
+        ev32 - 100.0 * jnp.asarray(oracle, jnp.float32)))) \
+        < 5e-4 * float(jnp.max(jnp.abs(a32)))
+
+    # implicit gradients flow on the routed generalized path
+    def loss(mat):
+        Ao = LinearOperator.m(mat, is_hermitian=True)
+        ev, _ = symeig(Ao, k, "lowest", M=M)
+        return jnp.sum(ev)
+
+    g = jax.grad(loss)(a64[0])
+    d = make_sym(rng, (), n)
+    eps = 1e-6
+    fd = (loss(a64[0] + eps * d) - loss(a64[0] - eps * d)) / (2 * eps)
+    assert abs(float(jnp.sum(g * d) - fd)) < 1e-5 * max(1.0, abs(float(fd)))
 
 
 def test_auto_routed_svd_topk_accuracy_gate(monkeypatch, rng):

@@ -143,7 +143,8 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
         else:
             method = _auto_symeig_method(A, neig, M)
             auto_routed = method if method != "exacteig" else None
-            if auto_routed == "chebfsi" and "min_eps" not in fwd_options:
+            if (auto_routed in ("chebfsi", "davidson")
+                    and "min_eps" not in fwd_options):
                 # scale-aware tolerance on the silent route (see chebfsi:
                 # min_eps is absolute; a fixed 1e-6 would be unreachable
                 # for large-||A|| f32 operators and burn max_niter)
@@ -197,10 +198,15 @@ def _auto_symeig_method(A: LinearOperator, neig: int,
     Routing rules (the documented contract):
 
     * default = ``"exacteig"`` (the reference default) everywhere, EXCEPT
+    * ``"davidson"`` for GENERALIZED pencils (``M`` given) under the same
+      extreme-k/real/TPU gates below — after the round-5 small_eigh
+      subspace solve it is the measured generalized winner (3,941 vs
+      1,010 decomps/s for the M-Cholesky dense route at config-2 shapes;
+      the generalized chebfsi's M⁻¹A filter keeps it at 728), with the
+      same scale-aware ``min_eps=None`` tolerance contract, and EXCEPT
     * ``"chebfsi"`` when ALL of these hold — the measured win region:
         - standard problem (``M is None``; the generalized chebfsi is
-          measured SLOWER than the M-Cholesky exacteig route: 679 vs
-          1,010 decomps/s at config-2 shapes, BASELINE.md),
+          measured SLOWER than davidson's subspace iteration),
         - extreme-k ask with k << n: ``neig * 16 <= n`` and ``n >= 128``
           (config-2: k=8, n=256 — chebfsi 10.1k decomps/s vs ~1.1k for
           the full dense route after the round-5 small_eigh RR fix; at
@@ -230,11 +236,12 @@ def _auto_symeig_method(A: LinearOperator, neig: int,
     are differentiated.
     """
     na = A.shape[-1]
-    if (M is None
-            and not jnp.issubdtype(A.dtype, jnp.complexfloating)
+    if (not jnp.issubdtype(A.dtype, jnp.complexfloating)
             and na >= 128 and neig * 16 <= na
-            and jax.default_backend() == "tpu"):
-        return "chebfsi"
+            and jax.default_backend() == "tpu"
+            and (M is None
+                 or not jnp.issubdtype(M.dtype, jnp.complexfloating))):
+        return "chebfsi" if M is None else "davidson"
     return "exacteig"
 
 
