@@ -140,6 +140,11 @@ def symeig(A: LinearOperator, neig: Optional[int] = None,
             # contract below then covers it.
             method = "davidson"
             auto_routed = "davidson"
+            if "min_eps" not in fwd_options:
+                # same scale-aware default as the dense generalized
+                # route: a fixed absolute 1e-6 on a large-||A|| f32 Kron
+                # pencil is unreachable and burns max_niter
+                fwd_options["min_eps"] = None
         else:
             method = _auto_symeig_method(A, neig, M)
             auto_routed = method if method != "exacteig" else None
