@@ -52,10 +52,16 @@ def _rr_eigh(T: jnp.ndarray):
     ~85% of chebfsi's runtime.  Everything else keeps jnp.linalg.eigh.
     Gradients never differentiate through this (the public entries wrap
     solvers in custom_jvp implicit rules)."""
+    from xitorch_tpu.ops.jacobi_eigh import jacobi_eigh, use_jacobi_for
     from xitorch_tpu.ops.small_eigh import small_eigh, use_small_eigh_for
 
     if use_small_eigh_for(T):
         return small_eigh(T)
+    if use_jacobi_for(T):
+        # mid-size RR matrices (64 < m <= kernel window): the Pallas
+        # sweep kernel beats the XLA eigh custom call there too (it is
+        # the shipped dense default at those sizes)
+        return jacobi_eigh(T)
     return jnp.linalg.eigh(T)
 
 
