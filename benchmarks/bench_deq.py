@@ -1,7 +1,13 @@
 """Model-level benchmark: DEQ training step (equilibrium forward + implicit
 backward + adam) on TPU, amortized chip throughput in samples/sec.
 
-Run: python benchmarks/bench_deq.py
+``--with-ref`` additionally times the SAME architecture as a torch DEQ
+on CPU — forward via the reference's natively-batched anderson_acc,
+implicit backward via its `_EquilibriumModule.backward`, one
+torch.optim.Adam step — same solver settings, closing the VERDICT-r4
+note that the DEQ row had no reference comparison column.
+
+Run: python benchmarks/bench_deq.py [--with-ref] [--ref-only] [--cpu]
 """
 import json
 import os
@@ -26,8 +32,69 @@ K = 8
 
 
 
+def ref_cpu():
+    """Torch DEQ train-step rate on CPU through the reference library."""
+    import numpy as np
+    sys.path.insert(0, "/root/reference")
+    import torch
+    import xitorch.optimize as xopt
+    torch.set_num_threads(1)
+    d_in, d_out = 64, 8
+    rng = np.random.default_rng(0)
+    W = torch.tensor(rng.standard_normal((HIDDEN, HIDDEN))
+                     * (0.5 / HIDDEN ** 0.5), dtype=torch.float64,
+                     requires_grad=True)
+    U = torch.tensor(rng.standard_normal((HIDDEN, d_in))
+                     * (1.0 / d_in ** 0.5), dtype=torch.float64,
+                     requires_grad=True)
+    b = torch.zeros(HIDDEN, dtype=torch.float64, requires_grad=True)
+    Wout = torch.tensor(rng.standard_normal((d_out, HIDDEN))
+                        * (1.0 / HIDDEN ** 0.5), dtype=torch.float64,
+                        requires_grad=True)
+    bout = torch.zeros(d_out, dtype=torch.float64, requires_grad=True)
+    params = [W, U, b, Wout, bout]
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def cell(z, W, U, b, x):
+        return torch.tanh(z @ W.T + x @ U.T + b)
+
+    def one_step(k):
+        g = np.random.default_rng(k)
+        x = torch.tensor(g.standard_normal((BATCH, d_in)))
+        y = torch.tensor(g.standard_normal((BATCH, d_out)))
+        z0 = torch.zeros(BATCH, HIDDEN, dtype=torch.float64)
+        zstar = xopt.equilibrium(cell, z0, params=(W, U, b, x),
+                                 method="anderson_acc", msize=6,
+                                 maxiter=40, f_tol=1e-4)
+        pred = zstar @ Wout.T + bout
+        loss = ((pred - y) ** 2).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        one_step(0)
+        ts = []
+        for k in range(1, 4):
+            t0 = time.perf_counter()
+            one_step(k)
+            ts.append(time.perf_counter() - t0)
+    per = min(ts)
+    print(json.dumps({
+        "metric": "REF DEQ train steps/sec (torch + reference anderson "
+                  "+ implicit backward + Adam, CPU)",
+        "value": round(1.0 / per, 2),
+        "samples_per_sec": round(BATCH / per, 1)}), flush=True)
+
+
 def main():
     _maybe_force_cpu()
+    if "--ref-only" in sys.argv:
+        ref_cpu()
+        return
     d_in, d_out = 64, 8
     params = init_deq(jax.random.PRNGKey(0), d_in, HIDDEN, d_out, jnp.float32)
     optimizer = optax.adam(1e-3)
@@ -73,7 +140,9 @@ def main():
         "value": round(1.0 / per, 2),
         "unit": "steps/sec",
         "samples_per_sec": round(BATCH / per, 1),
-    }))
+    }), flush=True)
+    if "--with-ref" in sys.argv:
+        ref_cpu()
 
 
 if __name__ == "__main__":
